@@ -1,0 +1,574 @@
+"""Dict-backed DoclingDocument-equivalent model.
+
+A document is a plain-dict tree matching the serialized JSON schema of the
+reference (docling-core `DoclingDocument.export_to_dict()`, see
+/root/reference/docling_core/types/doc/document.py:3578).  We deliberately do
+NOT use pydantic here: inside Spark Arrow-batch UDFs every row is parsed and
+walked in pure Python, and attribute-validation overhead would dominate.
+Validation happens at the boundaries (tests, `--strict` runs).
+
+Schema contract (per item-family array):
+  texts/tables/pictures/groups/key_value_items/form_items: list[dict]
+  body / furniture: group dicts with self_ref "#/body" / "#/furniture"
+  refs: {"$ref": "#/texts/3"}  (JSON pointer, append-order assignment,
+        cf. reference document.py:855-960, 1600-1601)
+Reading order = pre-order DFS over ``children`` (reference
+document.py:3235-3313).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable, Iterator, Optional
+
+CURRENT_VERSION = "1.10.0"  # reference common/constants.py:7
+
+# ---------------------------------------------------------------------------
+# Label / layer constants (reference types/doc/labels.py, content_layer.py)
+# ---------------------------------------------------------------------------
+
+BODY = "body"
+FURNITURE = "furniture"
+CONTENT_LAYERS = {"body", "furniture", "background", "invisible", "notes"}
+DEFAULT_CONTENT_LAYERS = {"body"}
+
+# DocItemLabel values
+CAPTION = "caption"
+CHART = "chart"
+FOOTNOTE = "footnote"
+FORMULA = "formula"
+LIST_ITEM = "list_item"
+PAGE_FOOTER = "page_footer"
+PAGE_HEADER = "page_header"
+PICTURE = "picture"
+SECTION_HEADER = "section_header"
+TABLE = "table"
+TEXT = "text"
+TITLE = "title"
+DOCUMENT_INDEX = "document_index"
+CODE = "code"
+CHECKBOX_SELECTED = "checkbox_selected"
+CHECKBOX_UNSELECTED = "checkbox_unselected"
+FORM = "form"
+KEY_VALUE_REGION = "key_value_region"
+PARAGRAPH = "paragraph"
+REFERENCE = "reference"
+HANDWRITTEN_TEXT = "handwritten_text"
+EMPTY_VALUE = "empty_value"
+FIELD_KEY = "field_key"
+FIELD_VALUE = "field_value"
+FIELD_HEADING = "field_heading"
+FIELD_HINT = "field_hint"
+MARKER = "marker"
+GRADING_SCALE = "grading_scale"
+FIELD_REGION = "field_region"
+FIELD_ITEM = "field_item"
+
+# GroupLabel values
+GROUP_LIST = "list"
+GROUP_ORDERED_LIST = "ordered_list"  # deprecated; patched to "list" on load
+GROUP_INLINE = "inline"
+GROUP_UNSPECIFIED = "unspecified"
+
+# Default export label allowlists (reference common/constants.py:10-45)
+DEFAULT_EXPORT_LABELS = frozenset(
+    {
+        TITLE,
+        DOCUMENT_INDEX,
+        SECTION_HEADER,
+        PARAGRAPH,
+        TABLE,
+        PICTURE,
+        FORMULA,
+        CHECKBOX_UNSELECTED,
+        CHECKBOX_SELECTED,
+        TEXT,
+        LIST_ITEM,
+        CODE,
+        REFERENCE,
+        PAGE_HEADER,
+        PAGE_FOOTER,
+        KEY_VALUE_REGION,
+        EMPTY_VALUE,
+        FIELD_KEY,
+        FIELD_VALUE,
+        FIELD_HEADING,
+        FIELD_HINT,
+        MARKER,
+        HANDWRITTEN_TEXT,
+    }
+)
+DOCUMENT_TOKENS_EXPORT_LABELS = DEFAULT_EXPORT_LABELS | {FOOTNOTE, CAPTION, FORM}
+
+# Item-family arrays that hold DocItems (everything except groups)
+_DOC_ITEM_ARRAYS = frozenset(
+    {"texts", "tables", "pictures", "key_value_items", "form_items", "field_regions", "field_items"}
+)
+_GROUP_ARRAYS = frozenset({"groups"})
+_ALL_ARRAYS = (
+    "groups",
+    "texts",
+    "pictures",
+    "tables",
+    "key_value_items",
+    "form_items",
+    "field_regions",
+    "field_items",
+)
+
+
+def _migrate_picture_annotations(item: dict) -> None:
+    """Move legacy picture annotations into meta (reference picture.py:76-145)."""
+    anns = item.get("annotations")
+    if not anns:
+        return
+    meta = item.get("meta")
+    for ann in anns:
+        kind = ann.get("kind")
+        if meta is None:
+            meta = item["meta"] = {}
+        if kind == "classification" and meta.get("classification") is None:
+            meta["classification"] = {
+                "predictions": [
+                    {
+                        "class_name": pred.get("class_name"),
+                        "confidence": pred.get("confidence"),
+                        "created_by": ann.get("provenance"),
+                    }
+                    for pred in ann.get("predicted_classes", ())
+                ]
+            }
+        elif kind == "description" and meta.get("description") is None:
+            meta["description"] = {"text": ann.get("text"), "created_by": ann.get("provenance")}
+        elif kind == "molecule_data" and meta.get("molecule") is None:
+            meta["molecule"] = {
+                "smi": ann.get("smi"),
+                "confidence": ann.get("confidence"),
+                "created_by": ann.get("provenance"),
+                "docling_legacy__segmentation": ann.get("segmentation"),
+                "docling_legacy__class_name": ann.get("class_name"),
+            }
+        elif kind == "tabular_chart_data" and meta.get("tabular_chart") is None:
+            meta["tabular_chart"] = {"title": ann.get("title"), "chart_data": ann.get("chart_data")}
+        elif kind not in ("classification", "description", "molecule_data", "tabular_chart_data"):
+            key = f"docling_legacy__{kind}"
+            if key not in meta:
+                meta[key] = ann.get("content") if kind == "misc" else ann
+
+
+def _migrate_table_annotations(item: dict) -> None:
+    """Move legacy table annotations into meta (reference table.py:51-85)."""
+    anns = item.get("annotations")
+    if not anns:
+        return
+    meta = item.get("meta")
+    for ann in anns:
+        kind = ann.get("kind")
+        if meta is None:
+            meta = item["meta"] = {}
+        if kind == "description" and meta.get("description") is None:
+            meta["description"] = {"text": ann.get("text"), "created_by": ann.get("provenance")}
+        elif kind != "description":
+            key = f"docling_legacy__{kind}"
+            if key not in meta:
+                meta[key] = ann.get("content") if kind == "misc" else ann
+
+
+def ref_of(item: dict) -> str:
+    """Return the item's self reference string."""
+    return item["self_ref"]
+
+
+def ref_array(cref: str) -> str:
+    """Array name of a `#/<array>/<idx>` or `#/<name>` pointer."""
+    parts = cref.split("/")
+    return parts[1]
+
+
+def is_group(item: dict) -> bool:
+    """Whether the node is a group (incl. body/furniture roots)."""
+    arr = ref_array(item["self_ref"])
+    return arr in _GROUP_ARRAYS or arr in (BODY, FURNITURE)
+
+
+def is_doc_item(item: dict) -> bool:
+    """Whether the node is a DocItem (has a label and provenance)."""
+    return ref_array(item["self_ref"]) in _DOC_ITEM_ARRAYS
+
+
+def is_text_item(item: dict) -> bool:
+    """Whether the node lives in the texts array (TextItem subtree)."""
+    return ref_array(item["self_ref"]) == "texts"
+
+
+def is_table_item(item: dict) -> bool:
+    """Whether the node is a TableItem."""
+    return ref_array(item["self_ref"]) == "tables"
+
+
+def is_picture_item(item: dict) -> bool:
+    """Whether the node is a PictureItem."""
+    return ref_array(item["self_ref"]) == "pictures"
+
+
+def is_list_group(item: dict) -> bool:
+    """ListGroup (incl. deprecated ordered_list)."""
+    return is_group(item) and item.get("label") in (GROUP_LIST, GROUP_ORDERED_LIST)
+
+
+def is_inline_group(item: dict) -> bool:
+    """InlineGroup."""
+    return is_group(item) and item.get("label") == GROUP_INLINE
+
+
+def content_layer(item: dict) -> str:
+    """Item's content layer; furniture root defaults to 'furniture'."""
+    cl = item.get("content_layer")
+    if cl is None:
+        return FURNITURE if item["self_ref"] == "#/furniture" else BODY
+    return cl
+
+
+def item_label(item: dict) -> Optional[str]:
+    """DocItem label (None for groups without label)."""
+    return item.get("label")
+
+
+class Doc:
+    """A DoclingDocument-equivalent: flat typed arrays + JSON-pointer tree.
+
+    Mirrors the data model of the reference (document.py:174-213) but stores
+    items as plain dicts for cheap JSON round-trips inside Arrow-batch UDFs.
+    """
+
+    __slots__ = (
+        "schema_name",
+        "version",
+        "name",
+        "origin",
+        "body",
+        "furniture",
+        "groups",
+        "texts",
+        "pictures",
+        "tables",
+        "key_value_items",
+        "form_items",
+        "field_regions",
+        "field_items",
+        "pages",
+        "extra",
+    )
+
+    def __init__(self, name: str = "document", origin: Optional[dict] = None) -> None:
+        self.schema_name = "DoclingDocument"
+        self.version = CURRENT_VERSION
+        self.name = name
+        self.origin = origin
+        self.body: dict = {
+            "self_ref": "#/body",
+            "children": [],
+            "content_layer": "body",
+            "name": "_root_",
+            "label": GROUP_UNSPECIFIED,
+        }
+        self.furniture: dict = {
+            "self_ref": "#/furniture",
+            "children": [],
+            "content_layer": "furniture",
+            "name": "_root_",
+            "label": GROUP_UNSPECIFIED,
+        }
+        self.groups: list[dict] = []
+        self.texts: list[dict] = []
+        self.pictures: list[dict] = []
+        self.tables: list[dict] = []
+        self.key_value_items: list[dict] = []
+        self.form_items: list[dict] = []
+        self.field_regions: list[dict] = []
+        self.field_items: list[dict] = []
+        self.pages: dict = {}
+        self.extra: dict = {}
+
+    # ------------------------------------------------------------------
+    # Ref resolution (reference common/reference.py:32-62)
+    # ------------------------------------------------------------------
+
+    def resolve(self, cref: str) -> dict:
+        """Resolve a `#/<array>/<idx>` (or `#/body`) pointer to its item."""
+        parts = cref.split("/")
+        if len(parts) == 2:
+            return getattr(self, parts[1])
+        return getattr(self, parts[1])[int(parts[2])]
+
+    def resolve_ref(self, ref: dict) -> dict:
+        """Resolve a `{"$ref": ...}` dict."""
+        return self.resolve(ref["$ref"])
+
+    def children_of(self, item: dict) -> Iterator[dict]:
+        """Resolved children, in order."""
+        for ref in item.get("children", ()):
+            yield self.resolve(ref["$ref"])
+
+    def parent_of(self, item: dict) -> Optional[dict]:
+        """Resolved parent, or None."""
+        p = item.get("parent")
+        return self.resolve(p["$ref"]) if p else None
+
+    # ------------------------------------------------------------------
+    # Builders (reference document.py:855-960 `_append_item` semantics:
+    # append-order `#/texts/N` assignment, parent wiring)
+    # ------------------------------------------------------------------
+
+    def _attach(self, array_name: str, item: dict, parent: Optional[dict]) -> dict:
+        arr = getattr(self, array_name)
+        cref = f"#/{array_name}/{len(arr)}"
+        item["self_ref"] = cref
+        p = parent if parent is not None else self.body
+        item["parent"] = {"$ref": p["self_ref"]}
+        item.setdefault("children", [])
+        item.setdefault("content_layer", content_layer(p) if p["self_ref"] != "#/body" else "body")
+        arr.append(item)
+        p.setdefault("children", []).append({"$ref": cref})
+        return item
+
+    def add_text(
+        self,
+        label: str,
+        text: str,
+        orig: Optional[str] = None,
+        parent: Optional[dict] = None,
+        prov: Optional[list] = None,
+        formatting: Optional[dict] = None,
+        hyperlink: Optional[str] = None,
+        content_layer: Optional[str] = None,
+    ) -> dict:
+        """Append a text-family item (reference document.py:1491)."""
+        item: dict[str, Any] = {
+            "label": label,
+            "prov": prov or [],
+            "orig": orig if orig is not None else text,
+            "text": text,
+        }
+        if formatting:
+            item["formatting"] = formatting
+        if hyperlink:
+            item["hyperlink"] = hyperlink
+        if content_layer:
+            item["content_layer"] = content_layer
+        return self._attach("texts", item, parent)
+
+    def add_title(self, text: str, **kw: Any) -> dict:
+        """Append a TitleItem (reference document.py:1743)."""
+        return self.add_text(TITLE, text, **kw)
+
+    def add_heading(self, text: str, level: int = 1, **kw: Any) -> dict:
+        """Append a SectionHeaderItem (reference document.py:1884)."""
+        item = self.add_text(SECTION_HEADER, text, **kw)
+        item["level"] = level
+        return item
+
+    def add_list_item(
+        self,
+        text: str,
+        enumerated: bool = False,
+        marker: str = "-",
+        parent: Optional[dict] = None,
+        **kw: Any,
+    ) -> dict:
+        """Append a ListItem (reference document.py:1438; defaults text.py:141-146)."""
+        item = self.add_text(LIST_ITEM, text, parent=parent, **kw)
+        item["enumerated"] = enumerated
+        item["marker"] = marker
+        return item
+
+    def add_code(self, text: str, code_language: Optional[str] = None, **kw: Any) -> dict:
+        """Append a CodeItem (reference document.py:1787)."""
+        item = self.add_text(CODE, text, **kw)
+        if code_language:
+            item["code_language"] = code_language
+        item.setdefault("captions", [])
+        item.setdefault("references", [])
+        item.setdefault("footnotes", [])
+        return item
+
+    def add_formula(self, text: str, orig: Optional[str] = None, **kw: Any) -> dict:
+        """Append a FormulaItem (reference document.py:1840)."""
+        return self.add_text(FORMULA, text, orig=orig, **kw)
+
+    def add_group(self, label: str = GROUP_UNSPECIFIED, name: str = "group", parent: Optional[dict] = None) -> dict:
+        """Append a generic group (reference document.py:1392)."""
+        return self._attach("groups", {"label": label, "name": name}, parent)
+
+    def add_list_group(self, name: str = "list", parent: Optional[dict] = None) -> dict:
+        """Append a ListGroup (reference document.py:1326)."""
+        return self._attach("groups", {"label": GROUP_LIST, "name": name}, parent)
+
+    def add_inline_group(self, name: str = "group", parent: Optional[dict] = None) -> dict:
+        """Append an InlineGroup (reference document.py:1373)."""
+        return self._attach("groups", {"label": GROUP_INLINE, "name": name}, parent)
+
+    def add_table(
+        self,
+        data: dict,
+        caption: Optional[dict] = None,
+        parent: Optional[dict] = None,
+        label: str = TABLE,
+        prov: Optional[list] = None,
+    ) -> dict:
+        """Append a TableItem (reference document.py:1656)."""
+        item: dict[str, Any] = {
+            "label": label,
+            "prov": prov or [],
+            "captions": [],
+            "references": [],
+            "footnotes": [],
+            "data": data,
+        }
+        out = self._attach("tables", item, parent)
+        if caption is not None:
+            out["captions"].append({"$ref": caption["self_ref"]})
+        return out
+
+    def add_picture(
+        self,
+        caption: Optional[dict] = None,
+        parent: Optional[dict] = None,
+        prov: Optional[list] = None,
+    ) -> dict:
+        """Append a PictureItem (reference document.py:1701)."""
+        item: dict[str, Any] = {
+            "label": PICTURE,
+            "prov": prov or [],
+            "captions": [],
+            "references": [],
+            "footnotes": [],
+            "annotations": [],
+        }
+        out = self._attach("pictures", item, parent)
+        if caption is not None:
+            out["captions"].append({"$ref": caption["self_ref"]})
+        return out
+
+    def add_page(self, page_no: int, width: float, height: float) -> dict:
+        """Register a page (reference document.py:5049)."""
+        page = {"size": {"width": width, "height": height}, "page_no": page_no}
+        self.pages[str(page_no)] = page
+        return page
+
+    # ------------------------------------------------------------------
+    # Traversal (reference document.py:3235-3313)
+    # ------------------------------------------------------------------
+
+    def iterate_items(
+        self,
+        root: Optional[dict] = None,
+        with_groups: bool = False,
+        traverse_pictures: bool = False,
+        page_nrs: Optional[set[int]] = None,
+        included_content_layers: Optional[set[str]] = None,
+    ) -> Iterator[tuple[dict, int]]:
+        """Pre-order DFS in reading order, yielding (item, level).
+
+        Semantics match reference iterate_items/_iterate_items_with_stack:
+        groups only when with_groups; picture children skipped unless they are
+        captions of the picture or traverse_pictures; page and layer filters
+        apply to the *yield*, never prune the descent.
+        """
+        layers = included_content_layers if included_content_layers is not None else DEFAULT_CONTENT_LAYERS
+        node = root if root is not None else self.body
+        stack_depth = 0
+
+        def walk(item: dict, depth: int) -> Iterator[tuple[dict, int]]:
+            grp = is_group(item)
+            should_yield = (
+                (not grp or with_groups)
+                and (
+                    grp
+                    or page_nrs is None
+                    or any(p.get("page_no") in page_nrs for p in item.get("prov", ()))
+                )
+                and content_layer(item) in layers
+            )
+            if should_yield:
+                yield item, depth
+            pic = is_picture_item(item)
+            allowed = (
+                {r["$ref"] for r in item.get("captions", ())} if (pic and not traverse_pictures) else None
+            )
+            for ref in item.get("children", ()):
+                cref = ref["$ref"]
+                if allowed is not None and cref not in allowed:
+                    continue
+                yield from walk(self.resolve(cref), depth + 1)
+
+        yield from walk(node, stack_depth)
+
+    # ------------------------------------------------------------------
+    # (De)serialization
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Doc":
+        """Build from a DoclingDocument JSON dict (schema version 1.x)."""
+        doc = cls.__new__(cls)
+        doc.schema_name = d.get("schema_name", "DoclingDocument")
+        doc.version = d.get("version", CURRENT_VERSION)
+        doc.name = d.get("name", "document")
+        doc.origin = d.get("origin")
+        doc.body = d.get("body") or {"self_ref": "#/body", "children": [], "content_layer": "body"}
+        doc.furniture = d.get("furniture") or {
+            "self_ref": "#/furniture",
+            "children": [],
+            "content_layer": "furniture",
+        }
+        for arr in _ALL_ARRAYS:
+            setattr(doc, arr, d.get(arr) or [])
+        doc.pages = d.get("pages") or {}
+        doc.extra = {k: v for k, v in d.items() if k not in set(_ALL_ARRAYS) | {
+            "schema_name", "version", "name", "origin", "body", "furniture", "pages"}}
+        # patch deprecated ordered_list group label (reference group.py:33-37)
+        for g in doc.groups:
+            if g.get("label") == GROUP_ORDERED_LIST:
+                g["label"] = GROUP_LIST
+        # migrate deprecated `annotations` to `meta` (reference
+        # picture.py:76-145, table.py:51-85): first instance of each kind
+        for pic in doc.pictures:
+            _migrate_picture_annotations(pic)
+        for tbl in doc.tables:
+            _migrate_table_annotations(tbl)
+        return doc
+
+    @classmethod
+    def from_json(cls, s: str | bytes) -> "Doc":
+        """Parse from a DoclingDocument JSON string."""
+        return cls.from_dict(json.loads(s))
+
+    def to_dict(self) -> dict:
+        """Export to a DoclingDocument-shaped dict (export_to_dict parity:
+        by_alias, exclude_none -> we simply never store None fields)."""
+        out: dict[str, Any] = {
+            "schema_name": self.schema_name,
+            "version": self.version,
+            "name": self.name,
+        }
+        if self.origin is not None:
+            out["origin"] = self.origin
+        out["furniture"] = self.furniture
+        out["body"] = self.body
+        out["groups"] = self.groups
+        out["texts"] = self.texts
+        out["pictures"] = self.pictures
+        out["tables"] = self.tables
+        out["key_value_items"] = self.key_value_items
+        out["form_items"] = self.form_items
+        if self.field_regions:
+            out["field_regions"] = self.field_regions
+        if self.field_items:
+            out["field_items"] = self.field_items
+        out["pages"] = self.pages
+        return out
+
+    def to_json(self) -> str:
+        """Canonical JSON string."""
+        return json.dumps(self.to_dict(), ensure_ascii=False)

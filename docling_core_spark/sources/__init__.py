@@ -1,0 +1,1 @@
+"""PySpark-native docling-core-equivalent extraction engine."""
