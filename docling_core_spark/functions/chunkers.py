@@ -1,0 +1,393 @@
+"""Hierarchical and hybrid chunkers over dict-backed docs.
+
+Re-expresses the reference chunker stack (docling-core
+transforms/chunker/hierarchical_chunker.py:170-294 and
+hybrid_chunker.py:55-394) over :mod:`docling_core_spark.model.doc`.
+
+Chunks are plain dicts: ``{"text", "doc_items", "headings", "origin"}`` where
+``doc_items`` holds the contributing item dicts (span lineage).  Inside Spark
+these run per document row in an Arrow-batch UDF and are exploded into a
+chunk table (url, chunk_idx, text, headings, doc_item_refs, n_tokens).
+
+Deviation ledger (vs reference, both due to unavailable third-party deps):
+- tokenizer: deterministic regex tokenizer instead of HuggingFace
+  all-MiniLM-L6-v2 (transformers not installed); pluggable — any object with
+  ``count_tokens(text) -> int`` and ``get_max_tokens() -> int`` works.
+- plain-text splitting: deterministic recursive splitter instead of
+  ``semchunk`` (not installed); same contract (segments each within the token
+  budget), not byte-identical segmentation.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Iterator, Optional
+
+from docling_core_spark.functions.serializers import (
+    CHUNKING_OVERRIDES,
+    DocSerializer,
+    MarkdownParams,
+)
+from docling_core_spark.model import doc as M
+from docling_core_spark.model.doc import Doc
+
+# ---------------------------------------------------------------------------
+# Tokenizers
+# ---------------------------------------------------------------------------
+
+# GPT2-style coarse token pattern: words, numbers, punctuation runs.
+_TOKEN_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-￿]+| ?\d+| ?[^\sA-Za-z\d]+|\s+")
+
+
+class RegexTokenizer:
+    """Deterministic BPE-ish tokenizer (whitespace+punctuation regex)."""
+
+    def __init__(self, max_tokens: int = 512):
+        self.max_tokens = max_tokens
+
+    def count_tokens(self, text: str) -> int:
+        """Number of coarse tokens in text."""
+        return len(_TOKEN_RE.findall(text))
+
+    def get_max_tokens(self) -> int:
+        """Chunk capacity in tokens."""
+        return self.max_tokens
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical chunker (reference hierarchical_chunker.py:170-294)
+# ---------------------------------------------------------------------------
+
+
+def _chunking_serializer(doc: Doc) -> DocSerializer:
+    return DocSerializer(doc, MarkdownParams(**CHUNKING_OVERRIDES))
+
+
+def hierarchical_chunks(
+    doc: Doc,
+    serializer: Optional[DocSerializer] = None,
+    always_emit_headings: bool = False,
+) -> Iterator[dict]:
+    """Single-pass layout chunker.
+
+    Maintains a heading-by-level state machine (Title = level 0,
+    SectionHeader = its level; a new heading pops all levels >= its own),
+    serializes each ListGroup / InlineGroup / DocItem via the chunking
+    serializer (markdown + triplet tables, no escaping), and yields one chunk
+    per serialized item with the active heading path as metadata.
+    """
+    ser = serializer if serializer is not None else _chunking_serializer(doc)
+    heading_by_level: dict[int, dict] = {}
+    heading_emitted: set[str] = set()
+    visited: set[str] = set()
+    excluded = ser.get_excluded_refs()
+    captions_of = ser.captions_of_some_item()
+
+    def _emit_headings_chunk() -> Optional[dict]:
+        keys = sorted(heading_by_level)
+        if not keys:
+            return None
+        leaf_ref = heading_by_level[keys[-1]]["self_ref"]
+        if leaf_ref in heading_emitted:
+            return None
+        heading_emitted.add(leaf_ref)
+        return {
+            "text": "",
+            "doc_items": [heading_by_level[k] for k in keys],
+            "headings": [heading_by_level[k].get("text", "") for k in keys],
+            "origin": doc.origin,
+        }
+
+    for item, _level in doc.iterate_items(with_groups=True, traverse_pictures=ser.params.traverse_pictures):
+        sr = item["self_ref"]
+        if sr in excluded:
+            continue
+        label = item.get("label")
+        if M.is_text_item(item) and label in (M.TITLE, M.SECTION_HEADER):
+            level = item.get("level", 1) if label == M.SECTION_HEADER else 0
+            sorted_keys = sorted(heading_by_level)
+            keys_to_del = [k for k in sorted_keys if k >= level]
+            if keys_to_del and always_emit_headings:
+                c = _emit_headings_chunk()
+                if c is not None:
+                    yield c
+            for k in keys_to_del:
+                heading_by_level.pop(k, None)
+            heading_by_level[level] = item
+            continue
+        if (M.is_list_group(item) or M.is_inline_group(item) or M.is_doc_item(item)) and sr not in visited:
+            ser_res = ser.serialize(item=item, visited=visited)
+        else:
+            continue
+        if not ser_res.text:
+            continue
+        doc_items = list(ser_res.spans)
+        if doc_items:
+            sorted_keys = sorted(heading_by_level)
+            headings = [heading_by_level[k].get("text", "") for k in sorted_keys] or None
+            chunk = {
+                "text": ser_res.text,
+                "doc_items": doc_items,
+                "headings": headings,
+                "origin": doc.origin,
+            }
+            if always_emit_headings and headings:
+                heading_emitted.add(heading_by_level[sorted_keys[-1]]["self_ref"])
+            yield chunk
+
+    if always_emit_headings:
+        c = _emit_headings_chunk()
+        if c is not None:
+            yield c
+
+
+def contextualize(chunk: dict, delim: str = "\n") -> str:
+    """Embedding-targeted chunk text: heading path + text (chunker/base.py:67-87)."""
+    items = []
+    if chunk.get("headings"):
+        items.append(delim.join(chunk["headings"]))
+    if chunk.get("captions"):
+        items.append(delim.join(chunk["captions"]))
+    items.append(chunk["text"])
+    return delim.join(items)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid chunker (reference hybrid_chunker.py:55-394)
+# ---------------------------------------------------------------------------
+
+
+class HybridChunker:
+    """Token-aware refinement on top of hierarchical chunking.
+
+    Pipeline: hierarchical chunks -> split oversized chunks by doc items
+    (greedy window growth) -> split remaining oversized text (line-based with
+    repeated table headers for tables, recursive text splitting otherwise) ->
+    merge undersized peers sharing the same headings.
+    """
+
+    def __init__(
+        self,
+        tokenizer: Optional[Any] = None,
+        max_tokens: Optional[int] = None,
+        repeat_table_header: bool = True,
+        merge_peers: bool = True,
+        always_emit_headings: bool = False,
+        omit_header_on_overflow: bool = False,
+        delim: str = "\n",
+    ):
+        self.tokenizer = tokenizer if tokenizer is not None else RegexTokenizer(max_tokens or 512)
+        self._max_tokens_override = max_tokens
+        self.repeat_table_header = repeat_table_header
+        self.merge_peers = merge_peers
+        self.always_emit_headings = always_emit_headings
+        self.omit_header_on_overflow = omit_header_on_overflow
+        self.delim = delim
+
+    @property
+    def max_tokens(self) -> int:
+        """Chunk capacity."""
+        if self._max_tokens_override is not None:
+            return self._max_tokens_override
+        return self.tokenizer.get_max_tokens()
+
+    # -- token accounting --------------------------------------------------
+
+    def _count_chunk_tokens(self, chunk: dict) -> int:
+        return self.tokenizer.count_tokens(contextualize(chunk, self.delim))
+
+    def _chunk_overhead(self, chunk: dict) -> int:
+        total = self._count_chunk_tokens(chunk)
+        text_len = self.tokenizer.count_tokens(chunk["text"]) if chunk["text"] else 0
+        return total - text_len
+
+    # -- stage 1: split by doc items ----------------------------------------
+
+    def _window_chunk(self, chunk: dict, ser: DocSerializer, start: int, end: int) -> dict:
+        items = chunk["doc_items"][start : end + 1]
+        if len(chunk["doc_items"]) == 1:
+            text = chunk["text"]
+        else:
+            texts = []
+            for it in items:
+                if it.get("label") in (M.TITLE, M.SECTION_HEADER):
+                    continue
+                t = ser.serialize(item=it).text
+                if t:
+                    texts.append(t)
+            text = self.delim.join(texts)
+        return {**chunk, "text": text, "doc_items": items}
+
+    def _split_by_doc_items(self, chunk: dict, ser: DocSerializer) -> list[dict]:
+        chunks = []
+        window_start = 0
+        window_end = 0
+        num_items = len(chunk["doc_items"])
+        while window_end < num_items:
+            new_chunk = self._window_chunk(chunk, ser, window_start, window_end)
+            if self._count_chunk_tokens(new_chunk) <= self.max_tokens:
+                if window_end < num_items - 1:
+                    window_end += 1
+                    continue
+                window_end = num_items
+            elif window_start == window_end:
+                window_end += 1
+                window_start = window_end
+            else:
+                new_chunk = self._window_chunk(chunk, ser, window_start, window_end - 1)
+                window_start = window_end
+            chunks.append(new_chunk)
+        return chunks
+
+    # -- stage 2: plain-text splitting ---------------------------------------
+
+    _SPLIT_LEVELS = ("\n\n", "\n", ". ", "! ", "? ", "; ", ", ", " ")
+
+    def _split_text_recursive(self, text: str, budget: int, level: int = 0) -> list[str]:
+        """Deterministic recursive splitter (semchunk-equivalent contract).
+
+        Tries separators from most to least semantic; oversized fragments
+        recurse at the next separator level, guaranteeing progress; a hard
+        character halving is the last resort.
+        """
+        count = self.tokenizer.count_tokens
+        if count(text) <= budget:
+            return [text] if text else []
+        for li in range(level, len(self._SPLIT_LEVELS)):
+            sep = self._SPLIT_LEVELS[li]
+            if sep not in text:
+                continue
+            pieces = text.split(sep)
+            if len(pieces) <= 1:
+                continue
+            parts = [p + (sep if i < len(pieces) - 1 else "") for i, p in enumerate(pieces)]
+            out: list[str] = []
+            cur = ""
+            for part in parts:
+                if count(part) > budget:
+                    if cur:
+                        out.append(cur)
+                        cur = ""
+                    out.extend(self._split_text_recursive(part, budget, li + 1))
+                elif cur and count(cur + part) > budget:
+                    out.append(cur)
+                    cur = part
+                else:
+                    cur += part
+            if cur:
+                out.append(cur)
+            return [s for s in out if s]
+        # no separator left: hard character halving
+        if len(text) <= 1:
+            return [text]
+        mid = len(text) // 2
+        return self._split_text_recursive(text[:mid], budget, level) + self._split_text_recursive(
+            text[mid:], budget, level
+        )
+
+    def _pack_table_lines(self, prefix: str, lines: list[str]) -> list[str]:
+        """Line-preserving packing with repeated prefix (line_chunker.py:20-340).
+
+        Overlong single lines are themselves split (the reference uses a
+        binary-searched token-limit split; we reuse the recursive splitter).
+        """
+        count = self.tokenizer.count_tokens
+        prefix_tokens = count(prefix) if prefix else 0
+        line_budget = max(1, self.max_tokens - prefix_tokens)
+        expanded: list[str] = []
+        for line in lines:
+            if count(line) > line_budget:
+                expanded.extend(self._split_text_recursive(line, line_budget))
+            else:
+                expanded.append(line)
+        segments: list[str] = []
+        cur = prefix
+        cur_has_body = False
+        for line in expanded:
+            cand = cur + line
+            if cur_has_body and count(cand) > self.max_tokens:
+                segments.append(cur.rstrip("\n"))
+                cur = (prefix if not self.omit_header_on_overflow else "") + line
+                cur_has_body = True
+            else:
+                cur = cand
+                cur_has_body = True
+        if cur_has_body and cur.strip():
+            segments.append(cur.rstrip("\n"))
+        return segments
+
+    def _split_using_plain_text(self, chunk: dict, ser: DocSerializer) -> list[dict]:
+        total = self._count_chunk_tokens(chunk)
+        if total <= self.max_tokens:
+            return [chunk]
+        overhead = self._chunk_overhead(chunk)
+        available = self.max_tokens - overhead
+        if available <= 0:
+            bare = {**chunk, "headings": None, "captions": None}
+            return self._split_using_plain_text(bare, ser)
+        items = chunk["doc_items"]
+        if self.repeat_table_header and len(items) == 1 and M.is_table_item(items[0]):
+            header_lines, body_lines = DocSerializer.get_header_and_body_lines(chunk["text"])
+            if header_lines:
+                header_start = chunk["text"].find(header_lines[0])
+                preamble = chunk["text"][:header_start] if header_start > 0 else ""
+            else:
+                preamble = ""
+            full_prefix = preamble + "".join(header_lines)
+            segments = self._pack_table_lines(full_prefix, body_lines)
+            if preamble:
+                segments = segments[:1] + [s[len(preamble):] for s in segments[1:]]
+        else:
+            segments = self._split_text_recursive(chunk["text"], available)
+        return [{**chunk, "text": s} for s in segments]
+
+    # -- stage 3: merge peers -------------------------------------------------
+
+    def _merge_peers(self, chunks: list[dict]) -> list[dict]:
+        out: list[dict] = []
+        window_start = 0
+        window_end = 0
+        n = len(chunks)
+        current_headings = None
+        first_chunk = None
+        new_chunk = None
+        while window_end < n:
+            chunk = chunks[window_end]
+            headings = chunk.get("headings")
+            ready = False
+            if window_start == window_end:
+                current_headings = headings
+                window_end += 1
+                first_chunk = chunk
+            else:
+                window = chunks[window_start : window_end + 1]
+                candidate = {
+                    **chunk,
+                    "text": self.delim.join(c["text"] for c in window),
+                    "doc_items": [it for c in window for it in c["doc_items"]],
+                    "headings": current_headings,
+                }
+                if headings == current_headings and self._count_chunk_tokens(candidate) <= self.max_tokens:
+                    window_end += 1
+                    new_chunk = candidate
+                else:
+                    ready = True
+            if ready or window_end == n:
+                if window_start + 1 == window_end:
+                    out.append(first_chunk)
+                else:
+                    out.append(new_chunk)
+                window_start = window_end
+        return out
+
+    # -- entry ------------------------------------------------------------------
+
+    def chunk(self, doc: Doc) -> list[dict]:
+        """Chunk a document (hybrid pipeline)."""
+        ser = _chunking_serializer(doc)
+        res = list(hierarchical_chunks(doc, serializer=ser, always_emit_headings=self.always_emit_headings))
+        res = [x for c in res for x in self._split_by_doc_items(c, ser)]
+        res = [x for c in res for x in self._split_using_plain_text(c, ser)]
+        if self.merge_peers:
+            res = self._merge_peers(res)
+        return res

@@ -1,0 +1,158 @@
+"""Chunker parity vs reference chunker goldens + hybrid behavior tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from docling_core_spark.functions.chunkers import (
+    HybridChunker,
+    RegexTokenizer,
+    contextualize,
+    hierarchical_chunks,
+)
+from docling_core_spark.model.doc import Doc
+
+from .conftest import load_doc_json, require_ref_data
+
+
+def _chunk_proj(c: dict) -> dict:
+    """Comparable projection of a chunk (text + lineage)."""
+    return {
+        "text": c["text"],
+        "headings": c.get("headings"),
+        "refs": [it["self_ref"] for it in c["doc_items"]],
+        "origin_filename": (c.get("origin") or {}).get("filename"),
+    }
+
+
+def _gt_proj(c: dict) -> dict:
+    meta = c["meta"]
+    return {
+        "text": c["text"],
+        "headings": meta.get("headings"),
+        "refs": [it["self_ref"] for it in meta["doc_items"]],
+        "origin_filename": (meta.get("origin") or {}).get("filename"),
+    }
+
+
+def _shadowed_headings_doc() -> Doc:
+    """Replica of the reference test doc (test_hybrid_chunker.py:450-461)."""
+    doc = Doc(name="")
+    doc.add_heading(text="Section 1", level=1)
+    doc.add_heading(text="Section 1.1", level=2)
+    doc.add_heading(text="Section 1.2", level=2)
+    doc.add_heading(text="Section 2", level=1)
+    doc.add_heading(text="Section 2.1", level=2)
+    doc.add_heading(text="Section 2.1.1", level=3)
+    doc.add_heading(text="Section 3", level=1)
+    doc.add_heading(text="Section 3.1", level=2)
+    doc.add_text("text", "Foo")
+    doc.add_heading(text="Section 4", level=1)
+    doc.add_heading(text="Section 4.1", level=2)
+    return doc
+
+
+@pytest.mark.parametrize(
+    "inp,gt,kwargs",
+    [
+        ("0_inp_dl_doc.json", "0_out_chunks.json", {}),
+        (None, "2h_out_chunks_hier_emit_false.json", dict(always_emit_headings=False)),
+        (None, "2h_out_chunks_hier_emit_true.json", dict(always_emit_headings=True)),
+    ],
+)
+def test_hierarchical_chunks_gt(inp, gt, kwargs):
+    doc = Doc.from_dict(load_doc_json(f"chunker/{inp}")) if inp else _shadowed_headings_doc()
+    actual = [_chunk_proj(c) for c in hierarchical_chunks(doc, **kwargs)]
+    expected_raw = json.loads((require_ref_data() / "chunker" / gt).read_text())
+    expected = [_gt_proj(c) for c in expected_raw["root"]]
+    assert len(actual) == len(expected), (
+        f"{len(actual)} chunks vs {len(expected)} expected\n"
+        + "\n".join(f"A: {a['text'][:60]!r}" for a in actual[:10])
+        + "\n"
+        + "\n".join(f"E: {e['text'][:60]!r}" for e in expected[:10])
+    )
+    for i, (a, e) in enumerate(zip(actual, expected)):
+        assert a == e, f"chunk {i}:\nactual : {a}\nexpect : {e}"
+
+
+def test_contextualize_headings():
+    c = {"text": "body text", "headings": ["H1", "H2"], "doc_items": []}
+    assert contextualize(c) == "H1\nH2\nbody text"
+
+
+def test_hybrid_respects_max_tokens():
+    data = load_doc_json("chunker/0_inp_dl_doc.json")
+    doc = Doc.from_dict(data)
+    tok = RegexTokenizer(64)
+    chunker = HybridChunker(tokenizer=tok)
+    chunks = chunker.chunk(doc)
+    assert chunks
+    from docling_core_spark.model import doc as M
+
+    for c in chunks:
+        is_table = len(c["doc_items"]) == 1 and M.is_table_item(c["doc_items"][0])
+        if is_table:
+            # table path budgets on chunk text only (reference LineBasedTokenChunker
+            # ignores heading overhead — same contract here)
+            n = tok.count_tokens(c["text"])
+        else:
+            n = tok.count_tokens(contextualize(c))
+        assert n <= 64, f"{n} tokens (table={is_table}): {c['text'][:80]!r}"
+
+
+def test_hybrid_merges_peers():
+    data = load_doc_json("chunker/0_inp_dl_doc.json")
+    doc = Doc.from_dict(data)
+    merged = HybridChunker(tokenizer=RegexTokenizer(512), merge_peers=True).chunk(doc)
+    unmerged = HybridChunker(tokenizer=RegexTokenizer(512), merge_peers=False).chunk(doc)
+    assert len(merged) <= len(unmerged)
+    # content is preserved modulo the merge delimiter
+    assert "".join(c["text"] for c in merged).replace("\n", "") == "".join(
+        c["text"] for c in unmerged
+    ).replace("\n", "")
+
+
+def test_hybrid_table_header_repetition():
+    doc = Doc(name="t")
+    cells = []
+    for j, h in enumerate(["col_a", "col_b"]):
+        cells.append(
+            dict(
+                start_row_offset_idx=0,
+                end_row_offset_idx=1,
+                start_col_offset_idx=j,
+                end_col_offset_idx=j + 1,
+                text=h,
+                column_header=True,
+            )
+        )
+    for i in range(1, 30):
+        for j in range(2):
+            cells.append(
+                dict(
+                    start_row_offset_idx=i,
+                    end_row_offset_idx=i + 1,
+                    start_col_offset_idx=j,
+                    end_col_offset_idx=j + 1,
+                    text=f"value_{i}_{j}",
+                )
+            )
+    doc.add_table(data=dict(num_rows=30, num_cols=2, table_cells=cells))
+    # markdown table serializer (not triplet) to exercise header repetition:
+    from docling_core_spark.functions.serializers import DocSerializer, MarkdownParams
+
+    class MDProviderChunker(HybridChunker):
+        pass
+
+    chunker = HybridChunker(tokenizer=RegexTokenizer(60), repeat_table_header=True)
+    # triplet tables don't have header/sep lines; build chunk manually via md table
+    md = DocSerializer(doc, MarkdownParams()).serialize().text
+    chunk = {"text": md, "doc_items": [doc.tables[0]], "headings": None, "origin": None}
+    ser = DocSerializer(doc, MarkdownParams())
+    out = chunker._split_using_plain_text(chunk, ser)
+    assert len(out) > 1
+    header_line = md.splitlines()[0]
+    for seg in out:
+        assert seg["text"].splitlines()[0] == header_line
