@@ -1,0 +1,228 @@
+"""Spark extraction stages: HTML -> doc tree -> markdown/text/chunks.
+
+One fused Arrow-batch stage (mapInPandas) does parse + serialize + chunk per
+page row — the tree is built once per row and never re-serialized between
+stages (the reference's per-doc pipeline, vectorized over batches).  Catalyst
+sees a single opaque UDF stage between two columnar boundaries, so column
+pruning + predicate pushdown still reach the parquet scan of the input.
+
+Scale notes (100 TB / 10^12 rows):
+- per-row try/except: a malformed page yields an `error` row, never a failed
+  task (at 10^12 rows, *everything* malformed exists).
+- the stage is map-only: no shuffle; input-split parallelism scales linearly
+  with executors.
+- skew: see split_skew() — jumbo pages are isolated so a 50 MB page cannot
+  stall a 64 MB multi-row partition.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from docling_core_spark.functions.chunkers import (
+    HybridChunker,
+    RegexTokenizer,
+    contextualize,
+    hierarchical_chunks,
+)
+from docling_core_spark.functions.html_parse import parse_html
+from docling_core_spark.functions.serializers import export_to_markdown, export_to_text
+
+CHUNK_STRUCT = StructType(
+    [
+        StructField("chunk_idx", IntegerType()),
+        StructField("text", StringType()),
+        StructField("headings", ArrayType(StringType())),
+        StructField("doc_item_refs", ArrayType(StringType())),
+        StructField("n_tokens", IntegerType()),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("doc_json", StringType()),
+        StructField("markdown", StringType()),
+        StructField("plain_text", StringType()),
+        StructField("chunks", ArrayType(CHUNK_STRUCT)),
+        StructField("n_texts", IntegerType()),
+        StructField("n_tables", IntegerType()),
+        StructField("n_pictures", IntegerType()),
+        StructField("n_groups", IntegerType()),
+        StructField("html_bytes", LongType()),
+        StructField("parse_us", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_row(
+    url: str,
+    html: bytes,
+    lang: str,
+    chunker: str = "hybrid",
+    max_tokens: int = 512,
+    emit_doc_json: bool = True,
+) -> dict:
+    """Pure-python single-row extraction (also the single-process oracle)."""
+    t0 = time.perf_counter_ns()
+    doc = parse_html(html or b"", name=url)
+    md = export_to_markdown(doc)
+    txt = export_to_text(doc)
+    tok = RegexTokenizer(max_tokens)
+    if chunker == "hybrid":
+        raw_chunks = HybridChunker(tokenizer=tok).chunk(doc)
+    else:
+        raw_chunks = list(hierarchical_chunks(doc))
+    chunks = [
+        {
+            "chunk_idx": i,
+            "text": c["text"],
+            "headings": c.get("headings"),
+            "doc_item_refs": [it["self_ref"] for it in c["doc_items"]],
+            "n_tokens": tok.count_tokens(contextualize(c)),
+        }
+        for i, c in enumerate(raw_chunks)
+    ]
+    return {
+        "url": url,
+        "lang": lang,
+        "doc_json": doc.to_json() if emit_doc_json else None,
+        "markdown": md,
+        "plain_text": txt,
+        "chunks": chunks,
+        "n_texts": len(doc.texts),
+        "n_tables": len(doc.tables),
+        "n_pictures": len(doc.pictures),
+        "n_groups": len(doc.groups),
+        "html_bytes": len(html or b""),
+        "parse_us": (time.perf_counter_ns() - t0) // 1000,
+        "error": None,
+    }
+
+
+def _error_row(url: str, lang: str, html_len: int, err: Exception) -> dict:
+    return {
+        "url": url,
+        "lang": lang,
+        "doc_json": None,
+        "markdown": None,
+        "plain_text": None,
+        "chunks": [],
+        "n_texts": 0,
+        "n_tables": 0,
+        "n_pictures": 0,
+        "n_groups": 0,
+        "html_bytes": html_len,
+        "parse_us": 0,
+        "error": f"{type(err).__name__}: {err}"[:1000],
+    }
+
+
+def extract_pages(
+    pages: DataFrame,
+    chunker: str = "hybrid",
+    max_tokens: int = 512,
+    emit_doc_json: bool = True,
+) -> DataFrame:
+    """Fused parse+serialize+chunk stage over a web_pages DataFrame.
+
+    Only `url, html, lang` are consumed — column pruning drops the fat
+    pre-extracted `text` column at the scan.
+    """
+    cols = ["url", "html", "lang"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                try:
+                    out.append(
+                        extract_row(
+                            url,
+                            html,
+                            lang,
+                            chunker=chunker,
+                            max_tokens=max_tokens,
+                            emit_doc_json=emit_doc_json,
+                        )
+                    )
+                except Exception as err:  # noqa: BLE001 — per-row isolation by design
+                    out.append(_error_row(url, lang, len(html or b""), err))
+            yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+
+    return pages.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def explode_chunks(docs: DataFrame) -> DataFrame:
+    """Doc-level rows -> chunk table (url, chunk_idx, text, headings, refs, n_tokens)."""
+    return docs.select(
+        "url",
+        "lang",
+        F.explode("chunks").alias("c"),
+    ).select(
+        "url",
+        "lang",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.text").alias("text"),
+        F.col("c.headings").alias("headings"),
+        F.col("c.doc_item_refs").alias("doc_item_refs"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+def split_skew(
+    pages: DataFrame,
+    jumbo_bytes: int = 1_000_000,
+    normal_partitions: Optional[int] = None,
+    jumbo_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Two-path skew split for mega-pages.
+
+    Normal pages are hash-repartitioned on url; jumbo pages (html larger than
+    jumbo_bytes) get their own high-parallelism repartition so one 50 MB page
+    never shares a task with a batch of normal pages.  Union preserves the
+    map-only property (repartition is the only shuffle, and it is narrow in
+    bytes: input rows, no aggregation state).
+    """
+    sc = pages.sparkSession.sparkContext
+    n_norm = normal_partitions or sc.defaultParallelism * 2
+    n_jumbo = jumbo_partitions or sc.defaultParallelism
+    with_len = pages.withColumn("_hlen", F.length("html"))
+    normal = with_len.filter(F.col("_hlen") <= jumbo_bytes).repartition(n_norm, F.xxhash64("url"))
+    jumbo = with_len.filter(F.col("_hlen") > jumbo_bytes).repartition(n_jumbo, F.xxhash64("url"))
+    return normal.unionByName(jumbo).drop("_hlen")
+
+
+def lineage_metrics(docs: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics side table (north-rule requirement).
+
+    Pure Catalyst aggregation — partial aggregates map-side, one small shuffle.
+    """
+    return (
+        docs.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count(F.col("error")).alias("n_errors"),
+            F.sum("html_bytes").alias("bytes_in"),
+            F.sum("n_texts").alias("n_texts"),
+            F.sum("n_tables").alias("n_tables"),
+            F.sum("n_pictures").alias("n_pictures"),
+            F.sum(F.size("chunks")).alias("n_chunks"),
+            F.sum("parse_us").alias("parse_us"),
+        )
+        .orderBy("partition_id")
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the extraction workload: fat binary HTML rows through Arrow-batch
+UDFs.  On a real cluster the same settings apply per executor; parallelism
+comes from the input split count (``spark.sql.files.maxPartitionBytes``) and
+``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "docling-core-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 256,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    arrow_batch_rows is deliberately small: HTML rows are 10-500 KB, and the
+    parse UDF holds one Arrow batch in memory per task — 256 fat rows/batch
+    keeps peak memory per task bounded (~128 MB worst case) while amortizing
+    the JVM<->Python transfer.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    return builder.getOrCreate()
