@@ -1,38 +1,116 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction pipeline at sf0.001 (web pages ->
+                 parse -> markdown + chunks).
+queries()      — operator inventory per SURVEY.md §2 + training-data ops.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query; the
+                 extraction-path queries (HTML parse inside) register
+                 rows-only by design.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.operators.extract import extract_pages, split_skew
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    pages = web_pages_df(spark, sf_dir)
+    return extract_pages(split_skew(pages), chunker="hybrid", emit_doc_json=False)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: English web pages -> markdown + chunk count per url."""
+    docs = _extracted(spark, SF0001)
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select(
+            "url",
+            "lang",
+            F.length("markdown").alias("markdown_len"),
+            F.size("chunks").alias("n_chunks"),
+            "n_texts",
+            "n_tables",
+            "n_pictures",
+            "error",
+        )
+        .orderBy("url")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 + pipeline ops."""
+    from docling_core_spark.operators import dedup, profile, relational, similarity, textstats
+    from docling_core_spark.operators.extract import explode_chunks
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- text analysis (SQL-checked) ---
+        "language_id": lambda s, d: textstats.language_id(_docs(s, d)),
+        "quality_scores": lambda s, d: textstats.quality_scores(_docs(s, d)),
+        "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
+        "fingerprints": lambda s, d: textstats.fingerprints(_docs(s, d)),
+        # --- dedup (exact + ngram SQL-checked; minhash/simhash rows-only) ---
+        "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_duplicates(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash_duplicates(_docs(s, d)),
+        # --- similarity search ---
+        "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
+        "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "embedding_cosine_dedup": lambda s, d: similarity.embedding_cosine_dedup(_emb(s, d)),
+        # --- profiler aggregates (A1/A2) ---
+        "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),
+        "profile_histogram_chars": lambda s, d: profile.histogram(_docs(s, d)),
+        "profile_by_lang": lambda s, d: profile.group_profile(_docs(s, d)),
+        # --- relational coverage (Catalyst-native path) ---
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_customers": relational.top_customers,
+        "rel_events_hourly": relational.events_sessionized,
+        # --- extraction pipeline (HTML parse inside: rows-only checks) ---
+        "extract_markdown": lambda s, d: _extracted(s, d)
+        .select("url", "lang", "markdown", "n_texts", "n_tables", "n_pictures")
+        .orderBy("url"),
+        "extract_plain_text": lambda s, d: _extracted(s, d)
+        .select("url", "plain_text")
+        .orderBy("url"),
+        "extract_chunks": lambda s, d: explode_chunks(_extracted(s, d)).orderBy("url", "chunk_idx"),
+        "extract_doc_profile": lambda s, d: profile.extracted_doc_profile(_extracted(s, d)),
+        "extract_collection_profile": lambda s, d: profile.extracted_collection_profile(
+            _extracted(s, d)
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for each SQL-expressible query."""
+    from docling_core_spark.operators import dedup, profile, relational, similarity, textstats
+
+    return {
+        "language_id": textstats.language_id_sql(),
+        "quality_scores": textstats.quality_scores_sql(),
+        "token_counts": textstats.token_counts_sql(),
+        "fingerprints": textstats.fingerprints_sql(),
+        "dedup_exact": dedup.exact_duplicates_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "similarity_cosine_topk": similarity.cosine_topk_sql(),
+        "profile_collection_stats": profile.collection_stats_sql(),
+        "profile_histogram_chars": profile.histogram_sql(),
+        "profile_by_lang": profile.group_profile_sql(),
+        "rel_pricing_summary": relational.pricing_summary_sql(),
+        "rel_top_customers": relational.top_customers_sql(),
+        "rel_events_hourly": relational.events_sessionized_sql(),
+    }

@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec},
+   "sf": ..., "extra": {...}}
+
+The flagship number is the end-to-end extraction pipeline (HTML -> doc tree ->
+markdown + text + hybrid chunks) in docs/sec; the other entries cover the
+training-data operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name="docling-core-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from docling_core_spark.operators import dedup, profile, relational, similarity, textstats
+    from docling_core_spark.operators.extract import explode_chunks, extract_pages, split_skew
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb_tbl = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs_tbl.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {"n_docs": n_docs, "cpus": cpus}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: full extraction pipeline (parse + markdown + text + chunks)
+    def run_extract() -> None:
+        pages = web_pages_df(spark, sf_dir)
+        extracted = extract_pages(split_skew(pages), chunker="hybrid", emit_doc_json=False)
+        stats = extracted.select(
+            "url", "error", "chunks"
+        ).selectExpr("count(*) AS n", "sum(size(chunks)) AS nc", "count(error) AS ne").first()
+        extra["extract_pages"] = stats["n"]
+        extra["extract_chunks"] = int(stats["nc"] or 0)
+        extra["extract_errors"] = stats["ne"]
+
+    timed("extract_pipeline", run_extract)
+    extra["extract_docs_per_sec"] = round(n_docs / timings["extract_pipeline"], 2)
+
+    timed("dedup_exact", lambda: dedup.exact_duplicates(docs_tbl).count())
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_duplicates(docs_tbl).count())
+    timed("dedup_simhash", lambda: dedup.simhash_duplicates(docs_tbl).count())
+    timed("textstats_quality", lambda: textstats.quality_scores(docs_tbl).count())
+    timed("language_id", lambda: textstats.language_id(docs_tbl).count())
+    timed("similarity_cosine_topk", lambda: similarity.cosine_topk(emb_tbl).collect())
+    timed("similarity_ann_lsh", lambda: similarity.ann_lsh_topk(emb_tbl).collect())
+    timed("profile_collection", lambda: profile.collection_stats(docs_tbl).collect())
+    timed("rel_pricing_summary", lambda: relational.pricing_summary(spark, sf_dir).collect())
+    timed("rel_top_customers", lambda: relational.top_customers(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (flagship: HTML->doc->markdown+chunks extraction)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -106,12 +106,14 @@ class _DocHTMLParser(HTMLParser):
         # pending list item accumulation
         self.li_text: list[str] = []
         self.li_open = False
-        # table state
+        # table state (stack-based: nested layout tables flatten into the
+        # enclosing cell's text)
         self.table_rows: Optional[list[list[_Cell]]] = None
         self.cur_row: Optional[list[_Cell]] = None
         self.cur_cell: Optional[_Cell] = None
         self.table_caption: list[str] = []
         self.in_table_caption = False
+        self.table_stack: list[tuple] = []
         # figure state
         self.figure_depth = 0
         self.figcaption_text: list[str] = []
@@ -248,8 +250,16 @@ class _DocHTMLParser(HTMLParser):
             return
         if tag == "table":
             self._flush_block()
+            if self.table_rows is not None:
+                # nested table: park the outer state, flatten inner on close
+                self.table_stack.append(
+                    (self.table_rows, self.cur_row, self.cur_cell, self.table_caption, self.in_table_caption)
+                )
             self.table_rows = []
+            self.cur_row = None
+            self.cur_cell = None
             self.table_caption = []
+            self.in_table_caption = False
             return
         if self.table_rows is not None:
             if tag == "caption":
@@ -360,7 +370,22 @@ class _DocHTMLParser(HTMLParser):
                 self.cur_cell = None
                 return
             if tag == "table":
-                self._emit_table()
+                if self.table_stack:
+                    inner_rows = self.table_rows or []
+                    flat = _norm(
+                        " ".join("".join(c.text) for row in inner_rows for c in row)
+                    )
+                    (
+                        self.table_rows,
+                        self.cur_row,
+                        self.cur_cell,
+                        self.table_caption,
+                        self.in_table_caption,
+                    ) = self.table_stack.pop()
+                    if self.cur_cell is not None and flat:
+                        self.cur_cell.text.append(" " + flat + " ")
+                else:
+                    self._emit_table()
                 return
         if tag == "figure":
             self._flush_block()

@@ -1,0 +1,121 @@
+"""Profiler aggregates (reference profiler/doc_profiler.py:176-425).
+
+A1 per-doc counts come free from the extract stage columns (n_texts,
+n_tables, ...).  A2 collection stats (sums, means, deciles, histograms)
+compile to Catalyst hash aggregates — partial map-side combine, one shuffle.
+
+The oracle-checkable variants run over the raw `documents` table; the
+extracted-doc variants (profile of parsed trees) are deterministic but not
+SQL-expressible (they need the HTML parse), so they register rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+def collection_stats(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Count/sum/avg/min/max + deciles of a numeric column (A2)."""
+    c = F.col(col).cast("double")
+    deciles = F.percentile(c, F.array(*[F.lit(q) for q in _DECILES]))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(c).cast("double").alias("total"),
+        F.round(F.avg(c), 4).alias("mean"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.transform(deciles, lambda v: F.round(v, 4)).alias("deciles"),
+    )
+
+
+def collection_stats_sql(table: str = "documents", col: str = "n_chars") -> str:
+    """DuckDB oracle SQL for collection_stats."""
+    qs = ", ".join(str(q) for q in _DECILES)
+    return f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM({col}::DOUBLE) AS DOUBLE) AS total,
+       round(AVG({col}::DOUBLE), 4) AS mean,
+       MIN({col}::DOUBLE) AS min,
+       MAX({col}::DOUBLE) AS max,
+       [round(x, 4) for x in quantile_cont({col}::DOUBLE, [{qs}])] AS deciles
+FROM {table}
+"""
+
+
+def histogram(docs: DataFrame, col: str = "n_chars", bins: int = 10, lo: float = 0.0, hi: float = 5000.0) -> DataFrame:
+    """Fixed-range histogram via width_bucket-style bucketing (A2)."""
+    c = F.col(col).cast("double")
+    width = (hi - lo) / bins
+    bucket = F.least(F.greatest(F.floor((c - lo) / width), F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def histogram_sql(table: str = "documents", col: str = "n_chars", bins: int = 10, lo: float = 0.0, hi: float = 5000.0) -> str:
+    """DuckDB oracle SQL for histogram."""
+    width = (hi - lo) / bins
+    return f"""
+SELECT CAST(least(greatest(floor(({col}::DOUBLE - {lo}) / {width}), 0), {bins - 1}) AS INT) AS bucket,
+       COUNT(*) AS n
+FROM {table}
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def group_profile(docs: DataFrame, key: str = "lang") -> DataFrame:
+    """Per-group document profile (count, avg/total size) — A2 grouped form."""
+    return (
+        docs.groupBy(key)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        )
+        .orderBy(key)
+    )
+
+
+def group_profile_sql(table: str = "documents", key: str = "lang") -> str:
+    """DuckDB oracle SQL for group_profile."""
+    return f"""
+SELECT {key}, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(AVG(n_chars::DOUBLE), 4) AS avg_chars
+FROM {table}
+GROUP BY {key}
+ORDER BY {key}
+"""
+
+
+def extracted_doc_profile(extracted: DataFrame) -> DataFrame:
+    """A1 per-doc profile over the extraction output (rows-only check)."""
+    return extracted.select(
+        "url",
+        "n_texts",
+        "n_tables",
+        "n_pictures",
+        "n_groups",
+        F.size("chunks").alias("n_chunks"),
+    ).orderBy("url")
+
+
+def extracted_collection_profile(extracted: DataFrame) -> DataFrame:
+    """A2 collection profile over the extraction output (rows-only check)."""
+    return extracted.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_texts").alias("total_texts"),
+        F.sum("n_tables").alias("total_tables"),
+        F.sum("n_pictures").alias("total_pictures"),
+        F.sum(F.size("chunks")).alias("total_chunks"),
+        F.round(F.avg("n_texts"), 4).alias("avg_texts"),
+        F.percentile(F.col("n_texts").cast("double"), F.array(*[F.lit(q) for q in _DECILES])).alias(
+            "texts_deciles"
+        ),
+    )
