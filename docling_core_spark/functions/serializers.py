@@ -62,6 +62,7 @@ class MarkdownParams:
     include_hyperlinks: bool = True
     caption_delim: str = " "
     image_placeholder: str = "<!-- image -->"
+    image_mode: str = "placeholder"  # placeholder | embedded | referenced
     indent: int = 4
     wrap_width: Optional[int] = None
     page_break_placeholder: Optional[str] = None
@@ -719,8 +720,9 @@ class DocSerializer:
                 ann = self.serialize_annotations(item)
                 if ann.text:
                     parts.append(ann)
-            if p.image_placeholder:
-                parts.append(_res(p.image_placeholder, item))
+            img_text = self._serialize_image_part(item)
+            if img_text:
+                parts.append(_res(img_text, item))
         # legacy tabular-chart annotation rendered as a markdown table
         if self._use_legacy_annotations(item, kind="tabular_chart"):
             for ann in item.get("annotations", ()):
@@ -730,6 +732,26 @@ class DocSerializer:
                         parts.append(_res(t, item))
                     break
         return _res("\n\n".join(r.text for r in parts if r.text), parts)
+
+    def _serialize_image_part(self, item: dict) -> str:
+        """Image rendering per mode (markdown.py:651-694); no PIL here, so
+        EMBEDDED without a data URI falls back to the reference's error
+        comment."""
+        p = self.params
+        uri = (item.get("image") or {}).get("uri")
+        is_data_uri = isinstance(uri, str) and uri.startswith("data:")
+        if p.image_mode == "embedded":
+            if is_data_uri:
+                return f"![Image]({uri})"
+            return (
+                "<!-- 🖼️❌ Image not available. "
+                "Please use `PdfPipelineOptions(generate_picture_images=True)` -->"
+            )
+        if p.image_mode == "referenced":
+            if uri and not is_data_uri:
+                return f"![Image]({uri})"
+            return p.image_placeholder
+        return p.image_placeholder
 
     # -- groups ---------------------------------------------------------------
 
@@ -853,7 +875,7 @@ class DocSerializer:
         """Serialize each unvisited node in the (sub)tree in reading order."""
         parts: list[SerResult] = []
         my_visited = visited if visited is not None else set()
-        add_pb = self.params.page_break_placeholder is not None
+        add_pb = self._requires_page_break()
         for node, _lvl in self._iter_pb(
             node=item, traverse_pictures=self.params.traverse_pictures, add_page_breaks=add_pb
         ):
@@ -867,6 +889,9 @@ class DocSerializer:
             if part.text:
                 parts.append(part)
         return parts
+
+    def _requires_page_break(self) -> bool:
+        return self.params.page_break_placeholder is not None
 
     def serialize_doc(self, parts: list[SerResult]) -> SerResult:
         """Join parts and substitute page-break placeholders."""

@@ -147,7 +147,14 @@ def web_pages_df(spark, sf_dir: str):
         ]
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    # documents.parquet is a single small file -> one scan split; spread the
+    # synthesis across the cluster before the generator stage
+    n_part = spark.sparkContext.defaultParallelism * 2
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .repartition(n_part, "doc_id")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,79 @@
+"""Structured Streaming surface for the extraction pipeline.
+
+The reference is batch-only (SURVEY.md §2.7), but a crawl feed is naturally a
+stream; the same fused extract stage runs unchanged under foreachBatch, and a
+watermarked windowed aggregate provides live ingest metrics with late-data
+handling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from docling_core_spark.operators.extract import extract_pages, split_skew
+
+
+def stream_extract(
+    pages_stream: DataFrame,
+    output: str,
+    checkpoint: str,
+    chunker: str = "hybrid",
+    trigger_seconds: int = 10,
+):
+    """readStream(web_pages) -> extract -> append parquet sink.
+
+    The batch extract stage is reused verbatim via foreachBatch — identical
+    semantics in batch and streaming (same UDF, same determinism).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_pages(split_skew(batch_df), chunker=chunker, emit_doc_json=False)
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def ingest_metrics_stream(
+    pages_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window ingest metrics (late data tolerated).
+
+    Pure streaming-native aggregation: pages/bytes per language per window.
+    """
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("html")).alias("html_bytes"),
+        )
+        .select("w.start", "w.end", "lang", "n_pages", "html_bytes")
+    )
+
+
+def rate_test_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic streaming web_pages source for tests (rate source -> pages)."""
+    from docling_core_spark.sources.web_pages import synth_html
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+    @F.udf("string")
+    def gen_html(v: int) -> str:
+        return synth_html(int(v), f"stream doc {v} body text", "en")
+
+    return rate.select(
+        F.concat(F.lit("https://example.org/stream/"), F.col("value")).alias("url"),
+        F.col("timestamp").alias("warc_ts"),
+        F.encode(gen_html("value"), "utf-8").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )

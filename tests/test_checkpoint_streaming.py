@@ -1,0 +1,103 @@
+"""Checkpoint/resume protocol and streaming surface tests."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import pytest
+
+from docling_core_spark.operators.extract import extract_pages
+from docling_core_spark.sources.checkpoint import (
+    completed_buckets,
+    read_output,
+    run_checkpointed,
+)
+from docling_core_spark.sources.web_pages import web_pages_df
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not available")
+
+
+def _stage(part):
+    return extract_pages(part, chunker="hierarchical", emit_doc_json=False)
+
+
+def test_checkpoint_run_and_resume(spark, tmp_path):
+    out = str(tmp_path / "run")
+    pages = web_pages_df(spark, SF_DIR).limit(120).cache()
+    n_in = pages.count()
+
+    summary = run_checkpointed(spark, pages, out, _stage, n_buckets=8, buckets_per_wave=4)
+    assert summary["completed"] == 8 and summary["skipped"] == 0
+    assert read_output(spark, out).count() == n_in
+
+    # simulate a crash after 5 of 8 buckets committed
+    done = sorted(completed_buckets(spark, out))
+    for b in done[5:]:
+        (Path(out) / "_progress" / f"bucket_{b}.json").unlink()
+        shutil.rmtree(Path(out) / "data" / f"bucket={b}")
+
+    resumed = run_checkpointed(spark, pages, out, _stage, n_buckets=8, buckets_per_wave=4)
+    assert resumed["skipped"] == 5 and resumed["completed"] == 3
+    assert read_output(spark, out).count() == n_in
+
+    # idempotent: nothing left to do
+    again = run_checkpointed(spark, pages, out, _stage, n_buckets=8)
+    assert again["completed"] == 0 and again["skipped"] == 8
+    pages.unpersist()
+
+
+def test_checkpoint_lineage_records(spark, tmp_path):
+    out = str(tmp_path / "run")
+    pages = web_pages_df(spark, SF_DIR).limit(40)
+    run_checkpointed(spark, pages, out, _stage, n_buckets=4)
+    recs = [json.loads(p.read_text()) for p in sorted((Path(out) / "_progress").glob("*.json"))]
+    assert len(recs) == 4
+    assert sum(r["rows"] for r in recs) == 40
+    assert all("wall_sec" in r and "errors" in r for r in recs)
+
+
+def test_streaming_extract(spark, tmp_path):
+    from docling_core_spark.streaming.stream import stream_extract
+
+    src = str(tmp_path / "src")
+    web_pages_df(spark, SF_DIR).limit(30).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = stream_extract(stream, out, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert got.filter("error is not null").count() == 0
+
+
+def test_streaming_ingest_metrics(spark, tmp_path):
+    from docling_core_spark.streaming.stream import ingest_metrics_stream
+
+    src = str(tmp_path / "src")
+    web_pages_df(spark, SF_DIR).limit(50).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    metrics = ingest_metrics_stream(stream)
+    q = (
+        metrics.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_metrics")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode only emits closed windows; the aggregation itself ran —
+    # assert the query executed and produced a valid (possibly empty) table
+    assert spark.table("ingest_metrics").columns == ["start", "end", "lang", "n_pages", "html_bytes"]

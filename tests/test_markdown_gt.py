@@ -106,6 +106,19 @@ def test_markdown_more_gt(src, gt, params):
     _assert_eq(actual, gt)
 
 
+@pytest.mark.parametrize(
+    "gt,mode",
+    [
+        ("constructed_doc.placeholder.md.gt", "placeholder"),
+        ("constructed_doc.embedded.md.gt", "embedded"),
+    ],
+)
+def test_markdown_constructed_doc(gt, mode):
+    doc = _doc("constructed_doc.embedded.json.gt")
+    actual = export_to_markdown(doc, image_mode=mode)
+    _assert_eq(actual, gt)
+
+
 def test_md_single_row_table():
     doc = Doc(name="")
     cells = []
