@@ -450,6 +450,18 @@ class Doc:
             out["captions"].append({"$ref": caption["self_ref"]})
         return out
 
+    def add_key_values(self, graph: dict, prov: Optional[list] = None, parent: Optional[dict] = None) -> dict:
+        """Append a KeyValueItem (reference document.py:1931)."""
+        item: dict[str, Any] = {
+            "label": KEY_VALUE_REGION,
+            "prov": prov or [],
+            "captions": [],
+            "references": [],
+            "footnotes": [],
+            "graph": graph,
+        }
+        return self._attach("key_value_items", item, parent)
+
     def add_page(self, page_no: int, width: float, height: float) -> dict:
         """Register a page (reference document.py:5049)."""
         page = {"size": {"width": width, "height": height}, "page_no": page_no}
@@ -544,9 +556,61 @@ class Doc:
         """Parse from a DoclingDocument JSON string."""
         return cls.from_dict(json.loads(s))
 
+    def _normalize_table_data(self, data: dict) -> None:
+        """Fill pydantic-dump defaults + the computed dense grid in place
+        (reference export includes TableData.grid as a computed field)."""
+        data.setdefault("orientation", "rot_0")
+        num_rows = data.get("num_rows", 0)
+        num_cols = data.get("num_cols", 0)
+        for cell in data.get("table_cells", ()):
+            cell.setdefault("row_span", 1)
+            cell.setdefault("col_span", 1)
+            cell.setdefault("column_header", False)
+            cell.setdefault("row_header", False)
+            cell.setdefault("row_section", False)
+            cell.setdefault("fillable", False)
+        grid = [
+            [
+                {
+                    "row_span": 1,
+                    "col_span": 1,
+                    "start_row_offset_idx": i,
+                    "end_row_offset_idx": i + 1,
+                    "start_col_offset_idx": j,
+                    "end_col_offset_idx": j + 1,
+                    "text": "",
+                    "column_header": False,
+                    "row_header": False,
+                    "row_section": False,
+                    "fillable": False,
+                }
+                for j in range(num_cols)
+            ]
+            for i in range(num_rows)
+        ]
+        for cell in data.get("table_cells", ()):
+            for i in range(min(cell["start_row_offset_idx"], num_rows), min(cell["end_row_offset_idx"], num_rows)):
+                for j in range(
+                    min(cell["start_col_offset_idx"], num_cols), min(cell["end_col_offset_idx"], num_cols)
+                ):
+                    grid[i][j] = cell
+        data["grid"] = grid
+
     def to_dict(self) -> dict:
         """Export to a DoclingDocument-shaped dict (export_to_dict parity:
         by_alias, exclude_none -> we simply never store None fields)."""
+        for tbl in self.tables:
+            tbl.setdefault("annotations", [])
+            if tbl.get("data"):
+                self._normalize_table_data(tbl["data"])
+        for pic in self.pictures:
+            meta = pic.get("meta") or {}
+            chart = (meta.get("tabular_chart") or {}).get("chart_data")
+            if chart:
+                self._normalize_table_data(chart)
+            for ann in pic.get("annotations", ()):
+                if ann.get("chart_data"):
+                    self._normalize_table_data(ann["chart_data"])
         out: dict[str, Any] = {
             "schema_name": self.schema_name,
             "version": self.version,
