@@ -33,6 +33,21 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(split_skew(pages), chunker="hybrid", emit_doc_json=False)
 
 
+def _extract_fmt(spark: SparkSession, sf_dir: str, col: str) -> DataFrame:
+    from docling_core_spark.operators.extract import extract_pages, split_skew
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    pages = web_pages_df(spark, sf_dir)
+    docs = extract_pages(
+        split_skew(pages),
+        chunker="hybrid",
+        emit_doc_json=False,
+        emit_html=(col == "html_out"),
+        emit_doctags=(col == "doctags"),
+    )
+    return docs.select("url", F.length(col).alias(f"{col}_len"), col).orderBy("url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: English web pages -> markdown + chunk count per url."""
     docs = _extracted(spark, SF0001)
@@ -87,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_plain_text": lambda s, d: _extracted(s, d)
         .select("url", "plain_text")
         .orderBy("url"),
+        "extract_html": lambda s, d: _extract_fmt(s, d, "html_out"),
+        "extract_doctags": lambda s, d: _extract_fmt(s, d, "doctags"),
         "extract_chunks": lambda s, d: explode_chunks(_extracted(s, d)).orderBy("url", "chunk_idx"),
         "extract_doc_profile": lambda s, d: profile.extracted_doc_profile(_extracted(s, d)),
         "extract_collection_profile": lambda s, d: profile.extracted_collection_profile(

@@ -131,6 +131,8 @@ def _res(text: str = "", source: Any = None) -> SerResult:
 class DocSerializer:
     """Dispatch engine serializing a Doc to markdown / plain text / chunk text."""
 
+    _SERIALIZE_DELIM = "\n\n"
+
     def __init__(self, doc: Doc, params: Optional[MarkdownParams] = None):
         self.doc = doc
         self.params = params or MarkdownParams()
@@ -291,17 +293,26 @@ class DocSerializer:
             if formatting.get("italic"):
                 res = self._fmt_italic(res)
             if formatting.get("underline"):
-                res = res  # markdown has no underline hook (base returns text)
+                res = self._fmt_underline(res)
             if formatting.get("strikethrough"):
                 res = self._fmt_strikethrough(res)
             script = formatting.get("script")
             if script == "sub":
-                res = res
+                res = self._fmt_subscript(res)
             elif script == "super":
-                res = res
+                res = self._fmt_superscript(res)
         if p.include_hyperlinks and hyperlink:
             res = self._fmt_hyperlink(res, hyperlink)
         return res
+
+    def _fmt_underline(self, t: str) -> str:
+        return t
+
+    def _fmt_subscript(self, t: str) -> str:
+        return t
+
+    def _fmt_superscript(self, t: str) -> str:
+        return t
 
     # -- captions / footnotes / annotations / meta ------------------------
 
@@ -796,7 +807,7 @@ class DocSerializer:
     ) -> SerResult:
         """Serialize a node (document body when item is None)."""
         my_visited = visited if visited is not None else set()
-        delim = "\n\n"
+        delim = self._SERIALIZE_DELIM
         my_item = item if item is not None else self.doc.body
         parts: list[SerResult] = []
 
@@ -820,7 +831,7 @@ class DocSerializer:
         my_visited.add(my_item["self_ref"])
 
         meta_part: Optional[SerResult] = None
-        if my_item.get("meta"):
+        if my_item.get("meta") and not self._item_wraps_meta(my_item):
             cand = self.serialize_meta(my_item)
             if cand.text:
                 meta_part = cand
@@ -893,6 +904,10 @@ class DocSerializer:
     def _requires_page_break(self) -> bool:
         return self.params.page_break_placeholder is not None
 
+    def _item_wraps_meta(self, item: dict) -> bool:
+        """Whether the item's own serializer renders meta internally."""
+        return False
+
     def serialize_doc(self, parts: list[SerResult]) -> SerResult:
         """Join parts and substitute page-break placeholders."""
         text = "\n\n".join(p.text for p in parts if p.text)
@@ -932,3 +947,21 @@ def export_to_text(doc: Doc, **overrides: Any) -> str:
     """Plain-text export (reference export_to_text / PlainTextDocSerializer)."""
     merged = {**PLAIN_TEXT_OVERRIDES, **overrides}
     return export_to_markdown(doc, **merged)
+
+
+def export_to_element_tree(doc: Doc) -> str:
+    """Indented debug tree (reference document.py:3471-3489)."""
+    lines = []
+    for ix, (item, level) in enumerate(
+        doc.iterate_items(
+            with_groups=True, traverse_pictures=True, included_content_layers=M.CONTENT_LAYERS
+        )
+    ):
+        if M.is_group(item):
+            lines.append(" " * level + f"{ix}: {item.get('label', 'unspecified')} with name={item.get('name', 'group')}")
+        elif M.is_text_item(item):
+            text = item.get("text", "")
+            lines.append(" " * level + f"{ix}: {item.get('label')}: {text[: min(len(text), 100)]}")
+        elif M.is_doc_item(item):
+            lines.append(" " * level + f"{ix}: {item.get('label')}")
+    return "\n".join(lines)

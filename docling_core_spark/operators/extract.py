@@ -57,6 +57,8 @@ EXTRACT_SCHEMA = StructType(
         StructField("doc_json", StringType()),
         StructField("markdown", StringType()),
         StructField("plain_text", StringType()),
+        StructField("html_out", StringType()),
+        StructField("doctags", StringType()),
         StructField("chunks", ArrayType(CHUNK_STRUCT)),
         StructField("n_texts", IntegerType()),
         StructField("n_tables", IntegerType()),
@@ -76,12 +78,24 @@ def extract_row(
     chunker: str = "hybrid",
     max_tokens: int = 512,
     emit_doc_json: bool = True,
+    emit_html: bool = False,
+    emit_doctags: bool = False,
 ) -> dict:
     """Pure-python single-row extraction (also the single-process oracle)."""
     t0 = time.perf_counter_ns()
     doc = parse_html(html or b"", name=url)
     md = export_to_markdown(doc)
     txt = export_to_text(doc)
+    html_out = None
+    doctags_out = None
+    if emit_html:
+        from docling_core_spark.functions.html_out import export_to_html
+
+        html_out = export_to_html(doc)
+    if emit_doctags:
+        from docling_core_spark.functions.doctags import export_to_doctags
+
+        doctags_out = export_to_doctags(doc)
     tok = RegexTokenizer(max_tokens)
     if chunker == "hybrid":
         raw_chunks = HybridChunker(tokenizer=tok).chunk(doc)
@@ -103,6 +117,8 @@ def extract_row(
         "doc_json": doc.to_json() if emit_doc_json else None,
         "markdown": md,
         "plain_text": txt,
+        "html_out": html_out,
+        "doctags": doctags_out,
         "chunks": chunks,
         "n_texts": len(doc.texts),
         "n_tables": len(doc.tables),
@@ -121,6 +137,8 @@ def _error_row(url: str, lang: str, html_len: int, err: Exception) -> dict:
         "doc_json": None,
         "markdown": None,
         "plain_text": None,
+        "html_out": None,
+        "doctags": None,
         "chunks": [],
         "n_texts": 0,
         "n_tables": 0,
@@ -137,6 +155,8 @@ def extract_pages(
     chunker: str = "hybrid",
     max_tokens: int = 512,
     emit_doc_json: bool = True,
+    emit_html: bool = False,
+    emit_doctags: bool = False,
 ) -> DataFrame:
     """Fused parse+serialize+chunk stage over a web_pages DataFrame.
 
@@ -158,6 +178,8 @@ def extract_pages(
                             chunker=chunker,
                             max_tokens=max_tokens,
                             emit_doc_json=emit_doc_json,
+                            emit_html=emit_html,
+                            emit_doctags=emit_doctags,
                         )
                     )
                 except Exception as err:  # noqa: BLE001 — per-row isolation by design
