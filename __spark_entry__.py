@@ -33,6 +33,23 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(split_skew(pages), chunker="hybrid", emit_doc_json=False)
 
 
+def _docops(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
+    from docling_core_spark.operators.docops import (
+        concatenate_docs,
+        page_chunks_df,
+        profile_docs_df,
+    )
+    from docling_core_spark.operators.extract import extract_pages, split_skew
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    docs = extract_pages(split_skew(web_pages_df(spark, sf_dir)), emit_doc_json=True)
+    if op == "concat":
+        return concatenate_docs(docs, "lang").orderBy("group_key")
+    if op == "page_chunks":
+        return page_chunks_df(docs).orderBy("url", "page_no")
+    return profile_docs_df(docs).orderBy("url")
+
+
 def _extract_fmt(spark: SparkSession, sf_dir: str, col: str) -> DataFrame:
     from docling_core_spark.operators.extract import extract_pages, split_skew
     from docling_core_spark.sources.web_pages import web_pages_df
@@ -106,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doctags": lambda s, d: _extract_fmt(s, d, "doctags"),
         "extract_chunks": lambda s, d: explode_chunks(_extracted(s, d)).orderBy("url", "chunk_idx"),
         "extract_doc_profile": lambda s, d: profile.extracted_doc_profile(_extracted(s, d)),
+        "doc_concatenate_by_lang": lambda s, d: _docops(s, d, "concat"),
+        "doc_page_chunks": lambda s, d: _docops(s, d, "page_chunks"),
+        "doc_profile_reference": lambda s, d: _docops(s, d, "profile"),
         "extract_collection_profile": lambda s, d: profile.extracted_collection_profile(
             _extracted(s, d)
         ),

@@ -141,6 +141,71 @@ def hierarchical_chunks(
             yield c
 
 
+def page_chunks(doc: Doc) -> Iterator[dict]:
+    """One chunk per page (reference page_chunker.py:18-61)."""
+    if doc.pages:
+        for page_no in sorted(int(k) for k in doc.pages):
+            ser = DocSerializer(
+                doc, MarkdownParams(**CHUNKING_OVERRIDES, pages={page_no})
+            )
+            res = ser.serialize()
+            if res.text:
+                yield {
+                    "text": res.text,
+                    "doc_items": list(res.spans),
+                    "headings": None,
+                    "origin": doc.origin,
+                    "page_no": page_no,
+                }
+    else:
+        res = _chunking_serializer(doc).serialize()
+        if res.text:
+            yield {
+                "text": res.text,
+                "doc_items": list(res.spans),
+                "headings": None,
+                "origin": doc.origin,
+                "page_no": None,
+            }
+
+
+def profile_doc(doc: Doc, bitmap_coverage_threshold: float = 0.05) -> dict:
+    """Per-document stats (reference profiler doc_profiler.py:223-284)."""
+    label_counts = {M.SECTION_HEADER: 0, M.LIST_ITEM: 0, M.CODE: 0, M.FORMULA: 0}
+    for t in doc.texts:
+        lbl = t.get("label")
+        if lbl in label_counts:
+            label_counts[lbl] += 1
+    num_pictures_for_ocr = 0
+    for pic in doc.pictures:
+        prov = (pic.get("prov") or [None])[0]
+        if not prov:
+            continue
+        bbox = prov.get("bbox") or {}
+        area = abs(bbox.get("r", 0) - bbox.get("l", 0)) * abs(bbox.get("b", 0) - bbox.get("t", 0))
+        page = doc.pages.get(str(prov.get("page_no"))) or doc.pages.get(prov.get("page_no"))
+        if page:
+            size = page.get("size") or {}
+            page_area = size.get("width", 0) * size.get("height", 0)
+            if page_area > 0 and area / page_area >= bitmap_coverage_threshold:
+                num_pictures_for_ocr += 1
+    return {
+        "name": doc.name,
+        "num_pages": len(doc.pages),
+        "num_tables": len(doc.tables),
+        "num_pictures": len(doc.pictures),
+        "num_texts": len(doc.texts),
+        "num_key_value_items": len(doc.key_value_items),
+        "num_form_items": len(doc.form_items),
+        "num_section_headers": label_counts[M.SECTION_HEADER],
+        "num_list_items": label_counts[M.LIST_ITEM],
+        "num_code_items": label_counts[M.CODE],
+        "num_formulas": label_counts[M.FORMULA],
+        "origin_mimetype": (doc.origin or {}).get("mimetype"),
+        "num_pictures_for_ocr": num_pictures_for_ocr,
+    }
+
+
 def contextualize(chunk: dict, delim: str = "\n") -> str:
     """Embedding-targeted chunk text: heading path + text (chunker/base.py:67-87)."""
     items = []
