@@ -33,6 +33,22 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(split_skew(pages), chunker="hybrid", emit_doc_json=False)
 
 
+def _media(spark: SparkSession, op: str) -> DataFrame:
+    from docling_core_spark.operators.multimodal import (
+        image_features,
+        image_metadata,
+        sample_video_frames,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=200)
+    if op == "meta":
+        return image_metadata(media).orderBy("media_id")
+    if op == "features":
+        return image_features(media).orderBy("media_id")
+    return sample_video_frames(media).orderBy("media_id", "frame_idx")
+
+
 def _docops(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     from docling_core_spark.operators.docops import (
         concatenate_docs,
@@ -123,6 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doctags": lambda s, d: _extract_fmt(s, d, "doctags"),
         "extract_chunks": lambda s, d: explode_chunks(_extracted(s, d)).orderBy("url", "chunk_idx"),
         "extract_doc_profile": lambda s, d: profile.extracted_doc_profile(_extracted(s, d)),
+        # --- multimodal plumbing (stubbed decode, deterministic; rows-only) ---
+        "media_image_metadata": lambda s, d: _media(s, "meta"),
+        "media_image_features": lambda s, d: _media(s, "features"),
+        "media_video_frames": lambda s, d: _media(s, "frames"),
         "doc_concatenate_by_lang": lambda s, d: _docops(s, d, "concat"),
         "doc_page_chunks": lambda s, d: _docops(s, d, "page_chunks"),
         "doc_profile_reference": lambda s, d: _docops(s, d, "profile"),

@@ -1,0 +1,233 @@
+"""Multimodal column operators: image/audio/video as opaque binary + metadata.
+
+The decode step is STUBBED (no image/audio libs in this runtime): behind
+``set_decoders()`` any real decoder drops in; the default deterministic fake
+derives metadata/features from the bytes alone, so the Spark-side plumbing —
+schemas, Arrow batch shapes, partitioning, UDF signatures — is real and
+tested end-to-end.
+
+Scale notes:
+- binary payloads ride the same Arrow batches as text; batch row count stays
+  small (session default 256) so a batch of 1 MB images stays ~256 MB max.
+- feature extraction is map-only; frame sampling explodes rows but with a
+  bounded fan-out (max_frames), so output size is predictable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Decoder registry (stub by default; swap in PIL/ffmpeg on a real cluster)
+# ---------------------------------------------------------------------------
+
+
+def _stub_image_decode(data: bytes) -> dict:
+    """Deterministic fake decode: metadata derived from content hash.
+
+    Real implementation: PIL.Image.open(BytesIO(data)) -> size/mode.
+    """
+    if not data:
+        raise ValueError("empty image payload")
+    h = hashlib.sha256(data).digest()
+    w = 64 + (struct.unpack("<H", h[0:2])[0] % 1984)  # 64..2047
+    ht = 64 + (struct.unpack("<H", h[2:4])[0] % 1984)
+    return {"width": w, "height": ht, "format": ["png", "jpeg", "webp"][h[4] % 3], "n_channels": 3}
+
+
+def _stub_image_features(data: bytes, dim: int = 16) -> list[float]:
+    """Deterministic fake embedding (sha256-expanded); real impl: CNN/CLIP."""
+    out: list[float] = []
+    seed = hashlib.sha256(data).digest()
+    i = 0
+    while len(out) < dim:
+        block = hashlib.sha256(seed + i.to_bytes(4, "little")).digest()
+        for k in range(0, 32, 4):
+            if len(out) >= dim:
+                break
+            v = struct.unpack("<I", block[k : k + 4])[0]
+            out.append((v / 2**32) * 2 - 1)
+        i += 1
+    return out
+
+
+def _stub_video_frame_count(data: bytes) -> int:
+    if not data:
+        raise ValueError("empty video payload")
+    return 1 + (hashlib.sha256(data).digest()[0] % 300)
+
+
+_DECODERS: dict[str, Callable] = {
+    "image_decode": _stub_image_decode,
+    "image_features": _stub_image_features,
+    "video_frame_count": _stub_video_frame_count,
+}
+
+
+def set_decoders(**decoders: Callable) -> None:
+    """Swap in real decoders (e.g. PIL/ffmpeg-backed) on a full runtime."""
+    _DECODERS.update(decoders)
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+        StructField("n_channels", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def image_metadata(media: DataFrame, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
+    """Decode image headers into typed metadata (map-only, per-row isolation)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _DECODERS["image_decode"]
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(data) if data is not None else b""
+                row = {
+                    "media_id": mid,
+                    "n_bytes": len(data),
+                    "sha256": hashlib.sha256(data).hexdigest(),
+                    "width": None,
+                    "height": None,
+                    "format": None,
+                    "n_channels": None,
+                    "error": None,
+                }
+                try:
+                    row.update(decode(data))
+                except Exception as err:  # noqa: BLE001
+                    row["error"] = f"{type(err).__name__}: {err}"[:200]
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
+
+    return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def F_col(name: str):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def image_features(
+    media: DataFrame, dim: int = 16, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """Per-image feature vector (Arrow-batched; swap the stub for a model)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        feats = _DECODERS["image_features"]
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    emb = feats(bytes(data) if data is not None else b"", dim)
+                    out.append({"media_id": mid, "embedding": emb, "error": None})
+                except Exception as err:  # noqa: BLE001
+                    out.append({"media_id": mid, "embedding": None, "error": str(err)[:200]})
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    fps: float = 30.0,
+) -> DataFrame:
+    """Uniform frame sampling: one output row per sampled frame.
+
+    The stub emits deterministic pseudo-frames (hash-derived bytes); the
+    explode shape (bounded fan-out max_frames) is the real contract.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        count_frames = _DECODERS["video_frame_count"]
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(data) if data is not None else b""
+                try:
+                    n = count_frames(data)
+                except Exception:  # noqa: BLE001
+                    continue
+                take = min(max_frames, n)
+                for k in range(take):
+                    frame_idx = (k * n) // take
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": frame_idx,
+                            "ts_ms": int(frame_idx * 1000 / fps),
+                            "frame": hashlib.sha256(data + frame_idx.to_bytes(4, "little")).digest(),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic opaque-binary media table for tests/benchmarks."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).select(
+        F.concat(F.lit("media-"), F.col("id")).alias("media_id"),
+        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256).alias("hex"),
+    )
+    # expand hex digest to a pseudo-binary payload (64..~4k bytes)
+    return base.select(
+        "media_id",
+        F.encode(
+            F.concat_ws("", F.array_repeat(F.col("hex"), (F.crc32(F.col("hex")) % 64 + 1).cast("int"))),
+            "utf-8",
+        ).alias("data"),
+    )
