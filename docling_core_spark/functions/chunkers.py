@@ -273,11 +273,18 @@ class HybridChunker:
         if len(chunk["doc_items"]) == 1:
             text = chunk["text"]
         else:
+            # per-item serialization memo: greedy window growth would
+            # otherwise re-serialize every item O(window^2) times
+            cache = self._item_text_cache
             texts = []
             for it in items:
                 if it.get("label") in (M.TITLE, M.SECTION_HEADER):
                     continue
-                t = ser.serialize(item=it).text
+                sr = it["self_ref"]
+                t = cache.get(sr)
+                if t is None:
+                    t = ser.serialize(item=it).text
+                    cache[sr] = t
                 if t:
                     texts.append(t)
             text = self.delim.join(texts)
@@ -449,6 +456,7 @@ class HybridChunker:
 
     def chunk(self, doc: Doc) -> list[dict]:
         """Chunk a document (hybrid pipeline)."""
+        self._item_text_cache: dict[str, str] = {}
         ser = _chunking_serializer(doc)
         res = list(hierarchical_chunks(doc, serializer=ser, always_emit_headings=self.always_emit_headings))
         res = [x for c in res for x in self._split_by_doc_items(c, ser)]
