@@ -50,6 +50,10 @@ def cmd_serialize(args: argparse.Namespace) -> int:
         from docling_core_spark.functions.doctags import export_to_doctags
 
         out = export_to_doctags(doc)
+    elif to in ("latex", "tex"):
+        from docling_core_spark.functions.latex_out import export_to_latex
+
+        out = export_to_latex(doc)
     elif to == "json":
         out = json.dumps(doc.to_dict(), indent=2, ensure_ascii=False)
     elif to == "element_tree":
@@ -96,7 +100,7 @@ def main(argv=None) -> int:
     ser.add_argument(
         "--to",
         default="markdown",
-        choices=["markdown", "md", "text", "txt", "html", "doctags", "json", "element_tree", "chunks"],
+        choices=["markdown", "md", "text", "txt", "html", "doctags", "latex", "tex", "json", "element_tree", "chunks"],
     )
     ser.add_argument("--output", default=None)
     ser.set_defaults(fn=cmd_serialize)
