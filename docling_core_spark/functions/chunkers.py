@@ -21,6 +21,7 @@ Deviation ledger (vs reference, both due to unavailable third-party deps):
 from __future__ import annotations
 
 import re
+from dataclasses import replace
 from typing import Any, Callable, Iterator, Optional
 
 from docling_core_spark.functions.serializers import (
@@ -204,6 +205,42 @@ def profile_doc(doc: Doc, bitmap_coverage_threshold: float = 0.05) -> dict:
         "origin_mimetype": (doc.origin or {}).get("mimetype"),
         "num_pictures_for_ocr": num_pictures_for_ocr,
     }
+
+
+def expand_chunk_tree(chunk: dict, doc: Doc, serializer: Optional[DocSerializer] = None) -> dict:
+    """TreeChunkExpander (reference chunk_expander.py:16-105): re-serialize the
+    complete top-level (body-child) items containing the chunk's items."""
+    ser = serializer if serializer is not None else _chunking_serializer(doc)
+    tops: dict[str, dict] = {}
+    for it in chunk["doc_items"]:
+        top = it
+        while top.get("parent") and top["parent"]["$ref"] != "#/body":
+            top = doc.resolve(top["parent"]["$ref"])
+        tops[top["self_ref"]] = top
+    ordered = [r["$ref"] for r in doc.body.get("children", ()) if r["$ref"] in tops]
+    if not ordered:
+        return chunk
+    content = ""
+    all_items: list[dict] = []
+    for cref in ordered:
+        res = ser.serialize(item=tops[cref])
+        content += res.text + "\n"
+        all_items.extend(res.spans)
+    if not content.strip():
+        return chunk
+    return {**chunk, "text": content, "doc_items": all_items}
+
+
+def expand_chunk_page(chunk: dict, doc: Doc, params: Optional[MarkdownParams] = None) -> dict:
+    """PageChunkExpander (reference chunk_expander.py:108-166): re-serialize
+    the whole pages the chunk's items span."""
+    page_ids = {p["page_no"] for it in chunk["doc_items"] for p in it.get("prov", ())}
+    if not doc.pages or not page_ids:
+        return chunk
+    base = params or MarkdownParams(**CHUNKING_OVERRIDES)
+    ser = DocSerializer(doc, replace(base, pages=set(page_ids)))
+    res = ser.serialize()
+    return {**chunk, "text": res.text, "doc_items": list(res.spans)}
 
 
 def contextualize(chunk: dict, delim: str = "\n") -> str:

@@ -114,6 +114,32 @@ def test_hybrid_merges_peers():
     ).replace("\n", "")
 
 
+def test_chunk_expanders():
+    from docling_core_spark.functions.chunkers import expand_chunk_page, expand_chunk_tree
+
+    doc = Doc.from_dict(load_doc_json("chunker/0_inp_dl_doc.json"))
+    chunks = list(hierarchical_chunks(doc))
+    c = chunks[5]
+    tree = expand_chunk_tree(c, doc)
+    assert c["text"][:40] in tree["text"]
+    assert len(tree["doc_items"]) >= len(c["doc_items"])
+    page = expand_chunk_page(c, doc)
+    assert len(page["text"]) >= len(c["text"])
+    # every original item's page is covered by the expansion
+    pages_orig = {p["page_no"] for it in c["doc_items"] for p in it.get("prov", ())}
+    pages_exp = {p["page_no"] for it in page["doc_items"] for p in it.get("prov", ())}
+    assert pages_orig <= pages_exp
+
+
+def test_page_chunks():
+    from docling_core_spark.functions.chunkers import page_chunks
+
+    doc = Doc.from_dict(load_doc_json("chunker/0_inp_dl_doc.json"))
+    chunks = list(page_chunks(doc))
+    assert len(chunks) == len(doc.pages)
+    assert [c["page_no"] for c in chunks] == sorted(int(k) for k in doc.pages)
+
+
 def test_hybrid_table_header_repetition():
     doc = Doc(name="t")
     cells = []
