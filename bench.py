@@ -67,6 +67,14 @@ def main() -> None:
     timed("rel_pricing_summary", lambda: relational.pricing_summary(spark, sf_dir).collect())
     timed("rel_top_customers", lambda: relational.top_customers(spark, sf_dir).collect())
 
+    # attach the latest N-vs-4N scaling measurement if present
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        extra["scaling_efficiency_n_vs_4n"] = sc.get("scaling_efficiency_n2_vs_n8")
+        extra["scaling_gate_passed"] = sc.get("passed")
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -101,6 +101,11 @@ class _DocHTMLParser(HTMLParser):
         self.block_link: Optional[str] = None
         self.block_all_linked = True
         self.block_started_with_link = False
+        # wholly-formatted-block detection: True until non-space text appears
+        # outside the corresponding inline tag
+        self.block_all_bold = True
+        self.block_all_italic = True
+        self.block_has_text = False
         # list nesting: stack of (group_item, ordered, item_counter)
         self.list_stack: list[list] = []
         # pending list item accumulation
@@ -142,9 +147,19 @@ class _DocHTMLParser(HTMLParser):
         self.block_text = []
         self.block_tag = None
         link = self.block_link if self.block_all_linked else None
+        formatting = None
+        if self.block_has_text and (self.block_all_bold or self.block_all_italic):
+            formatting = {}
+            if self.block_all_bold:
+                formatting["bold"] = True
+            if self.block_all_italic:
+                formatting["italic"] = True
         self.block_link = None
         self.block_all_linked = True
         self.block_started_with_link = False
+        self.block_all_bold = True
+        self.block_all_italic = True
+        self.block_has_text = False
         if not text:
             return
         if self.main_content_only and self.furniture_depth > 0:
@@ -163,6 +178,8 @@ class _DocHTMLParser(HTMLParser):
         kw = dict(parent=self._parent(), prov=_prov(text), content_layer=layer)
         if link:
             kw["hyperlink"] = link
+        if formatting:
+            kw["formatting"] = formatting
         if tag == "h1":
             self.doc.add_title(text, **kw)
         elif tag in _HEADING_TAGS:
@@ -418,9 +435,15 @@ class _DocHTMLParser(HTMLParser):
         if self.cur_cell is not None:
             self.cur_cell.text.append(data)
             return
-        if data and not data.isspace() and "a" not in self.block_fmt_stack:
-            # text outside any <a> means the block is not wholly hyperlinked
-            self.block_all_linked = False
+        if data and not data.isspace():
+            self.block_has_text = True
+            if "a" not in self.block_fmt_stack:
+                # text outside any <a> means the block is not wholly hyperlinked
+                self.block_all_linked = False
+            if "b" not in self.block_fmt_stack and "strong" not in self.block_fmt_stack:
+                self.block_all_bold = False
+            if "i" not in self.block_fmt_stack and "em" not in self.block_fmt_stack:
+                self.block_all_italic = False
         if self.li_open:
             self.li_text.append(data)
         else:
