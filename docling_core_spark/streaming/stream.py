@@ -60,6 +60,64 @@ def ingest_metrics_stream(
     )
 
 
+def stateful_exact_dedup(
+    pages_stream: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup via applyInPandasWithState.
+
+    Keyed by content fingerprint; per-key state stores whether the content
+    was already seen, so only the first occurrence across the whole stream
+    is emitted.  This is the custom-stateful-operator pattern: the state
+    store scales horizontally with the shuffle partitioning of the key.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("fingerprint", StringType()),
+            StructField("url", StringType()),
+            StructField("is_first", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", BooleanType())])
+
+    keyed = pages_stream.select(
+        F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")).alias("fingerprint"),
+        F.col(key_col).alias("url"),
+    ).groupBy("fingerprint")
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = state.exists
+        rows = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                rows.append({"fingerprint": key[0], "url": url, "is_first": not seen})
+                seen = True
+        if not state.exists:
+            state.update((True,))
+        yield pd.DataFrame(rows, columns=["fingerprint", "url", "is_first"])
+
+    return keyed.applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def rate_test_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic streaming web_pages source for tests (rate source -> pages)."""
     from docling_core_spark.sources.web_pages import synth_html

@@ -79,6 +79,41 @@ def test_streaming_extract(spark, tmp_path):
     assert got.filter("error is not null").count() == 0
 
 
+def test_streaming_stateful_dedup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.streaming.stream import stateful_exact_dedup
+
+    src = str(tmp_path / "src")
+    base = web_pages_df(spark, SF_DIR).limit(20)
+    # duplicate every row under a second url -> every fingerprint seen twice
+    dupes = base.withColumn("url", F.concat(F.lit("dup-"), F.col("url")))
+    base.unionByName(dupes).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stateful_exact_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("dedup_stream").collect()
+    assert len(rows) == 40
+    firsts = [r for r in rows if r["is_first"]]
+    by_fp: dict = {}
+    for r in rows:
+        by_fp.setdefault(r["fingerprint"], []).append(r["is_first"])
+    # exactly one first per fingerprint
+    assert all(sum(v) == 1 for v in by_fp.values())
+    assert len(firsts) == len(by_fp)
+
+
 def test_streaming_ingest_metrics(spark, tmp_path):
     from docling_core_spark.streaming.stream import ingest_metrics_stream
 
