@@ -49,6 +49,13 @@ def test_html_gt(src, gt, kwargs):
     _assert_eq(actual, gt)
 
 
+@pytest.mark.parametrize("orig", [True, False])
+def test_html_list_item_markers(orig):
+    doc = Doc.from_dict(load_doc_json("doc/constructed_doc.embedded.json.gt"))
+    actual = export_to_html(doc, show_original_list_item_marker=orig)
+    _assert_eq(actual, f"constructed_orig_{str(orig).lower()}.gt.html")
+
+
 def test_mini_mathml():
     out = latex_to_mathml("E=mc^2", "inline")
     assert "<msup><mi>c</mi><mn>2</mn></msup>" in out

@@ -119,6 +119,64 @@ def test_markdown_constructed_doc(gt, mode):
     _assert_eq(actual, gt)
 
 
+@pytest.mark.parametrize("mode", ["never", "always", "auto"])
+@pytest.mark.parametrize("valid", [False, True])
+def test_md_list_item_marker_matrix(mode, valid):
+    doc = _doc("constructed_doc.embedded.json.gt")
+    p = MarkdownParams(orig_list_item_marker_mode=mode, ensure_valid_list_item_marker=valid)
+    actual = DocSerializer(doc, p).serialize().text
+    _assert_eq(actual, f"constructed_mode_{mode}_valid_{str(valid).lower()}.gt.md")
+
+
+def test_md_compact_table_helper():
+    padded = (
+        "| item   | qty   | description           |\n"
+        "| ------ | ----: | :-------------------: |\n"
+        "| spam   | 42    | A canned meat product |\n"
+        "| eggs   | 451   | Fresh farm eggs       |\n"
+        "| bacon  | 0     | Out of stock          |"
+    )
+    expected = (
+        "| item | qty | description |\n"
+        "| - | -: | :-: |\n"
+        "| spam | 42 | A canned meat product |\n"
+        "| eggs | 451 | Fresh farm eggs |\n"
+        "| bacon | 0 | Out of stock |"
+    )
+    assert DocSerializer._compact_table(padded) == expected
+
+
+def test_md_numeric_precision_preserved():
+    doc = Doc(name="Numeric Precision Test")
+    vals = ["3.14159265358979", "123456789.123456789", "0.000000123456"]
+    cells = [
+        dict(start_row_offset_idx=0, end_row_offset_idx=1, start_col_offset_idx=j,
+             end_col_offset_idx=j + 1, text=v)
+        for j, v in enumerate(vals)
+    ]
+    doc.add_table(data=dict(num_rows=1, num_cols=3, table_cells=cells))
+    md = export_to_markdown(doc)
+    for v in vals:
+        assert v in md  # no tabulate numparse truncation
+
+
+def test_md_traverse_pictures():
+    doc = Doc(name="Test Document")
+    doc.add_text("paragraph", "Text before picture")
+    pic = doc.add_picture()
+    inner = doc.add_text("paragraph", "Text inside picture")
+    # re-wire inner under the picture
+    doc.body["children"] = [r for r in doc.body["children"] if r["$ref"] != inner["self_ref"]]
+    inner["parent"] = {"$ref": pic["self_ref"]}
+    pic["children"].append({"$ref": inner["self_ref"]})
+    doc.add_text("paragraph", "Text after picture")
+
+    no_t = export_to_markdown(doc, traverse_pictures=False)
+    assert "Text inside picture" not in no_t and "<!-- image -->" in no_t
+    with_t = export_to_markdown(doc, traverse_pictures=True)
+    assert "Text inside picture" in with_t and "<!-- image -->" in with_t
+
+
 def test_md_single_row_table():
     doc = Doc(name="")
     cells = []
