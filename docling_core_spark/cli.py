@@ -54,6 +54,10 @@ def cmd_serialize(args: argparse.Namespace) -> int:
         from docling_core_spark.functions.latex_out import export_to_latex
 
         out = export_to_latex(doc)
+    elif to == "azure":
+        from docling_core_spark.functions.azure_out import export_to_azure
+
+        out = export_to_azure(doc, indent=2)
     elif to == "json":
         out = json.dumps(doc.to_dict(), indent=2, ensure_ascii=False)
     elif to == "element_tree":
@@ -100,7 +104,7 @@ def main(argv=None) -> int:
     ser.add_argument(
         "--to",
         default="markdown",
-        choices=["markdown", "md", "text", "txt", "html", "doctags", "latex", "tex", "json", "element_tree", "chunks"],
+        choices=["markdown", "md", "text", "txt", "html", "doctags", "latex", "tex", "azure", "json", "element_tree", "chunks"],
     )
     ser.add_argument("--output", default=None)
     ser.set_defaults(fn=cmd_serialize)

@@ -43,3 +43,11 @@ def test_latex_smoke_constructed():
     out = export_to_latex(doc)
     assert out.startswith("\\documentclass") and out.endswith("\\end{document}")
     assert "\\begin{tabular}" in out
+
+
+def test_azure_activities_gt():
+    from docling_core_spark.functions.azure_out import export_to_azure
+
+    doc = Doc.from_dict(load_doc_json("doc/activities.json"))
+    actual = export_to_azure(doc, indent=2)
+    assert actual == load_gt("doc/activities.gt.azure.json").rstrip()
