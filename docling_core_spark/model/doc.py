@@ -636,3 +636,16 @@ class Doc:
     def to_json(self) -> str:
         """Canonical JSON string."""
         return json.dumps(self.to_dict(), ensure_ascii=False)
+
+    @classmethod
+    def from_yaml(cls, s: str) -> "Doc":
+        """Parse from a DoclingDocument YAML string (reference S3)."""
+        import yaml
+
+        return cls.from_dict(yaml.safe_load(s))
+
+    def to_yaml(self) -> str:
+        """YAML dump of the canonical dict (reference save_as_yaml)."""
+        import yaml
+
+        return yaml.safe_dump(self.to_dict(), allow_unicode=True, sort_keys=False)
