@@ -143,27 +143,30 @@ class DocSerializer:
     # -- precomputed sets ------------------------------------------------
 
     def captions_of_some_item(self) -> set:
-        """Refs of text items that serve as captions of floating items."""
+        """Refs of text items that serve as captions of floating items.
+
+        Params-independent, so memoized on the Doc (the fused extract stage
+        builds three serializers per row; one traversal serves all)."""
         if self._captions_of is None:
-            refs = set()
-            for item, _ in self.doc.iterate_items(
-                with_groups=True, traverse_pictures=True, included_content_layers=M.CONTENT_LAYERS
-            ):
-                for cap in item.get("captions", ()):
-                    refs.add(cap["$ref"])
-            self._captions_of = refs
+            cached = self.doc.extra.get("_cap_ftn_sets")
+            if cached is None:
+                caps: set = set()
+                ftns: set = set()
+                for item, _ in self.doc.iterate_items(
+                    with_groups=True, traverse_pictures=True, included_content_layers=M.CONTENT_LAYERS
+                ):
+                    for cap in item.get("captions", ()):
+                        caps.add(cap["$ref"])
+                    for ftn in item.get("footnotes", ()):
+                        ftns.add(ftn["$ref"])
+                cached = self.doc.extra["_cap_ftn_sets"] = (caps, ftns)
+            self._captions_of, self._footnotes_of = cached
         return self._captions_of
 
     def footnotes_of_some_item(self) -> set:
         """Refs of text items that serve as footnotes of floating items."""
         if self._footnotes_of is None:
-            refs = set()
-            for item, _ in self.doc.iterate_items(
-                with_groups=True, traverse_pictures=True, included_content_layers=M.CONTENT_LAYERS
-            ):
-                for ftn in item.get("footnotes", ()):
-                    refs.add(ftn["$ref"])
-            self._footnotes_of = refs
+            self.captions_of_some_item()
         return self._footnotes_of
 
     def get_excluded_refs(self) -> set:

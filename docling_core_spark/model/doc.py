@@ -321,6 +321,7 @@ class Doc:
     # ------------------------------------------------------------------
 
     def _attach(self, array_name: str, item: dict, parent: Optional[dict]) -> dict:
+        self.extra.pop("_cap_ftn_sets", None)  # invalidate serializer memo
         arr = getattr(self, array_name)
         cref = f"#/{array_name}/{len(arr)}"
         item["self_ref"] = cref
