@@ -10,18 +10,58 @@ oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query; the
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 SF0001 = "/root/testdata/sf0.001"
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_package(spark: SparkSession) -> None:
+    """Ship docling_core_spark to executor python workers.
+
+    The driver may build its own SparkSession from any cwd; addPyFile makes
+    the package importable in workers regardless (the cluster equivalent of
+    spark-submit --py-files).
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.join(_REPO, "docling_core_spark")
+    # per-process zip name: never ship a stale package after code changes
+    zpath = os.path.join(tempfile.gettempdir(), f"docling_core_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, _REPO)
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 — already added or restricted context
+        pass
+    _SHIPPED.add(key)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_package(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_package(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -29,11 +69,13 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.operators.extract import extract_pages, split_skew
     from docling_core_spark.sources.web_pages import web_pages_df
 
+    _ensure_package(spark)
     pages = web_pages_df(spark, sf_dir)
     return extract_pages(split_skew(pages), chunker="hybrid", emit_doc_json=False)
 
 
 def _media(spark: SparkSession, op: str) -> DataFrame:
+    _ensure_package(spark)
     from docling_core_spark.operators.multimodal import (
         image_features,
         image_metadata,
@@ -50,6 +92,7 @@ def _media(spark: SparkSession, op: str) -> DataFrame:
 
 
 def _docops(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
+    _ensure_package(spark)
     from docling_core_spark.operators.docops import (
         concatenate_docs,
         page_chunks_df,
@@ -67,6 +110,7 @@ def _docops(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
 
 
 def _extract_fmt(spark: SparkSession, sf_dir: str, col: str) -> DataFrame:
+    _ensure_package(spark)
     from docling_core_spark.operators.extract import extract_pages, split_skew
     from docling_core_spark.sources.web_pages import web_pages_df
 
@@ -83,6 +127,7 @@ def _extract_fmt(spark: SparkSession, sf_dir: str, col: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: English web pages -> markdown + chunk count per url."""
+    _ensure_package(spark)
     docs = _extracted(spark, SF0001)
     return (
         docs.filter(F.col("lang") == "en")

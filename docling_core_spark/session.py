@@ -27,6 +27,17 @@ def get_spark(
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+
+    # Executor python workers must be able to import this package regardless
+    # of the driver's cwd: export the repo root on PYTHONPATH before the JVM
+    # (and hence the python worker daemon) starts.  On a real cluster the
+    # equivalent is `spark-submit --py-files docling_core_spark.zip`.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
