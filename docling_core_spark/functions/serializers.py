@@ -952,6 +952,27 @@ def export_to_text(doc: Doc, **overrides: Any) -> str:
     return export_to_markdown(doc, **merged)
 
 
+class ExcelMarkdownSerializer(DocSerializer):
+    """Markdown variant rendering SHEET groups as `##` headings
+    (reference markdown_excel.py: worksheet names become headings)."""
+
+    def _serialize_fallback(self, item: dict, visited: set) -> SerResult:
+        if M.is_group(item) and item.get("label") == "sheet":
+            parts = self.get_parts(item=item, visited=visited)
+            content = "\n\n".join(p.text for p in parts if p.text)
+            heading = f"## {item.get('name', '')}"
+            return _res(f"{heading}\n\n{content}" if content else heading, parts)
+        return super()._serialize_fallback(item, visited)
+
+
+def export_to_markdown_excel(doc: Doc, **overrides: Any) -> str:
+    """Excel-flavored markdown export (sheet groups as headings)."""
+    params = MarkdownParams(
+        labels=frozenset(overrides.pop("labels", M.DOCUMENT_TOKENS_EXPORT_LABELS)), **overrides
+    )
+    return ExcelMarkdownSerializer(doc, params).serialize().text
+
+
 def export_to_element_tree(doc: Doc) -> str:
     """Indented debug tree (reference document.py:3471-3489)."""
     lines = []

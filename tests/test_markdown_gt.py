@@ -219,3 +219,14 @@ def test_text_export_activities():
     doc = _doc("activities.json")
     actual = export_to_text(doc)
     _assert_eq(actual, "activities.gt.txt")
+
+
+def test_markdown_excel_sheet_headings():
+    from docling_core_spark.functions.serializers import export_to_markdown_excel
+
+    d = Doc(name="wb")
+    sheet = d.add_group(label="sheet", name="Sheet1")
+    d.add_text("text", "cell data", parent=sheet)
+    d.add_group(label="sheet", name="Empty Sheet")
+    assert export_to_markdown_excel(d) == "## Sheet1\n\ncell data\n\n## Empty Sheet"
+    assert export_to_markdown(d) == "cell data"
