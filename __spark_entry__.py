@@ -10,6 +10,7 @@ oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query; the
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 import tempfile
@@ -38,16 +39,25 @@ def _ensure_package(spark: SparkSession) -> None:
     if key in _SHIPPED:
         return
     pkg_dir = os.path.join(_REPO, "docling_core_spark")
-    # per-process zip name: never ship a stale package after code changes
-    zpath = os.path.join(tempfile.gettempdir(), f"docling_core_spark_pkg_{os.getpid()}.zip")
+    # content-digest zip name: never ship a stale package after source edits,
+    # even from a long-lived driver process
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    digest = hashlib.sha256()
+    for full in sorted(sources):
+        digest.update(full.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"docling_core_spark_pkg_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, _REPO)
-                        zf.write(full, rel)
+            for full in sorted(sources):
+                zf.write(full, os.path.relpath(full, _REPO))
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:  # noqa: BLE001 — already added or restricted context
@@ -87,7 +97,11 @@ def _media(spark: SparkSession, op: str) -> DataFrame:
     if op == "meta":
         return image_metadata(media).orderBy("media_id")
     if op == "features":
-        return image_features(media).orderBy("media_id")
+        return (
+            image_features(media)
+            .withColumn("embedding", F.to_json("embedding"))
+            .orderBy("media_id")
+        )
     return sample_video_frames(media).orderBy("media_id", "frame_idx")
 
 
@@ -105,7 +119,11 @@ def _docops(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     if op == "concat":
         return concatenate_docs(docs, "lang").orderBy("group_key")
     if op == "page_chunks":
-        return page_chunks_df(docs).orderBy("url", "page_no")
+        return (
+            page_chunks_df(docs)
+            .withColumn("doc_item_refs", F.to_json("doc_item_refs"))
+            .orderBy("url", "page_no")
+        )
     return profile_docs_df(docs).orderBy("url")
 
 
@@ -182,7 +200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy("url"),
         "extract_html": lambda s, d: _extract_fmt(s, d, "html_out"),
         "extract_doctags": lambda s, d: _extract_fmt(s, d, "doctags"),
-        "extract_chunks": lambda s, d: explode_chunks(_extracted(s, d)).orderBy("url", "chunk_idx"),
+        # array cols are stringified at the driver boundary (the correctness
+        # canonicalizer cannot sort array cells); the package APIs keep arrays
+        "extract_chunks": lambda s, d: explode_chunks(_extracted(s, d))
+        .withColumn("headings", F.to_json("headings"))
+        .withColumn("doc_item_refs", F.to_json("doc_item_refs"))
+        .orderBy("url", "chunk_idx"),
         "extract_doc_profile": lambda s, d: profile.extracted_doc_profile(_extracted(s, d)),
         # --- multimodal plumbing (stubbed decode, deterministic; rows-only) ---
         "media_image_metadata": lambda s, d: _media(s, "meta"),
@@ -208,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": textstats.fingerprints_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "dedup_simhash": dedup.simhash_duplicates_sql(),
         "similarity_cosine_topk": similarity.cosine_topk_sql(),
         "profile_collection_stats": profile.collection_stats_sql(),
         "profile_histogram_chars": profile.histogram_sql(),

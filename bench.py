@@ -42,6 +42,18 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Warm-up: fork the python workers and import the package on EVERY core
+    # BEFORE the timed flagship run (same protocol as scripts/scaling_bench.py).
+    # Without it the first-UDF worker spin-up dominates a short window and the
+    # headline reads ~4x below steady state (round-1 lesson).  split_skew
+    # spreads the sample over 2*cpus partitions so all workers warm.
+    from pyspark.sql import functions as F
+
+    warm_pages = web_pages_df(spark, sf_dir).where(F.xxhash64("url") % 20 == 0)
+    extract_pages(split_skew(warm_pages), chunker="hybrid", emit_doc_json=False).select(
+        "url"
+    ).write.format("noop").mode("overwrite").save()
+
     # flagship: full extraction pipeline (parse + markdown + text + chunks)
     def run_extract() -> None:
         pages = web_pages_df(spark, sf_dir)

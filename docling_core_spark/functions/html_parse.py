@@ -218,7 +218,10 @@ class _DocHTMLParser(HTMLParser):
                 self.drop_depth += 1
             return
         if tag in _DROP_TAGS:
-            self.drop_depth = 1
+            # void drop tags (<embed>) never get an end tag: skip them without
+            # entering drop mode, or everything after them would be dropped
+            if tag not in _VOID_TAGS:
+                self.drop_depth = 1
             return
         amap = dict(attrs)
         if tag in _FURNITURE_TAGS:
@@ -337,7 +340,10 @@ class _DocHTMLParser(HTMLParser):
             self.block_fmt_stack.append("a")
             return
         if tag in _INLINE_TAGS:
-            self.block_fmt_stack.append(tag)
+            # void inline tags (<wbr>) never get an end tag: pushing them
+            # would desync the stack and leak formatting into later blocks
+            if tag not in _VOID_TAGS:
+                self.block_fmt_stack.append(tag)
             return
         if tag in _BLOCK_CONTAINER_TAGS:
             self._flush_block()
@@ -416,8 +422,12 @@ class _DocHTMLParser(HTMLParser):
             self.in_figcaption = False
             return
         if tag == "a" or tag in _INLINE_TAGS:
-            if self.block_fmt_stack:
-                self.block_fmt_stack.pop()
+            # pop the last matching occurrence (not a blind pop): stray end
+            # tags in malformed HTML must not strip an unrelated open format
+            for i in range(len(self.block_fmt_stack) - 1, -1, -1):
+                if self.block_fmt_stack[i] == tag:
+                    del self.block_fmt_stack[i]
+                    break
             return
         if tag in _BLOCK_CONTAINER_TAGS:
             self._flush_block()

@@ -47,7 +47,7 @@ def validate_tree(doc: Doc, root: Optional[dict] = None, raise_on_error: bool = 
 def validate_unique_refs(doc: Doc, raise_on_error: bool = False) -> bool:
     """Every item's self_ref matches its array slot and is unique."""
     seen: set[str] = set()
-    for arr in ("groups", "texts", "pictures", "tables", "key_value_items", "form_items"):
+    for arr in M._ALL_ARRAYS:  # every first-class item array, incl. field_*
         for i, item in enumerate(getattr(doc, arr)):
             expected = f"#/{arr}/{i}"
             if item.get("self_ref") != expected or expected in seen:

@@ -6,13 +6,13 @@ Scale design:
 - MinHash+LSH near-dup: shingle -> k minhashes -> b bands -> bucket-join.
   Candidate generation is a self-join on (band, bucket) keys only; full
   Jaccard is verified on candidates. No O(n^2) stage anywhere.
-- SimHash: 64-bit signature via per-token md5 bit-voting; near-dups = equal
-  signatures (Hamming-0 buckets; banded Hamming<=k is a trivial extension).
+- SimHash: 60-bit signature via per-token bit-voting on an md5-derived hash
+  (cross-engine reproducible), banded into 4x15-bit keys so any pair at
+  Hamming distance <= 3 shares at least one band (pigeonhole); candidates are
+  verified with popcount(xor) — a real near-dup operator, not equality.
 
-Exact dedup and n-gram Jaccard are DuckDB-oracle-checkable; MinHash/SimHash
-signatures depend on engine hash order only through deterministic md5, so
-their *cluster assignments* are deterministic but the oracle SQL would be
-unreasonably large — they register as rows-only checks.
+Exact dedup, n-gram Jaccard and SimHash are DuckDB-oracle-checked end to end;
+MinHash keeps JVM-side xxhash64 (faster) and registers rows-only.
 """
 
 from __future__ import annotations
@@ -25,8 +25,9 @@ NORM = lambda c: F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")  # noqa: E731
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of documents with identical normalized content.
 
-    Returns (fingerprint, n_docs, keep_doc_id, dup_doc_ids) for groups with
-    more than one member.  Single shuffle on the fingerprint.
+    Returns (fingerprint, n_docs, keep_doc_id, doc_ids) for groups with
+    more than one member.  Single shuffle on the fingerprint.  doc_ids is a
+    "|"-joined sorted id string (scalar at the driver boundary by contract).
     """
     fp = docs.select(
         "doc_id", F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")).alias("fingerprint")
@@ -36,7 +37,10 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                "|",
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("fingerprint")
@@ -49,7 +53,7 @@ def exact_duplicates_sql(table: str = "documents") -> str:
 SELECT fingerprint,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS keep_doc_id,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_sort(list(doc_id)), '|') AS doc_ids
 FROM (
   SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
   FROM {table}
@@ -98,12 +102,19 @@ def minhash_lsh_duplicates(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + shingle-set verification.
 
     1. signatures (one shuffle), 2. explode to (band, band_hash) buckets,
     3. self-join within buckets (candidates only), 4. verify candidates by
     exact Jaccard on distinct shingle sets.
+
+    Degenerate-content skew guard: a bucket is capped at max_bucket_size
+    members (row_number over the bucket, deterministic by doc_id) so one
+    boilerplate bucket can never go quadratic at 100x data.  Identical docs
+    beyond the cap are still caught by exact_duplicates; near-identical mass
+    duplicates keep >= max_bucket_size representatives per band.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_n)
@@ -122,6 +133,12 @@ def minhash_lsh_duplicates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    cap_w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    banded = (
+        banded.withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -202,17 +219,33 @@ ORDER BY doc_a, doc_b
 """
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document via token-hash bit voting (no UDF).
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> always positive in a signed long
+SIMHASH_BANDS = 4  # 4 x 15-bit bands: Hamming <= 3 implies >= 1 equal band
 
-    Each distinct token votes +1/-1 per bit of xxhash64(token); the signature
-    sign-thresholds the votes.  Tokens weighted by frequency are a trivial
-    extension (drop the array_distinct).
+
+def _token_hash60(col):
+    """60-bit cross-engine token hash: first 15 hex chars of md5 as a bigint.
+
+    Identical in Spark (conv(substr(md5,1,15),16,10)) and DuckDB
+    (('0x'||substr(md5,1,15))::BIGINT), which is what makes the SimHash
+    pipeline oracle-checkable end to end.  At pure-scale (no oracle) swap in
+    xxhash64 — same plan shape, cheaper hash.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per document via token-hash bit voting (no UDF).
+
+    Each distinct token votes +1/-1 per bit of its 60-bit hash; the signature
+    sign-thresholds the votes.  One hash-aggregate shuffle on doc_id; the 60
+    conditional sums are Catalyst-native whole-stage-codegen expressions.
+    Tokens weighted by frequency are a trivial extension (drop array_distinct).
     """
     tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.trim(NORM(F.col("text"))), r"\s+"))).alias("tok")
     )
-    h = tokens.withColumn("h", F.xxhash64("tok"))
+    h = tokens.withColumn("h", _token_hash60(F.col("tok")))
     one = F.lit(1).cast("long")
     votes = [
         F.sum(
@@ -222,17 +255,80 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     ]
     agg = h.groupBy("doc_id").agg(*votes)
     sig = F.lit(0).cast("long")
-    for b in range(bits - 1):  # skip the sign bit to stay in signed-long range
+    for b in range(bits):
         sig = sig + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(0)
-    return agg.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_duplicates(docs: DataFrame) -> DataFrame:
-    """Documents sharing identical SimHash signatures (Hamming-0 buckets)."""
+def simhash_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs at SimHash Hamming distance <= max_hamming.
+
+    Banded LSH on the signature: 4 x 15-bit band keys; by pigeonhole any pair
+    within Hamming 3 collides on at least one band.  Candidates come from the
+    (band, band_value) equi-join — never an all-pairs stage — and are verified
+    with popcount(xor).  Returns (doc_a, doc_b, hamming).
+    """
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
     sig = simhash_signatures(docs)
-    return (
-        sig.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
-        .filter(F.col("n_docs") > 1)
-        .orderBy("simhash")
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.shiftright(F.col("simhash"), k * band_bits).bitwiseAND(F.lit(mask)).alias("bval"),
+        )
+        for k in range(SIMHASH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bval"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
     )
+    return pairs
+
+
+def simhash_duplicates_sql(table: str = "documents", max_hamming: int = 3) -> str:
+    """DuckDB oracle SQL for simhash_duplicates (same hash, same banding)."""
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), '\\s+')) AS tok
+  FROM {table}
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, t.b,
+         SUM(CASE WHEN (h >> CAST(t.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN range({SIMHASH_BITS}) t(b)
+  GROUP BY doc_id, t.b
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, CAST(t.b AS INT) AS band,
+         (simhash >> (CAST(t.b AS INT) * {band_bits})) & {mask} AS bval
+  FROM sig CROSS JOIN range({SIMHASH_BANDS}) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""

@@ -17,29 +17,48 @@ _DECILES = [i / 10 for i in range(1, 10)]
 
 
 def collection_stats(docs: DataFrame, col: str = "n_chars") -> DataFrame:
-    """Count/sum/avg/min/max + deciles of a numeric column (A2)."""
+    """Count/sum/avg/min/max + decile columns of a numeric column (A2).
+
+    Deciles come out as nine scalar columns (p10..p90), not an array — scalar
+    output columns are the driver-boundary contract (the correctness
+    canonicalizer cannot sort array cells).  One percentile sort buffer, one
+    aggregation; the element projection happens on the single result row.
+    """
     c = F.col(col).cast("double")
     deciles = F.percentile(c, F.array(*[F.lit(q) for q in _DECILES]))
-    return docs.agg(
+    agg = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(c).cast("double").alias("total"),
         F.round(F.avg(c), 4).alias("mean"),
         F.min(c).alias("min"),
         F.max(c).alias("max"),
-        F.transform(deciles, lambda v: F.round(v, 4)).alias("deciles"),
+        deciles.alias("_dec"),
+    )
+    return agg.select(
+        "n_docs",
+        "total",
+        "mean",
+        "min",
+        "max",
+        *[
+            F.round(F.element_at("_dec", i + 1), 4).alias(f"p{(i + 1) * 10}")
+            for i in range(len(_DECILES))
+        ],
     )
 
 
 def collection_stats_sql(table: str = "documents", col: str = "n_chars") -> str:
     """DuckDB oracle SQL for collection_stats."""
-    qs = ", ".join(str(q) for q in _DECILES)
+    decile_cols = ",\n       ".join(
+        f"round(quantile_cont({col}::DOUBLE, {q}), 4) AS p{int(q * 100)}" for q in _DECILES
+    )
     return f"""
 SELECT COUNT(*) AS n_docs,
        CAST(SUM({col}::DOUBLE) AS DOUBLE) AS total,
        round(AVG({col}::DOUBLE), 4) AS mean,
        MIN({col}::DOUBLE) AS min,
        MAX({col}::DOUBLE) AS max,
-       [round(x, 4) for x in quantile_cont({col}::DOUBLE, [{qs}])] AS deciles
+       {decile_cols}
 FROM {table}
 """
 
@@ -107,8 +126,12 @@ def extracted_doc_profile(extracted: DataFrame) -> DataFrame:
 
 
 def extracted_collection_profile(extracted: DataFrame) -> DataFrame:
-    """A2 collection profile over the extraction output (rows-only check)."""
-    return extracted.agg(
+    """A2 collection profile over the extraction output.
+
+    Deciles of n_texts come out as scalar columns (driver-boundary contract —
+    no array-typed output columns).
+    """
+    agg = extracted.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_texts").alias("total_texts"),
         F.sum("n_tables").alias("total_tables"),
@@ -116,6 +139,18 @@ def extracted_collection_profile(extracted: DataFrame) -> DataFrame:
         F.sum(F.size("chunks")).alias("total_chunks"),
         F.round(F.avg("n_texts"), 4).alias("avg_texts"),
         F.percentile(F.col("n_texts").cast("double"), F.array(*[F.lit(q) for q in _DECILES])).alias(
-            "texts_deciles"
+            "_dec"
         ),
+    )
+    return agg.select(
+        "n_docs",
+        "total_texts",
+        "total_tables",
+        "total_pictures",
+        "total_chunks",
+        "avg_texts",
+        *[
+            F.round(F.element_at("_dec", i + 1), 4).alias(f"texts_p{(i + 1) * 10}")
+            for i in range(len(_DECILES))
+        ],
     )

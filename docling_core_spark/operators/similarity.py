@@ -3,11 +3,24 @@
 Brute-force cosine top-k (correctness baseline, DuckDB-oracle-checked) and an
 LSH-bucketed approximate variant (the 100 TB scale path: candidates come from
 a sign-random-projection bucket join, never a full scan per query).
+
+Scale design:
+- SRP plane weights are derived per (plane, position) from xxhash64 inside
+  the plan — dimension-agnostic, no literal weight arrays, and crucially NO
+  driver-side job during plan construction (no ``.first()`` to learn dim).
+- ``srp_buckets`` computes the bucket column once; at scale you persist /
+  partition the table by it and every query prunes to 1/2^n_planes of the
+  data.  ``ann_lsh_topk`` accepts the prebucketed frame so repeated queries
+  never recompute projections.
+- ``embedding_cosine_dedup`` caps candidates per bucket (row_number window)
+  so a degenerate bucket cannot go quadratic at 100x data.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _cosine(a, b):
@@ -60,24 +73,38 @@ LIMIT {k}
 """
 
 
-def _srp_bucket(vec, planes: list[list[float]]):
-    """Sign-random-projection bucket id from fixed hyperplanes."""
+def _plane_weight(plane: int, pos, seed: int):
+    """Deterministic pseudo-random weight in [-1, 1] for (plane, position).
+
+    Sign-random-projection only needs a symmetric weight distribution, so a
+    hash-derived uniform is as good as a gaussian — and it makes the plane
+    implicit (no literal arrays, works for any embedding dimension).
+    """
+    h = F.xxhash64(F.concat_ws("_", F.lit(f"srp{seed}"), F.lit(plane), pos.cast("string")))
+    return F.pmod(h, F.lit(1001)).cast("double") / 500.0 - 1.0
+
+
+def srp_bucket_expr(vec, n_planes: int, seed: int = 42):
+    """Sign-random-projection bucket id column for an array<double> column."""
+    def projector(plane: int):
+        return lambda x, i: x * _plane_weight(plane, i, seed)
+
     bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(p)) for p in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
+    for p in range(n_planes):
+        dot = F.aggregate(F.transform(vec, projector(p)), F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
     return bucket
 
 
-def _fixed_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    import random
+def srp_buckets(embeddings: DataFrame, n_planes: int = 6, seed: int = 42) -> DataFrame:
+    """Embeddings with a precomputed SRP bucket column.
 
-    rng = random.Random(seed)
-    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    At scale: compute once, persist (or write partitioned by `bucket`), and
+    serve every query from the pruned bucket — 1/2^n_planes of the data.
+    """
+    return embeddings.withColumn(
+        "bucket", srp_bucket_expr(_as_double(F.col("embedding")), n_planes, seed)
+    )
 
 
 def ann_lsh_topk(
@@ -85,18 +112,15 @@ def ann_lsh_topk(
     query_vec_id: int = 0,
     k: int = 10,
     n_planes: int = 6,
+    bucketed: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection bucketing.
 
-    At scale the bucket column is precomputed and partitioned-by; a query
-    touches only its own bucket (1/2^n_planes of the data).  Recall is traded
-    via n_planes; exactness is the cosine_topk baseline.
+    Pass ``bucketed=srp_buckets(embeddings, n_planes)`` (persisted) to reuse
+    the projection across queries; recall is traded via n_planes; exactness
+    is the cosine_topk baseline.  Plan construction launches no Spark job.
     """
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    planes = _fixed_planes(dim, n_planes)
-    with_bucket = embeddings.withColumn(
-        "bucket", _srp_bucket(_as_double(F.col("embedding")), planes)
-    )
+    with_bucket = bucketed if bucketed is not None else srp_buckets(embeddings, n_planes)
     qrow = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
         _as_double(F.col("embedding")).alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -113,14 +137,26 @@ def ann_lsh_topk(
     )
 
 
-def embedding_cosine_dedup(embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 4) -> DataFrame:
-    """Embedding near-duplicate pairs: SRP-bucketed candidate join + cosine verify."""
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    planes = _fixed_planes(dim, n_planes, seed=7)
+def embedding_cosine_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: SRP-bucketed candidate join + cosine verify.
+
+    Buckets are capped at max_bucket_size members (deterministic by vec_id)
+    so a degenerate all-similar corpus cannot trigger a quadratic bucket join.
+    """
     wb = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v"),
-        _srp_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        srp_bucket_expr(_as_double(F.col("embedding")), n_planes, seed=7).alias("bucket"),
     )
+    cap_w = Window.partitionBy("bucket").orderBy("vec_id")
+    wb = wb.withColumn("_rn", F.row_number().over(cap_w)).filter(
+        F.col("_rn") <= max_bucket_size
+    ).drop("_rn")
     pairs = (
         wb.alias("a")
         .join(wb.alias("b"), "bucket")

@@ -33,14 +33,28 @@ def _progress_path(out_dir: str) -> Path:
     return Path(out_dir) / "_progress"
 
 
-def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
-    """Buckets recorded as committed in the progress log."""
+def completed_buckets(
+    spark: SparkSession, out_dir: str, n_buckets: Optional[int] = None
+) -> set[int]:
+    """Buckets recorded as committed in the progress log.
+
+    When n_buckets is given, raise on a mismatch with the recorded runs: a
+    different bucket count changes the pmod assignment, so resuming against
+    old committed bucket dirs would silently double-process or miss rows.
+    """
     p = _progress_path(out_dir)
     if not p.is_dir() or not any(p.glob("*.json")):
         return set()
     done = set()
     for f in sorted(p.glob("*.json")):
         rec = json.loads(f.read_text())
+        recorded = rec.get("n_buckets")
+        if n_buckets is not None and recorded is not None and recorded != n_buckets:
+            raise ValueError(
+                f"checkpoint at {out_dir} was written with n_buckets={recorded}; "
+                f"resuming with n_buckets={n_buckets} would corrupt bucket "
+                "assignment — use the original value or a fresh out_dir"
+            )
         done.add(rec["bucket"])
     return done
 
@@ -69,7 +83,7 @@ def run_checkpointed(
     cluster width; a killed job resumes at the first uncommitted bucket.
     """
     bucketed = pages.withColumn("_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
-    done = completed_buckets(spark, out_dir)
+    done = completed_buckets(spark, out_dir, n_buckets=n_buckets)
     todo = [b for b in range(n_buckets) if b not in done]
     rows_out = 0
     waves = 0
@@ -92,6 +106,7 @@ def run_checkpointed(
                 out_dir,
                 b,
                 {
+                    "n_buckets": n_buckets,
                     "rows": stats["n"],
                     "errors": stats["ne"],
                     "wall_sec": round(time.perf_counter() - t0, 3),

@@ -1,0 +1,104 @@
+"""Driver-boundary contract guards.
+
+The correctness driver canonicalizes query output with a pandas sort over all
+columns — array/map cells crash it (round-1 lesson: 6 ERR rows).  These tests
+pin the contract: every queries() output schema is scalar-only, plan
+construction never launches a Spark job, and the near-dup operators have real
+near-dup semantics (not equality-only).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType
+
+import __spark_entry__ as entrymod
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_SMALL), reason="testdata not available"
+)
+
+
+def test_no_array_columns_in_any_query_output(spark):
+    """Driver canonicalizer contract: no array/map-typed output columns."""
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_SMALL)
+        arrays = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if arrays:
+            bad[name] = arrays
+    assert not bad, f"array-typed output columns would crash the driver: {bad}"
+
+
+def test_entry_schema_scalar_only(spark):
+    df = entrymod.entry(spark)
+    assert not any(isinstance(f.dataType, (ArrayType, MapType)) for f in df.schema.fields)
+
+
+def test_plan_construction_launches_no_job(spark):
+    """ann_lsh_topk/embedding_cosine_dedup must not run driver-side jobs
+    while building the plan (round-1: a .first() to learn the embedding dim).
+
+    A mapInPandas source that raises on execution proves it: if plan
+    construction evaluated anything, these calls would throw.
+    """
+    from docling_core_spark.operators import similarity
+
+    def boom(_batches):
+        raise RuntimeError("plan construction must not execute the source")
+        yield  # pragma: no cover
+
+    src = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    poisoned = src.mapInPandas(boom, schema=src.schema)
+    similarity.ann_lsh_topk(poisoned)  # no .collect(): plan only
+    similarity.embedding_cosine_dedup(poisoned)
+    similarity.srp_buckets(poisoned)
+
+
+def test_simhash_pairs_docs_differing_by_one_token(spark):
+    """Hamming<=3 banding must pair near-identical docs, not just identical."""
+    from docling_core_spark.operators.dedup import simhash_duplicates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "jackdaws love my big sphinx of quartz and zebras vex badly "
+        "judging waltz nymphs for quick bright vows"
+    )
+    variant = base.replace("seventeen", "eighteen")
+    unrelated = (
+        "completely different subject matter entirely about spark catalyst "
+        "optimizer plans shuffles partitions executors broadcast joins and "
+        "adaptive query execution at terabyte scale"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, unrelated)], ["doc_id", "text"]
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_duplicates(docs).collect()}
+    assert (1, 2) in pairs, f"near-identical docs not paired: {pairs}"
+    assert pairs[(1, 2)] > 0, "expected a nonzero Hamming distance (true near-dup)"
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_lsh_bucket_cap_survives_degenerate_input(spark):
+    """All-identical corpus: the capped bucket join must stay bounded and run."""
+    from docling_core_spark.operators.dedup import minhash_lsh_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate page content repeated forever across the corpus")
+         for i in range(300)],
+        ["doc_id", "text"],
+    )
+    n = minhash_lsh_duplicates(docs, max_bucket_size=16).count()
+    # 16-member cap per bucket -> at most C(16,2) pairs per band bucket
+    assert 0 < n <= 8 * 120
