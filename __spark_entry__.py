@@ -3,9 +3,12 @@
 entry(spark)   — flagship extraction pipeline at sf0.001 (web pages ->
                  parse -> markdown + chunks).
 queries()      — operator inventory per SURVEY.md §2 + training-data ops.
-oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query; the
-                 extraction-path queries (HTML parse inside) register
-                 rows-only by design.
+oracle_sql()   — a DuckDB oracle for (almost) every query: ANSI SQL over the
+                 table views where expressible; for the extraction/media
+                 queries a single-process-expected parquet built by re-running
+                 the same pure-python row code without Spark (see
+                 docling_core_spark/oracle_expected.py) — verifying
+                 distributed == single-process per url.
 """
 
 from __future__ import annotations
@@ -97,12 +100,15 @@ def _media(spark: SparkSession, op: str) -> DataFrame:
     if op == "meta":
         return image_metadata(media).orderBy("media_id")
     if op == "features":
-        return (
-            image_features(media)
-            .withColumn("embedding", F.to_json("embedding"))
-            .orderBy("media_id")
-        )
-    return sample_video_frames(media).orderBy("media_id", "frame_idx")
+        # as_json: the vector is serialized python-side inside the UDF, so the
+        # single-process oracle produces the identical string representation
+        return image_features(media, as_json=True).orderBy("media_id")
+    return (
+        sample_video_frames(media)
+        .withColumn("frame_hex", F.hex("frame"))
+        .drop("frame")
+        .orderBy("media_id", "frame_idx")
+    )
 
 
 def _docops(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
@@ -221,10 +227,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for each SQL-expressible query."""
+    """DuckDB oracle SQL for each checked query.
+
+    Two oracle families:
+    - ANSI-SQL oracles: the query semantics re-expressed in DuckDB SQL over
+      the pre-registered table views.
+    - single-process-expected oracles: the extraction/media queries are not
+      SQL-expressible (HTML parse inside), so the oracle is the SAME pure
+      python row code run single-process over the same deterministic input,
+      materialized to parquet and read back via read_parquet — verifying
+      distributed == single-process per url, the north-rule invariant.
+    """
     from docling_core_spark.operators import dedup, profile, relational, similarity, textstats
+    from docling_core_spark.oracle_expected import ensure_expected
+
+    oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    expected = ensure_expected(oracle_sf)
 
     return {
+        **expected,
         "language_id": textstats.language_id_sql(),
         "quality_scores": textstats.quality_scores_sql(),
         "token_counts": textstats.token_counts_sql(),

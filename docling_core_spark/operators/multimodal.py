@@ -16,6 +16,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import json
 import struct
 from typing import Callable, Iterator, Optional
 
@@ -102,30 +103,33 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
+def image_meta_row(media_id: str, data: Optional[bytes]) -> dict:
+    """Pure row-level metadata decode (shared by the UDF and the single-
+    process oracle builder so distributed == single-process by construction)."""
+    data = bytes(data) if data is not None else b""
+    row = {
+        "media_id": media_id,
+        "n_bytes": len(data),
+        "sha256": hashlib.sha256(data).hexdigest(),
+        "width": None,
+        "height": None,
+        "format": None,
+        "n_channels": None,
+        "error": None,
+    }
+    try:
+        row.update(_DECODERS["image_decode"](data))
+    except Exception as err:  # noqa: BLE001
+        row["error"] = f"{type(err).__name__}: {err}"[:200]
+    return row
+
+
 def image_metadata(media: DataFrame, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
     """Decode image headers into typed metadata (map-only, per-row isolation)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _DECODERS["image_decode"]
         for pdf in batches:
-            out = []
-            for mid, data in zip(pdf[id_col], pdf[data_col]):
-                data = bytes(data) if data is not None else b""
-                row = {
-                    "media_id": mid,
-                    "n_bytes": len(data),
-                    "sha256": hashlib.sha256(data).hexdigest(),
-                    "width": None,
-                    "height": None,
-                    "format": None,
-                    "n_channels": None,
-                    "error": None,
-                }
-                try:
-                    row.update(decode(data))
-                except Exception as err:  # noqa: BLE001
-                    row["error"] = f"{type(err).__name__}: {err}"[:200]
-                out.append(row)
+            out = [image_meta_row(mid, data) for mid, data in zip(pdf[id_col], pdf[data_col])]
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
     return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=IMAGE_META_SCHEMA)
@@ -146,24 +150,50 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+IMAGE_FEATURES_JSON_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("embedding", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def image_features_row(media_id: str, data: Optional[bytes], dim: int, as_json: bool) -> dict:
+    """Pure row-level feature extraction (shared with the oracle builder)."""
+    try:
+        emb = _DECODERS["image_features"](bytes(data) if data is not None else b"", dim)
+        if as_json:
+            emb = json.dumps(emb, separators=(",", ":"))
+        return {"media_id": media_id, "embedding": emb, "error": None}
+    except Exception as err:  # noqa: BLE001
+        return {"media_id": media_id, "embedding": None, "error": str(err)[:200]}
+
+
 def image_features(
-    media: DataFrame, dim: int = 16, id_col: str = "media_id", data_col: str = "data"
+    media: DataFrame,
+    dim: int = 16,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    as_json: bool = False,
 ) -> DataFrame:
-    """Per-image feature vector (Arrow-batched; swap the stub for a model)."""
+    """Per-image feature vector (Arrow-batched; swap the stub for a model).
+
+    as_json=True serializes the vector to a JSON string *inside the UDF*
+    (python formatting on both the distributed and the single-process-oracle
+    side) — the scalar driver-boundary form.
+    """
+    schema = IMAGE_FEATURES_JSON_SCHEMA if as_json else IMAGE_FEATURES_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        feats = _DECODERS["image_features"]
         for pdf in batches:
-            out = []
-            for mid, data in zip(pdf[id_col], pdf[data_col]):
-                try:
-                    emb = feats(bytes(data) if data is not None else b"", dim)
-                    out.append({"media_id": mid, "embedding": emb, "error": None})
-                except Exception as err:  # noqa: BLE001
-                    out.append({"media_id": mid, "embedding": None, "error": str(err)[:200]})
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+            out = [
+                image_features_row(mid, data, dim, as_json)
+                for mid, data in zip(pdf[id_col], pdf[data_col])
+            ]
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
-    return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=schema)
 
 
 FRAME_SCHEMA = StructType(
@@ -174,6 +204,26 @@ FRAME_SCHEMA = StructType(
         StructField("frame", BinaryType()),
     ]
 )
+
+
+def iter_video_frames(
+    media_id: str, data: Optional[bytes], max_frames: int = 8, fps: float = 30.0
+) -> Iterator[dict]:
+    """Pure row-level uniform frame sampling (shared with the oracle builder)."""
+    data = bytes(data) if data is not None else b""
+    try:
+        n = _DECODERS["video_frame_count"](data)
+    except Exception:  # noqa: BLE001
+        return
+    take = min(max_frames, n)
+    for k in range(take):
+        frame_idx = (k * n) // take
+        yield {
+            "media_id": media_id,
+            "frame_idx": frame_idx,
+            "ts_ms": int(frame_idx * 1000 / fps),
+            "frame": hashlib.sha256(data + frame_idx.to_bytes(4, "little")).digest(),
+        }
 
 
 def sample_video_frames(
@@ -190,33 +240,21 @@ def sample_video_frames(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        count_frames = _DECODERS["video_frame_count"]
         for pdf in batches:
             out = []
             for mid, data in zip(pdf[id_col], pdf[data_col]):
-                data = bytes(data) if data is not None else b""
-                try:
-                    n = count_frames(data)
-                except Exception:  # noqa: BLE001
-                    continue
-                take = min(max_frames, n)
-                for k in range(take):
-                    frame_idx = (k * n) // take
-                    out.append(
-                        {
-                            "media_id": mid,
-                            "frame_idx": frame_idx,
-                            "ts_ms": int(frame_idx * 1000 / fps),
-                            "frame": hashlib.sha256(data + frame_idx.to_bytes(4, "little")).digest(),
-                        }
-                    )
+                out.extend(iter_video_frames(mid, data, max_frames, fps))
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic opaque-binary media table for tests/benchmarks."""
+    """Deterministic opaque-binary media table for tests/benchmarks.
+
+    Must stay in lockstep with synthetic_media_rows() (the pure-python twin
+    used by the single-process oracle builder).
+    """
     from pyspark.sql import functions as F
 
     base = spark.range(n).select(
@@ -231,3 +269,13 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
             "utf-8",
         ).alias("data"),
     )
+
+
+def synthetic_media_rows(n: int = 100, seed: int = 42) -> Iterator[dict]:
+    """Pure-python twin of synthetic_media_df (sha2/crc32 match Spark's)."""
+    import zlib
+
+    for i in range(n):
+        hexd = hashlib.sha256(f"{seed}{i}".encode()).hexdigest()
+        reps = zlib.crc32(hexd.encode()) % 64 + 1
+        yield {"media_id": f"media-{i}", "data": (hexd * reps).encode()}

@@ -1,0 +1,328 @@
+"""Single-process expected-result builder for the DuckDB correctness oracle.
+
+The extraction-path queries (HTML parse inside) are not ANSI-SQL-expressible,
+so round 1 left them as weak rows-only checks.  This module closes that hole:
+it re-runs the SAME pure-python row functions the Spark UDFs execute —
+single-process, no Spark — over the deterministic synthetic inputs, writes
+the expected outputs as parquet under a digest-keyed cache dir, and the
+oracle SQL becomes ``SELECT ... FROM read_parquet('<path>')``.
+
+What this verifies: the distributed plan (skew split, Arrow batching,
+mapInPandas plumbing, per-row isolation, Spark-side projections/aggregations)
+produces byte-identical values to a single-process reference run — the same
+invariant the north rule states per url.
+
+Cache key = sha256(package sources) + sf dir, so stale expectations can never
+leak across code edits.  Building sf0.01 takes a few seconds, once.
+"""
+
+from __future__ import annotations
+
+import decimal
+import hashlib
+import json
+import os
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_PKG_ROOT = Path(__file__).resolve().parent
+
+
+def package_digest() -> str:
+    """Content digest over every package source file."""
+    h = hashlib.sha256()
+    for p in sorted(_PKG_ROOT.rglob("*.py")):
+        h.update(str(p.relative_to(_PKG_ROOT)).encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:16]
+
+
+def expected_dir(sf_dir: str) -> Path:
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    return Path(tempfile.gettempdir()) / f"docling_expected_{sf_name}_{package_digest()}"
+
+
+def _round_half_up(x: Optional[float], digits: int = 4) -> Optional[float]:
+    """Mirror Spark's F.round (BigDecimal HALF_UP on the shortest repr)."""
+    if x is None:
+        return None
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+
+def _percentile(sorted_vals: list[float], q: float) -> float:
+    """Linear-interpolated percentile, same definition as Spark percentile()
+    and DuckDB quantile_cont (index = q*(n-1))."""
+    n = len(sorted_vals)
+    idx = q * (n - 1)
+    lo = int(idx)
+    hi = min(lo + 1, n - 1)
+    frac = idx - lo
+    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+
+
+def _json_arr(values) -> Optional[str]:
+    """Match Spark's to_json on an array<string> column."""
+    if values is None:
+        return None
+    return json.dumps(list(values), ensure_ascii=False, separators=(",", ":"))
+
+
+def _write(path: Path, rows: list[dict], schema: pa.Schema) -> None:
+    table = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(table, path)
+
+
+_S = pa.string()
+_I32 = pa.int32()
+_I64 = pa.int64()
+_F64 = pa.float64()
+
+
+def _build_extraction(sf_dir: str, out: Path) -> None:
+    import pyarrow.parquet as _pq
+
+    from docling_core_spark.functions.chunkers import page_chunks, profile_doc
+    from docling_core_spark.model.doc import Doc
+    from docling_core_spark.model.transform import concatenate
+    from docling_core_spark.operators.docops import PROFILE_FIELDS
+    from docling_core_spark.operators.extract import extract_row
+    from docling_core_spark.sources.web_pages import synth_rows
+
+    docs_tbl = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pylist()
+    pages = synth_rows(
+        [r["doc_id"] for r in docs_tbl],
+        [r["text"] for r in docs_tbl],
+        [r["lang"] for r in docs_tbl],
+    )
+
+    md_rows, txt_rows, html_rows, dt_rows = [], [], [], []
+    chunk_rows, prof_rows, page_chunk_rows, ref_prof_rows = [], [], [], []
+    by_lang: dict[str, list[tuple[str, Doc]]] = {}
+    n_texts_all: list[int] = []
+    totals = {"texts": 0, "tables": 0, "pictures": 0, "chunks": 0}
+
+    for page in pages:
+        r = extract_row(
+            page["url"],
+            page["html"],
+            page["lang"],
+            chunker="hybrid",
+            emit_doc_json=True,
+            emit_html=True,
+            emit_doctags=True,
+        )
+        url = r["url"]
+        md_rows.append(
+            {
+                "url": url,
+                "lang": r["lang"],
+                "markdown": r["markdown"],
+                "n_texts": r["n_texts"],
+                "n_tables": r["n_tables"],
+                "n_pictures": r["n_pictures"],
+            }
+        )
+        txt_rows.append({"url": url, "plain_text": r["plain_text"]})
+        html_rows.append(
+            {"url": url, "html_out_len": len(r["html_out"]), "html_out": r["html_out"]}
+        )
+        dt_rows.append(
+            {"url": url, "doctags_len": len(r["doctags"]), "doctags": r["doctags"]}
+        )
+        for c in r["chunks"]:
+            chunk_rows.append(
+                {
+                    "url": url,
+                    "lang": r["lang"],
+                    "chunk_idx": c["chunk_idx"],
+                    "text": c["text"],
+                    "headings": _json_arr(c["headings"]),
+                    "doc_item_refs": _json_arr(c["doc_item_refs"]),
+                    "n_tokens": c["n_tokens"],
+                }
+            )
+        prof_rows.append(
+            {
+                "url": url,
+                "n_texts": r["n_texts"],
+                "n_tables": r["n_tables"],
+                "n_pictures": r["n_pictures"],
+                "n_groups": r["n_groups"],
+                "n_chunks": len(r["chunks"]),
+            }
+        )
+        n_texts_all.append(r["n_texts"])
+        totals["texts"] += r["n_texts"]
+        totals["tables"] += r["n_tables"]
+        totals["pictures"] += r["n_pictures"]
+        totals["chunks"] += len(r["chunks"])
+
+        # docops paths run over the doc_json column exactly like the operators
+        doc = Doc.from_json(r["doc_json"])
+        for c in page_chunks(doc):
+            page_chunk_rows.append(
+                {
+                    "url": url,
+                    "page_no": c.get("page_no"),
+                    "text": c["text"],
+                    "doc_item_refs": _json_arr([it["self_ref"] for it in c["doc_items"]]),
+                }
+            )
+        p = profile_doc(doc)
+        ref_prof_rows.append({"url": url, **{k: p[k] for k in PROFILE_FIELDS}})
+        by_lang.setdefault(r["lang"], []).append((url, doc))
+
+    _write(
+        out / "extract_markdown.parquet",
+        md_rows,
+        pa.schema(
+            [("url", _S), ("lang", _S), ("markdown", _S), ("n_texts", _I32),
+             ("n_tables", _I32), ("n_pictures", _I32)]
+        ),
+    )
+    _write(out / "extract_plain_text.parquet", txt_rows,
+           pa.schema([("url", _S), ("plain_text", _S)]))
+    _write(out / "extract_html.parquet", html_rows,
+           pa.schema([("url", _S), ("html_out_len", _I32), ("html_out", _S)]))
+    _write(out / "extract_doctags.parquet", dt_rows,
+           pa.schema([("url", _S), ("doctags_len", _I32), ("doctags", _S)]))
+    _write(
+        out / "extract_chunks.parquet",
+        chunk_rows,
+        pa.schema(
+            [("url", _S), ("lang", _S), ("chunk_idx", _I32), ("text", _S),
+             ("headings", _S), ("doc_item_refs", _S), ("n_tokens", _I32)]
+        ),
+    )
+    _write(
+        out / "extract_doc_profile.parquet",
+        prof_rows,
+        pa.schema(
+            [("url", _S), ("n_texts", _I32), ("n_tables", _I32),
+             ("n_pictures", _I32), ("n_groups", _I32), ("n_chunks", _I32)]
+        ),
+    )
+
+    n = len(n_texts_all)
+    svals = sorted(float(v) for v in n_texts_all)
+    coll = {
+        "n_docs": n,
+        "total_texts": totals["texts"],
+        "total_tables": totals["tables"],
+        "total_pictures": totals["pictures"],
+        "total_chunks": totals["chunks"],
+        "avg_texts": _round_half_up(totals["texts"] / n),
+    }
+    for d in range(1, 10):
+        coll[f"texts_p{d * 10}"] = _round_half_up(_percentile(svals, d / 10))
+    _write(
+        out / "extract_collection_profile.parquet",
+        [coll],
+        pa.schema(
+            [("n_docs", _I64), ("total_texts", _I64), ("total_tables", _I64),
+             ("total_pictures", _I64), ("total_chunks", _I64), ("avg_texts", _F64)]
+            + [(f"texts_p{d * 10}", _F64) for d in range(1, 10)]
+        ),
+    )
+    _write(
+        out / "doc_page_chunks.parquet",
+        page_chunk_rows,
+        pa.schema([("url", _S), ("page_no", _I32), ("text", _S), ("doc_item_refs", _S)]),
+    )
+    _write(
+        out / "doc_profile_reference.parquet",
+        ref_prof_rows,
+        pa.schema([("url", _S)] + [(f, _I32) for f in PROFILE_FIELDS]),
+    )
+
+    concat_rows = []
+    for lang in sorted(by_lang):
+        members = sorted(by_lang[lang], key=lambda t: t[0])
+        merged = concatenate([d for _, d in members])
+        concat_rows.append(
+            {"group_key": lang, "doc_json": merged.to_json(), "n_docs": len(members)}
+        )
+    _write(
+        out / "doc_concatenate_by_lang.parquet",
+        concat_rows,
+        pa.schema([("group_key", _S), ("doc_json", _S), ("n_docs", _I32)]),
+    )
+
+
+def _build_media(out: Path, n: int = 200) -> None:
+    from docling_core_spark.operators.multimodal import (
+        image_features_row,
+        image_meta_row,
+        iter_video_frames,
+        synthetic_media_rows,
+    )
+
+    meta_rows, feat_rows, frame_rows = [], [], []
+    for m in synthetic_media_rows(n=n):
+        meta_rows.append(image_meta_row(m["media_id"], m["data"]))
+        feat_rows.append(image_features_row(m["media_id"], m["data"], dim=16, as_json=True))
+        for fr in iter_video_frames(m["media_id"], m["data"]):
+            frame_rows.append(
+                {
+                    "media_id": fr["media_id"],
+                    "frame_idx": fr["frame_idx"],
+                    "ts_ms": fr["ts_ms"],
+                    "frame_hex": fr["frame"].hex().upper(),
+                }
+            )
+    _write(
+        out / "media_image_metadata.parquet",
+        meta_rows,
+        pa.schema(
+            [("media_id", _S), ("n_bytes", _I64), ("sha256", _S), ("width", _I32),
+             ("height", _I32), ("format", _S), ("n_channels", _I32), ("error", _S)]
+        ),
+    )
+    _write(out / "media_image_features.parquet", feat_rows,
+           pa.schema([("media_id", _S), ("embedding", _S), ("error", _S)]))
+    _write(
+        out / "media_video_frames.parquet",
+        frame_rows,
+        pa.schema([("media_id", _S), ("frame_idx", _I32), ("ts_ms", _I64), ("frame_hex", _S)]),
+    )
+
+
+EXPECTED_QUERIES = {
+    "extract_markdown": "ORDER BY url",
+    "extract_plain_text": "ORDER BY url",
+    "extract_html": "ORDER BY url",
+    "extract_doctags": "ORDER BY url",
+    "extract_chunks": "ORDER BY url, chunk_idx",
+    "extract_doc_profile": "ORDER BY url",
+    "extract_collection_profile": "",
+    "doc_page_chunks": "ORDER BY url, page_no",
+    "doc_profile_reference": "ORDER BY url",
+    "doc_concatenate_by_lang": "ORDER BY group_key",
+    "media_image_metadata": "ORDER BY media_id",
+    "media_image_features": "ORDER BY media_id",
+    "media_video_frames": "ORDER BY media_id, frame_idx",
+}
+
+
+def ensure_expected(sf_dir: str) -> dict[str, str]:
+    """Build (if absent) and return {query_name: oracle SQL} for the
+    single-process-expected queries at sf_dir."""
+    out = expected_dir(sf_dir)
+    marker = out / "_complete"
+    if not marker.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        _build_extraction(sf_dir, out)
+        _build_media(out)
+        marker.write_text("ok")
+    sqls = {}
+    for name, order in EXPECTED_QUERIES.items():
+        path = out / f"{name}.parquet"
+        sqls[name] = f"SELECT * FROM read_parquet('{path}') {order}".strip()
+    return sqls
