@@ -103,9 +103,10 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
-def image_meta_row(media_id: str, data: Optional[bytes]) -> dict:
+def image_meta_row(media_id: str, data: Optional[bytes], decode: Optional[Callable] = None) -> dict:
     """Pure row-level metadata decode (shared by the UDF and the single-
     process oracle builder so distributed == single-process by construction)."""
+    decode = decode or _DECODERS["image_decode"]
     data = bytes(data) if data is not None else b""
     row = {
         "media_id": media_id,
@@ -118,7 +119,7 @@ def image_meta_row(media_id: str, data: Optional[bytes]) -> dict:
         "error": None,
     }
     try:
-        row.update(_DECODERS["image_decode"](data))
+        row.update(decode(data))
     except Exception as err:  # noqa: BLE001
         row["error"] = f"{type(err).__name__}: {err}"[:200]
     return row
@@ -127,9 +128,15 @@ def image_meta_row(media_id: str, data: Optional[bytes]) -> dict:
 def image_metadata(media: DataFrame, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
     """Decode image headers into typed metadata (map-only, per-row isolation)."""
 
+    decode = _DECODERS["image_decode"]  # captured at plan time: set_decoders
+    # swaps on the driver must reach executors via the serialized closure
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [image_meta_row(mid, data) for mid, data in zip(pdf[id_col], pdf[data_col])]
+            out = [
+                image_meta_row(mid, data, decode)
+                for mid, data in zip(pdf[id_col], pdf[data_col])
+            ]
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
     return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=IMAGE_META_SCHEMA)
@@ -159,10 +166,13 @@ IMAGE_FEATURES_JSON_SCHEMA = StructType(
 )
 
 
-def image_features_row(media_id: str, data: Optional[bytes], dim: int, as_json: bool) -> dict:
+def image_features_row(
+    media_id: str, data: Optional[bytes], dim: int, as_json: bool, feats: Optional[Callable] = None
+) -> dict:
     """Pure row-level feature extraction (shared with the oracle builder)."""
+    feats = feats or _DECODERS["image_features"]
     try:
-        emb = _DECODERS["image_features"](bytes(data) if data is not None else b"", dim)
+        emb = feats(bytes(data) if data is not None else b"", dim)
         if as_json:
             emb = json.dumps(emb, separators=(",", ":"))
         return {"media_id": media_id, "embedding": emb, "error": None}
@@ -185,10 +195,12 @@ def image_features(
     """
     schema = IMAGE_FEATURES_JSON_SCHEMA if as_json else IMAGE_FEATURES_SCHEMA
 
+    feats = _DECODERS["image_features"]  # captured at plan time (see above)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                image_features_row(mid, data, dim, as_json)
+                image_features_row(mid, data, dim, as_json, feats)
                 for mid, data in zip(pdf[id_col], pdf[data_col])
             ]
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
@@ -207,12 +219,17 @@ FRAME_SCHEMA = StructType(
 
 
 def iter_video_frames(
-    media_id: str, data: Optional[bytes], max_frames: int = 8, fps: float = 30.0
+    media_id: str,
+    data: Optional[bytes],
+    max_frames: int = 8,
+    fps: float = 30.0,
+    count_frames: Optional[Callable] = None,
 ) -> Iterator[dict]:
     """Pure row-level uniform frame sampling (shared with the oracle builder)."""
+    count_frames = count_frames or _DECODERS["video_frame_count"]
     data = bytes(data) if data is not None else b""
     try:
-        n = _DECODERS["video_frame_count"](data)
+        n = count_frames(data)
     except Exception:  # noqa: BLE001
         return
     take = min(max_frames, n)
@@ -239,11 +256,13 @@ def sample_video_frames(
     explode shape (bounded fan-out max_frames) is the real contract.
     """
 
+    count_frames = _DECODERS["video_frame_count"]  # captured at plan time
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, data in zip(pdf[id_col], pdf[data_col]):
-                out.extend(iter_video_frames(mid, data, max_frames, fps))
+                out.extend(iter_video_frames(mid, data, max_frames, fps, count_frames))
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.select(F_col(id_col), F_col(data_col)).mapInPandas(run, schema=FRAME_SCHEMA)

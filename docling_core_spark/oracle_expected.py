@@ -256,6 +256,156 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
     )
 
 
+def _norm_words(text: str) -> list[str]:
+    """Mirror NORM + trim + split in operators/dedup.py (spaces only: the
+    regexp class removes every other whitespace char first)."""
+    import re
+
+    normed = re.sub(r"[^a-z0-9 ]", "", (text or "").lower())
+    return re.split(r"\s+", normed.strip(" "))
+
+
+def _shingles(words: list[str], n: int = 3) -> list[str]:
+    if len(words) < n:
+        return [" ".join(words)]
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return list(dict.fromkeys(grams))
+
+
+def _build_minhash(sf_dir: str, out: Path) -> None:
+    """Expected near-dup pairs: same MinHash+LSH algorithm, single-process,
+    using the pure-python Spark-compatible xxhash64."""
+    import pyarrow.parquet as _pq
+
+    from docling_core_spark.functions.xxhash import spark_xxhash64
+
+    num_hashes, bands, cap, threshold = 32, 8, 256, 0.8
+    rows_per_band = num_hashes // bands
+    docs = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+
+    hash_cache: dict[str, list[int]] = {}
+
+    def sh_hashes(s: str) -> list[int]:
+        if s not in hash_cache:
+            hash_cache[s] = [spark_xxhash64(s, i) for i in range(num_hashes)]
+        return hash_cache[s]
+
+    shingle_sets: dict[int, set[str]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for r in docs:
+        sh = _shingles(_norm_words(r["text"]))
+        shingle_sets[r["doc_id"]] = set(sh)
+        sig = [min(h[i] for h in map(sh_hashes, sh)) for i in range(num_hashes)]
+        for b in range(bands):
+            key = "_".join(str(v) for v in sig[b * rows_per_band : (b + 1) * rows_per_band])
+            buckets.setdefault((b, spark_xxhash64(key)), []).append(r["doc_id"])
+
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members = sorted(members)[:cap]
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cand.add((a, b) if a < b else (b, a))
+
+    rows = []
+    for a, b in sorted(cand):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        j = _round_half_up(len(sa & sb) / max(len(sa | sb), 1), 6)
+        if j >= threshold:
+            rows.append({"doc_a": a, "doc_b": b, "jaccard": j})
+    _write(
+        out / "dedup_minhash_lsh.parquet",
+        rows,
+        pa.schema([("doc_a", _I64), ("doc_b", _I64), ("jaccard", _F64)]),
+    )
+
+
+def _srp_weights(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    from docling_core_spark.functions.xxhash import spark_xxhash64
+
+    return [
+        [(spark_xxhash64(f"srp{seed}_{p}_{i}") % 1001) / 500.0 - 1.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _fold_dot(xs: list[float], ws: list[float]) -> float:
+    acc = 0.0
+    for x, w in zip(xs, ws):
+        acc = acc + x * w
+    return acc
+
+
+def _cosine(a: list[float], b: list[float]) -> float:
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dot / max(denom, 1e-12)
+
+
+def _srp_bucket(v: list[float], weights: list[list[float]]) -> int:
+    bucket = 0
+    for p, w in enumerate(weights):
+        if _fold_dot(v, w) > 0:
+            bucket += 1 << p
+    return bucket
+
+
+def _build_similarity(sf_dir: str, out: Path) -> None:
+    """Expected ANN top-k + embedding near-dup pairs (same SRP hyperplanes)."""
+    import pyarrow.parquet as _pq
+
+    emb = _pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    dim = len(next(iter(vecs.values())))
+
+    # ann_lsh_topk: n_planes=6, seed=42, query 0, k=10
+    w6 = _srp_weights(6, dim, 42)
+    b6 = {vid: _srp_bucket(v, w6) for vid, v in vecs.items()}
+    qv, qb = vecs[0], b6[0]
+    scored = [
+        {"vec_id": vid, "label": labels[vid], "cos_sim": _round_half_up(_cosine(vecs[vid], qv), 5)}
+        for vid in vecs
+        if vid != 0 and b6[vid] == qb
+    ]
+    scored.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
+    _write(
+        out / "similarity_ann_lsh.parquet",
+        scored[:10],
+        pa.schema([("vec_id", _I64), ("label", _I32), ("cos_sim", _F64)]),
+    )
+
+    # embedding_cosine_dedup: n_planes=4, seed=7, threshold=0.95, cap 1024
+    w4 = _srp_weights(4, dim, 7)
+    groups: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        groups.setdefault(_srp_bucket(v, w4), []).append(vid)
+    pairs = []
+    for members in groups.values():
+        members = sorted(members)[:1024]
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cs = _round_half_up(_cosine(vecs[a], vecs[b]), 5)
+                if cs >= 0.95:
+                    pairs.append({"vec_a": a, "vec_b": b, "cos_sim": cs})
+    pairs.sort(key=lambda r: (r["vec_a"], r["vec_b"]))
+    _write(
+        out / "embedding_cosine_dedup.parquet",
+        pairs,
+        pa.schema([("vec_a", _I64), ("vec_b", _I64), ("cos_sim", _F64)]),
+    )
+
+
 def _build_media(out: Path, n: int = 200) -> None:
     from docling_core_spark.operators.multimodal import (
         image_features_row,
@@ -295,6 +445,9 @@ def _build_media(out: Path, n: int = 200) -> None:
 
 
 EXPECTED_QUERIES = {
+    "dedup_minhash_lsh": "ORDER BY doc_a, doc_b",
+    "similarity_ann_lsh": "ORDER BY cos_sim DESC, vec_id ASC",
+    "embedding_cosine_dedup": "ORDER BY vec_a, vec_b",
     "extract_markdown": "ORDER BY url",
     "extract_plain_text": "ORDER BY url",
     "extract_html": "ORDER BY url",
@@ -320,6 +473,8 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         out.mkdir(parents=True, exist_ok=True)
         _build_extraction(sf_dir, out)
         _build_media(out)
+        _build_minhash(sf_dir, out)
+        _build_similarity(sf_dir, out)
         marker.write_text("ok")
     sqls = {}
     for name, order in EXPECTED_QUERIES.items():
