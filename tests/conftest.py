@@ -31,7 +31,7 @@ def load_gt(relpath: str) -> str:
 def load_doc_json(relpath: str) -> dict:
     p = require_ref_data() / relpath
     text = p.read_text(encoding="utf-8")
-    if relpath.endswith((".yaml", ".yml")):
+    if relpath.endswith((".yaml", ".yml", ".yaml.gt", ".yml.gt")):
         import yaml
 
         return yaml.safe_load(text)
