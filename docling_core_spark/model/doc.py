@@ -521,9 +521,31 @@ class Doc:
     # (De)serialization
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _normalize_refs(obj) -> None:
+        """Accept RefItem dicts serialized by field name instead of alias.
+
+        The reference RefItem declares ``cref: str = Field(alias="$ref")``
+        with populate_by_name, so documents dumped without by_alias carry
+        ``{"cref": ...}`` (e.g. the enriched-summary fixtures).  Normalize to
+        the aliased form once at load; exports always use ``$ref``, matching
+        the reference's by_alias dumps.
+        """
+        if isinstance(obj, dict):
+            if "cref" in obj and "$ref" not in obj and isinstance(obj["cref"], str):
+                obj["$ref"] = obj.pop("cref")
+            for v in obj.values():
+                if isinstance(v, (dict, list)):
+                    Doc._normalize_refs(v)
+        elif isinstance(obj, list):
+            for v in obj:
+                if isinstance(v, (dict, list)):
+                    Doc._normalize_refs(v)
+
     @classmethod
     def from_dict(cls, d: dict) -> "Doc":
         """Build from a DoclingDocument JSON dict (schema version 1.x)."""
+        cls._normalize_refs(d)
         doc = cls.__new__(cls)
         doc.schema_name = d.get("schema_name", "DoclingDocument")
         doc.version = d.get("version", CURRENT_VERSION)
