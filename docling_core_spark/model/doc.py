@@ -174,6 +174,30 @@ def _migrate_table_annotations(item: dict) -> None:
                 meta[key] = ann.get("content") if kind == "misc" else ann
 
 
+def parse_binary_hash(value) -> int:
+    """uint64 binary hash parse (reference common/origin.py:48-60).
+
+    Hex strings are converted and masked to 64 bits; ints pass through.
+    The value may exceed 2^63-1, so it must NEVER ride a Spark LongType
+    column — use binary_hash_column_value (string) in typed schemas.
+    """
+    if isinstance(value, str):
+        try:
+            return int(value, 16) & 0xFFFFFFFFFFFFFFFF
+        except ValueError:
+            raise ValueError(f"Invalid sha256 hexdigest: {value}") from None
+    return value
+
+
+def binary_hash_column_value(value) -> str:
+    """Driver/typed-column-safe form of a uint64 binary hash (decimal string).
+
+    Spark LongType is signed: a hash >= 2^63 silently corrupts (overflow or
+    null on cast).  Project hashes as string (or decimal(20,0)) columns.
+    """
+    return str(parse_binary_hash(value))
+
+
 def ref_of(item: dict) -> str:
     """Return the item's self reference string."""
     return item["self_ref"]
@@ -551,6 +575,8 @@ class Doc:
         doc.version = d.get("version", CURRENT_VERSION)
         doc.name = d.get("name", "document")
         doc.origin = d.get("origin")
+        if doc.origin and "binary_hash" in doc.origin:
+            doc.origin["binary_hash"] = parse_binary_hash(doc.origin["binary_hash"])
         doc.body = d.get("body") or {"self_ref": "#/body", "children": [], "content_layer": "body"}
         doc.furniture = d.get("furniture") or {
             "self_ref": "#/furniture",

@@ -33,3 +33,36 @@ def test_roundtrip_fixed_point(name):
     once = Doc.from_dict(json.loads(json.dumps(orig))).to_dict()
     twice = Doc.from_dict(json.loads(json.dumps(once))).to_dict()
     assert once == twice
+
+
+def test_uint64_binary_hash_roundtrip():
+    """Hashes above 2^63-1 must survive load/save (reference origin.py:48-60)."""
+    import json as _json
+
+    from docling_core_spark.model.doc import (
+        Doc,
+        binary_hash_column_value,
+        parse_binary_hash,
+    )
+
+    big = 16887312431371817791  # > 2^63, from the webvtt_example_01 fixture
+    doc = Doc.from_dict(
+        {
+            "name": "t",
+            "origin": {"mimetype": "text/html", "binary_hash": big, "filename": "t.html"},
+            "body": {"self_ref": "#/body", "children": [], "content_layer": "body"},
+        }
+    )
+    assert doc.origin["binary_hash"] == big
+    again = Doc.from_json(doc.to_json())
+    assert again.origin["binary_hash"] == big
+    assert _json.loads(doc.to_json())["origin"]["binary_hash"] == big
+
+    # hex form masks to 64 bits like the reference validator
+    h = "f" * 17  # 68 bits of ones
+    assert parse_binary_hash(h) == 0xFFFFFFFFFFFFFFFF
+    assert binary_hash_column_value(big) == str(big)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_binary_hash("not-hex")
