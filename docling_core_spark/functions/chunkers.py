@@ -16,6 +16,12 @@ Deviation ledger (vs reference, both due to unavailable third-party deps):
 - plain-text splitting: deterministic recursive splitter instead of
   ``semchunk`` (not installed); same contract (segments each within the token
   budget), not byte-identical segmentation.
+
+The table path is NOT a deviation: LineBasedTokenChunker below ports the
+reference line_chunker.py exactly (binary-searched token-limit split with
+word-boundary snap, repeated header prefix, overflow-prefix handling), so
+with a token-count-compatible tokenizer the table segmentation is
+byte-identical.
 """
 
 from __future__ import annotations
@@ -255,8 +261,158 @@ def contextualize(chunk: dict, delim: str = "\n") -> str:
 
 
 # ---------------------------------------------------------------------------
+# Line-based token chunker (reference line_chunker.py:20-340)
+# ---------------------------------------------------------------------------
+
+
+class LineBasedTokenChunker:
+    """Token-aware chunker that preserves line boundaries.
+
+    Faithful port of the reference semantics: lines stay intact unless a
+    single line exceeds the budget on its own; every chunk starts with the
+    repeated ``prefix`` (e.g. table header rows); an over-budget prefix is
+    split into standalone leading chunks; ``omit_prefix_on_overflow`` trades
+    prefix consistency for line integrity; oversized lines are split by a
+    binary-searched token limit with a word-boundary snap.
+    """
+
+    def __init__(self, tokenizer, prefix: str = "", omit_prefix_on_overflow: bool = False):
+        self.tokenizer = tokenizer
+        self.prefix = prefix
+        self.omit_prefix_on_overflow = omit_prefix_on_overflow
+        token_count = tokenizer.count_tokens(prefix) if prefix else 0
+        if prefix and token_count >= self.max_tokens:
+            # prefix cannot ride along: emit it as standalone leading chunks
+            self.prefix_chunks = LineBasedTokenChunker(tokenizer).chunk_text([prefix])
+            self.prefix_len = 0
+        else:
+            self.prefix_chunks = [prefix] if prefix else []
+            self.prefix_len = token_count
+
+    @property
+    def max_tokens(self) -> int:
+        """Chunk capacity as reported by the tokenizer."""
+        return self.tokenizer.get_max_tokens()
+
+    def split_by_token_limit(
+        self, text: str, token_limit: int, prefer_word_boundary: bool = True
+    ) -> tuple[str, str]:
+        """Split text into (head, tail): head holds at most token_limit tokens.
+
+        Binary search over character indices minimizes count_tokens calls;
+        with prefer_word_boundary the head snaps back to the last space when
+        one exists (reference line_chunker.py:284-340).
+        """
+        count = self.tokenizer.count_tokens
+        if token_limit <= 0 or not text:
+            return "", text
+        if count(text) <= token_limit:
+            return text, ""
+        lo, hi = 0, len(text)
+        best_idx = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if count(text[:mid]) <= token_limit:
+                best_idx = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best_idx is None or best_idx <= 0:
+            return "", text
+        if prefer_word_boundary:
+            last_space = text[:best_idx].rfind(" ")
+            if last_space > 0:
+                best_idx = last_space
+        return text[:best_idx], text[best_idx:]
+
+    def chunk_text(self, lines: list[str]) -> list[str]:
+        """Pack lines (with their terminators) into prefixed token-bounded chunks."""
+        count = self.tokenizer.count_tokens
+        chunks: list[str] = []
+
+        if self.prefix_chunks and self.prefix_len == 0:
+            chunks.extend(self.prefix_chunks)
+            current, current_len = "", 0
+        elif self.omit_prefix_on_overflow and self.prefix_len > 0 and lines:
+            if count(lines[0]) + self.prefix_len > self.max_tokens:
+                # first line would overflow with the prefix: keep the prefix
+                # visible as a standalone chunk, then go prefix-less
+                chunks.append(self.prefix)
+                current, current_len = "", 0
+            else:
+                current, current_len = self.prefix, self.prefix_len
+        else:
+            current, current_len = self.prefix, self.prefix_len
+
+        for line in lines:
+            remaining = line
+            while True:
+                line_tokens = count(remaining)
+                available = self.max_tokens - current_len
+
+                if line_tokens <= available:
+                    current += remaining
+                    current_len += line_tokens
+                    break
+
+                if line_tokens + self.prefix_len <= self.max_tokens:
+                    # fits a fresh (prefixed) chunk: flush and retry there
+                    chunks.append(current)
+                    if self.prefix_len > 0:
+                        current, current_len = self.prefix, self.prefix_len
+                    else:
+                        current, current_len = "", 0
+                    continue
+
+                if (
+                    self.omit_prefix_on_overflow
+                    and line_tokens <= self.max_tokens
+                    and self.prefix_len > 0
+                ):
+                    # dropping the prefix lets the line stay intact
+                    if current and current != self.prefix:
+                        chunks.append(current)
+                    current, current_len = "", 0
+                    continue
+
+                # too large even alone: split off what fits right here
+                take, remaining = self.split_by_token_limit(remaining, available)
+                if not take:
+                    # zero-progress guard: force a one-character split
+                    if remaining:
+                        take, remaining = remaining[0], remaining[1:]
+                    else:
+                        break
+                current += "\n" + take
+                current_len += count(take)
+                chunks.append(current)
+                if self.prefix_len > 0 and not self.omit_prefix_on_overflow:
+                    current, current_len = self.prefix, self.prefix_len
+                else:
+                    current, current_len = "", 0
+
+        if current and (self.prefix_len == 0 or current != self.prefix):
+            chunks.append(current)
+        return chunks
+
+
+# ---------------------------------------------------------------------------
 # Hybrid chunker (reference hybrid_chunker.py:55-394)
 # ---------------------------------------------------------------------------
+
+
+class _CappedTokenizer:
+    """Tokenizer view whose get_max_tokens reports an explicit cap."""
+
+    def __init__(self, inner, max_tokens: int):
+        self._inner = inner
+        self._max = max_tokens
+
+    def count_tokens(self, text: str) -> int:
+        return self._inner.count_tokens(text)
+
+    def get_max_tokens(self) -> int:
+        return self._max
 
 
 class HybridChunker:
@@ -277,6 +433,7 @@ class HybridChunker:
         always_emit_headings: bool = False,
         omit_header_on_overflow: bool = False,
         delim: str = "\n",
+        serializer_overrides: Optional[dict] = None,
     ):
         self.tokenizer = tokenizer if tokenizer is not None else RegexTokenizer(max_tokens or 512)
         self._max_tokens_override = max_tokens
@@ -285,6 +442,9 @@ class HybridChunker:
         self.always_emit_headings = always_emit_headings
         self.omit_header_on_overflow = omit_header_on_overflow
         self.delim = delim
+        # reference serializer_provider equivalent: e.g. table_mode="github"
+        # switches to markdown tables, activating real header repetition
+        self.serializer_overrides = serializer_overrides
 
     @property
     def max_tokens(self) -> int:
@@ -394,37 +554,6 @@ class HybridChunker:
             text[mid:], budget, level
         )
 
-    def _pack_table_lines(self, prefix: str, lines: list[str]) -> list[str]:
-        """Line-preserving packing with repeated prefix (line_chunker.py:20-340).
-
-        Overlong single lines are themselves split (the reference uses a
-        binary-searched token-limit split; we reuse the recursive splitter).
-        """
-        count = self.tokenizer.count_tokens
-        prefix_tokens = count(prefix) if prefix else 0
-        line_budget = max(1, self.max_tokens - prefix_tokens)
-        expanded: list[str] = []
-        for line in lines:
-            if count(line) > line_budget:
-                expanded.extend(self._split_text_recursive(line, line_budget))
-            else:
-                expanded.append(line)
-        segments: list[str] = []
-        cur = prefix
-        cur_has_body = False
-        for line in expanded:
-            cand = cur + line
-            if cur_has_body and count(cand) > self.max_tokens:
-                segments.append(cur.rstrip("\n"))
-                cur = (prefix if not self.omit_header_on_overflow else "") + line
-                cur_has_body = True
-            else:
-                cur = cand
-                cur_has_body = True
-        if cur_has_body and cur.strip():
-            segments.append(cur.rstrip("\n"))
-        return segments
-
     def _split_using_plain_text(self, chunk: dict, ser: DocSerializer) -> list[dict]:
         total = self._count_chunk_tokens(chunk)
         if total <= self.max_tokens:
@@ -443,7 +572,14 @@ class HybridChunker:
             else:
                 preamble = ""
             full_prefix = preamble + "".join(header_lines)
-            segments = self._pack_table_lines(full_prefix, body_lines)
+            # token-capped tokenizer view: the line chunker reads the budget
+            # from get_max_tokens, which may be overridden on this chunker
+            line_chunker = LineBasedTokenChunker(
+                _CappedTokenizer(self.tokenizer, self.max_tokens),
+                prefix=full_prefix,
+                omit_prefix_on_overflow=self.omit_header_on_overflow,
+            )
+            segments = line_chunker.chunk_text(body_lines)
             if preamble:
                 segments = segments[:1] + [s[len(preamble):] for s in segments[1:]]
         else:
@@ -494,7 +630,12 @@ class HybridChunker:
     def chunk(self, doc: Doc) -> list[dict]:
         """Chunk a document (hybrid pipeline)."""
         self._item_text_cache: dict[str, str] = {}
-        ser = _chunking_serializer(doc)
+        if self.serializer_overrides is not None:
+            ser = DocSerializer(
+                doc, MarkdownParams(**{**CHUNKING_OVERRIDES, **self.serializer_overrides})
+            )
+        else:
+            ser = _chunking_serializer(doc)
         res = list(hierarchical_chunks(doc, serializer=ser, always_emit_headings=self.always_emit_headings))
         res = [x for c in res for x in self._split_by_doc_items(c, ser)]
         res = [x for c in res for x in self._split_using_plain_text(c, ser)]

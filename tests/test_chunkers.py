@@ -182,3 +182,121 @@ def test_hybrid_table_header_repetition():
     header_line = md.splitlines()[0]
     for seg in out:
         assert seg["text"].splitlines()[0] == header_line
+
+
+# ---------------------------------------------------------------------------
+# LineBasedTokenChunker (exact port of reference line_chunker.py:20-340)
+# ---------------------------------------------------------------------------
+
+
+class _WordTok:
+    """Mock tokenizer: 1 token per whitespace-separated word."""
+
+    def __init__(self, max_tokens: int):
+        self._max = max_tokens
+
+    def count_tokens(self, text: str) -> int:
+        return len(text.split())
+
+    def get_max_tokens(self) -> int:
+        return self._max
+
+
+def test_line_chunker_packs_lines_with_prefix():
+    from docling_core_spark.functions.chunkers import LineBasedTokenChunker
+
+    ck = LineBasedTokenChunker(_WordTok(6), prefix="H1 H2\n")
+    lines = ["a b c\n", "d e\n", "f g h i\n"]
+    out = ck.chunk_text(lines)
+    # prefix(2)+line1(3)=5; line2 would make 7>6 -> flush; prefix+line2=4;
+    # line3(4) would make 8>6 -> flush; prefix+line3=6 fits exactly
+    assert out == ["H1 H2\na b c\n", "H1 H2\nd e\n", "H1 H2\nf g h i\n"]
+    assert all(c.startswith("H1 H2\n") for c in out)
+
+
+def test_line_chunker_splits_oversized_line_with_word_boundary():
+    from docling_core_spark.functions.chunkers import LineBasedTokenChunker
+
+    ck = LineBasedTokenChunker(_WordTok(4), prefix="")
+    out = ck.chunk_text(["w1 w2 w3 w4 w5 w6 w7"])
+    assert len(out) == 2
+    # every piece respects the budget and splits on a word boundary
+    assert all(len(c.split()) <= 4 for c in out)
+    assert "".join(out).replace("\n", " ").split() == [f"w{i}" for i in range(1, 8)]
+
+
+def test_line_chunker_split_by_token_limit_snaps_to_space():
+    from docling_core_spark.functions.chunkers import LineBasedTokenChunker
+
+    ck = LineBasedTokenChunker(_WordTok(100))
+    head, tail = ck.split_by_token_limit("alpha beta gamma delta", 2)
+    assert head == "alpha beta"
+    assert tail == " gamma delta"
+    head, tail = ck.split_by_token_limit("short", 2)
+    assert (head, tail) == ("short", "")
+    head, tail = ck.split_by_token_limit("anything", 0)
+    assert (head, tail) == ("", "anything")
+
+
+def test_line_chunker_prefix_longer_than_budget_is_standalone():
+    from docling_core_spark.functions.chunkers import LineBasedTokenChunker
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ck = LineBasedTokenChunker(_WordTok(3), prefix="p1 p2 p3 p4 p5\n")
+    assert ck.prefix_len == 0
+    out = ck.chunk_text(["a b\n"])
+    # prefix emitted as leading standalone chunks, then unprefixed content
+    assert out[-1] == "a b\n"
+    assert "".join(out[:-1]).replace("\n", " ").split() == ["p1", "p2", "p3", "p4", "p5"]
+
+
+def test_line_chunker_omit_prefix_on_overflow():
+    from docling_core_spark.functions.chunkers import LineBasedTokenChunker
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ck = LineBasedTokenChunker(
+            _WordTok(5), prefix="h1 h2\n", omit_prefix_on_overflow=True
+        )
+        # 4-word line fits alone (4 <= 5) but not with the 2-token prefix
+        out = ck.chunk_text(["w1 w2 w3 w4\n", "a b\n"])
+    assert out[0] == "h1 h2\n"  # prefix stays visible as its own chunk
+    assert out[1].startswith("w1 w2 w3 w4")
+
+
+def test_hybrid_table_split_repeats_header_exactly():
+    """Table rows overflow -> every segment re-carries the header rows."""
+    from docling_core_spark.functions.chunkers import HybridChunker
+    from docling_core_spark.model.doc import Doc
+
+    doc = Doc("t")
+    rows = [["h1", "h2"]] + [[f"r{i}a", f"r{i}b"] for i in range(12)]
+    cells = []
+    for i, row in enumerate(rows):
+        for j, txt in enumerate(row):
+            cells.append(
+                {
+                    "text": txt,
+                    "start_row_offset_idx": i,
+                    "end_row_offset_idx": i + 1,
+                    "start_col_offset_idx": j,
+                    "end_col_offset_idx": j + 1,
+                    "column_header": i == 0,
+                }
+            )
+    doc.add_table({"num_rows": len(rows), "num_cols": 2, "table_cells": cells})
+    # markdown-table chunking serializer (reference
+    # CompactMarkdownSerializerProvider equivalent) activates header repetition
+    chunks = HybridChunker(
+        tokenizer=_WordTok(30), serializer_overrides={"table_mode": "github"}
+    ).chunk(doc)
+    assert len(chunks) > 1
+    for c in chunks:
+        lines = c["text"].splitlines()
+        assert "h1" in lines[0] and "h2" in lines[0], c["text"][:120]
+        assert set(lines[1].replace("|", "").strip()) <= {"-", " "}  # separator row
