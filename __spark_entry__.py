@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_duplicates(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_duplicates(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dedup.duplicate_clusters(_docs(s, d)),
         # --- similarity search ---
         "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),

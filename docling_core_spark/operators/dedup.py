@@ -17,6 +17,8 @@ MinHash keeps JVM-side xxhash64 (faster) and registers rows-only.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 NORM = lambda c: F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")  # noqa: E731
@@ -163,6 +165,71 @@ def minhash_lsh_duplicates(
         .orderBy("doc_a", "doc_b")
     )
     return verified
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: Optional[DataFrame] = None,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph (cluster assignment).
+
+    The standard final step of corpus dedup: pairs -> components -> keep one
+    doc per component.  Implemented as distributed min-label propagation:
+    every node repeatedly adopts the smallest label among itself and its
+    neighbours; converges in O(component diameter) rounds (dup clusters are
+    near-cliques, so typically 2-3).  Each round is one join + one
+    hash-aggregate; the loop runs on the driver but every step is
+    distributed — at 10^12 rows this is the textbook iterative-join CC
+    (GraphX/large-star equivalent for small-diameter graphs).
+
+    Returns (doc_id, cluster_id, cluster_size) for every document that has at
+    least one duplicate, cluster_id = min doc_id of the component.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_duplicates(docs)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).cache()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def ngram_jaccard_pairs(

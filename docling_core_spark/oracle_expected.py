@@ -319,6 +319,34 @@ def _build_minhash(sf_dir: str, out: Path) -> None:
         pa.schema([("doc_a", _I64), ("doc_b", _I64), ("jaccard", _F64)]),
     )
 
+    # duplicate_clusters expected: union-find over the verified pair graph
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    cluster_rows = [
+        {"doc_id": node, "cluster_id": root, "cluster_size": len(nodes)}
+        for root, nodes in members.items()
+        for node in nodes
+    ]
+    cluster_rows.sort(key=lambda r: r["doc_id"])
+    _write(
+        out / "dedup_clusters.parquet",
+        cluster_rows,
+        pa.schema([("doc_id", _I64), ("cluster_id", _I64), ("cluster_size", _I64)]),
+    )
+
 
 def _srp_weights(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     from docling_core_spark.functions.xxhash import spark_xxhash64
@@ -446,6 +474,7 @@ def _build_media(out: Path, n: int = 200) -> None:
 
 EXPECTED_QUERIES = {
     "dedup_minhash_lsh": "ORDER BY doc_a, doc_b",
+    "dedup_clusters": "ORDER BY doc_id",
     "similarity_ann_lsh": "ORDER BY cos_sim DESC, vec_id ASC",
     "embedding_cosine_dedup": "ORDER BY vec_a, vec_b",
     "extract_markdown": "ORDER BY url",

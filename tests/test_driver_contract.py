@@ -102,3 +102,22 @@ def test_minhash_lsh_bucket_cap_survives_degenerate_input(spark):
     n = minhash_lsh_duplicates(docs, max_bucket_size=16).count()
     # 16-member cap per bucket -> at most C(16,2) pairs per band bucket
     assert 0 < n <= 8 * 120
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """Chain-shaped pair graph must collapse into one component (needs >1
+    label-propagation round), disjoint pairs stay separate clusters."""
+    from docling_core_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["doc_a", "doc_b"],
+    )
+    docs = spark.createDataFrame([(i, "x") for i in range(30)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in duplicate_clusters(docs, pairs=pairs).collect()}
+    assert {rows[i]["cluster_id"] for i in (1, 2, 3, 4)} == {1}
+    assert rows[1]["cluster_size"] == 4
+    assert rows[10]["cluster_id"] == 10 and rows[11]["cluster_id"] == 10
+    assert rows[20]["cluster_id"] == rows[22]["cluster_id"] == 20
+    assert rows[20]["cluster_size"] == 3
+    assert set(rows) == {1, 2, 3, 4, 10, 11, 20, 21, 22}  # singletons excluded
