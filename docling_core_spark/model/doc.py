@@ -397,14 +397,14 @@ class Doc:
         self,
         text: str,
         enumerated: bool = False,
-        marker: str = "-",
+        marker: Optional[str] = None,
         parent: Optional[dict] = None,
         **kw: Any,
     ) -> dict:
-        """Append a ListItem (reference document.py:1438; defaults text.py:141-146)."""
+        """Append a ListItem (reference document.py:1438-1480; marker or "")."""
         item = self.add_text(LIST_ITEM, text, parent=parent, **kw)
         item["enumerated"] = enumerated
-        item["marker"] = marker
+        item["marker"] = marker or ""
         return item
 
     def add_code(self, text: str, code_language: Optional[str] = None, **kw: Any) -> dict:
