@@ -145,6 +145,7 @@ def _extract_fmt(spark: SparkSession, sf_dir: str, col: str) -> DataFrame:
         emit_doc_json=False,
         emit_html=(col == "html_out"),
         emit_doctags=(col == "doctags"),
+        emit_doclang=(col == "doclang"),
     )
     return docs.select("url", F.length(col).alias(f"{col}_len"), col).orderBy("url")
 
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy("url"),
         "extract_html": lambda s, d: _extract_fmt(s, d, "html_out"),
         "extract_doctags": lambda s, d: _extract_fmt(s, d, "doctags"),
+        "extract_doclang": lambda s, d: _extract_fmt(s, d, "doclang"),
         # array cols are stringified at the driver boundary (the correctness
         # canonicalizer cannot sort array cells); the package APIs keep arrays
         "extract_chunks": lambda s, d: explode_chunks(_extracted(s, d))

@@ -59,6 +59,7 @@ EXTRACT_SCHEMA = StructType(
         StructField("plain_text", StringType()),
         StructField("html_out", StringType()),
         StructField("doctags", StringType()),
+        StructField("doclang", StringType()),
         StructField("chunks", ArrayType(CHUNK_STRUCT)),
         StructField("n_texts", IntegerType()),
         StructField("n_tables", IntegerType()),
@@ -80,6 +81,7 @@ def extract_row(
     emit_doc_json: bool = True,
     emit_html: bool = False,
     emit_doctags: bool = False,
+    emit_doclang: bool = False,
 ) -> dict:
     """Pure-python single-row extraction (also the single-process oracle)."""
     t0 = time.perf_counter_ns()
@@ -88,6 +90,7 @@ def extract_row(
     txt = export_to_text(doc)
     html_out = None
     doctags_out = None
+    doclang_out = None
     if emit_html:
         from docling_core_spark.functions.html_out import export_to_html
 
@@ -96,6 +99,10 @@ def extract_row(
         from docling_core_spark.functions.doctags import export_to_doctags
 
         doctags_out = export_to_doctags(doc)
+    if emit_doclang:
+        from docling_core_spark.functions.doclang_out import export_to_doclang
+
+        doclang_out = export_to_doclang(doc, pretty_indentation=None)
     tok = RegexTokenizer(max_tokens)
     if chunker == "hybrid":
         raw_chunks = HybridChunker(tokenizer=tok).chunk(doc)
@@ -119,6 +126,7 @@ def extract_row(
         "plain_text": txt,
         "html_out": html_out,
         "doctags": doctags_out,
+        "doclang": doclang_out,
         "chunks": chunks,
         "n_texts": len(doc.texts),
         "n_tables": len(doc.tables),
@@ -139,6 +147,7 @@ def _error_row(url: str, lang: str, html_len: int, err: Exception) -> dict:
         "plain_text": None,
         "html_out": None,
         "doctags": None,
+        "doclang": None,
         "chunks": [],
         "n_texts": 0,
         "n_tables": 0,
@@ -157,6 +166,7 @@ def extract_pages(
     emit_doc_json: bool = True,
     emit_html: bool = False,
     emit_doctags: bool = False,
+    emit_doclang: bool = False,
 ) -> DataFrame:
     """Fused parse+serialize+chunk stage over a web_pages DataFrame.
 
@@ -180,6 +190,7 @@ def extract_pages(
                             emit_doc_json=emit_doc_json,
                             emit_html=emit_html,
                             emit_doctags=emit_doctags,
+                            emit_doclang=emit_doclang,
                         )
                     )
                 except Exception as err:  # noqa: BLE001 — per-row isolation by design

@@ -102,7 +102,7 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
         [r["lang"] for r in docs_tbl],
     )
 
-    md_rows, txt_rows, html_rows, dt_rows = [], [], [], []
+    md_rows, txt_rows, html_rows, dt_rows, dl_rows = [], [], [], [], []
     chunk_rows, prof_rows, page_chunk_rows, ref_prof_rows = [], [], [], []
     by_lang: dict[str, list[tuple[str, Doc]]] = {}
     n_texts_all: list[int] = []
@@ -117,6 +117,7 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
             emit_doc_json=True,
             emit_html=True,
             emit_doctags=True,
+            emit_doclang=True,
         )
         url = r["url"]
         md_rows.append(
@@ -135,6 +136,9 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
         )
         dt_rows.append(
             {"url": url, "doctags_len": len(r["doctags"]), "doctags": r["doctags"]}
+        )
+        dl_rows.append(
+            {"url": url, "doclang_len": len(r["doclang"]), "doclang": r["doclang"]}
         )
         for c in r["chunks"]:
             chunk_rows.append(
@@ -193,6 +197,8 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
            pa.schema([("url", _S), ("html_out_len", _I32), ("html_out", _S)]))
     _write(out / "extract_doctags.parquet", dt_rows,
            pa.schema([("url", _S), ("doctags_len", _I32), ("doctags", _S)]))
+    _write(out / "extract_doclang.parquet", dl_rows,
+           pa.schema([("url", _S), ("doclang_len", _I32), ("doclang", _S)]))
     _write(
         out / "extract_chunks.parquet",
         chunk_rows,
@@ -481,6 +487,7 @@ EXPECTED_QUERIES = {
     "extract_plain_text": "ORDER BY url",
     "extract_html": "ORDER BY url",
     "extract_doctags": "ORDER BY url",
+    "extract_doclang": "ORDER BY url",
     "extract_chunks": "ORDER BY url, chunk_idx",
     "extract_doc_profile": "ORDER BY url",
     "extract_collection_profile": "",

@@ -223,3 +223,85 @@ def test_vlm_mode():
         interpret_code_unknown_as_other=True,
     )
     _assert_gt(out, "vlm_mode.gt.dclg.xml")
+
+
+def _row_cells(rows, headers_first_row=False):
+    cells = []
+    for i, row in enumerate(rows):
+        for j, text in enumerate(row):
+            cells.append(
+                {
+                    "text": text,
+                    "start_row_offset_idx": i,
+                    "end_row_offset_idx": i + 1,
+                    "start_col_offset_idx": j,
+                    "end_col_offset_idx": j + 1,
+                    "column_header": headers_first_row and i == 0,
+                }
+            )
+    return cells
+
+
+def test_checkboxes():
+    doc = Doc("")
+    doc.add_text("checkbox_unselected", "TODO")
+    doc.add_text("checkbox_selected", "DONE")
+    _assert_gt(export_to_doclang(doc, include_version=False), "checkboxes.out.dclg.xml")
+
+
+def test_document_index():
+    doc = Doc("test")
+    rows1 = [["Header 1", "Header 2"], ["Data 1", "Data 2"]]
+    doc.add_table({"num_rows": 2, "num_cols": 2, "table_cells": _row_cells(rows1, True)})
+    rows2 = [["Index 1", "Page 1"], ["Index 2", "Page 2"]]
+    doc.add_table(
+        {"num_rows": 2, "num_cols": 2, "table_cells": _row_cells(rows2)},
+        label="document_index",
+    )
+    _assert_gt(export_to_doclang(doc, include_version=False), "document_index.gt.dclg.xml")
+
+
+def test_handwritten_text():
+    doc = Doc("")
+    doc.add_page(1, 100, 100)
+    prov = _prov()
+    doc.add_text("handwritten_text", "My hand-written note")
+    doc.add_text("handwritten_text", "My hand-written note (with prov)", prov=_prov())
+    inl_text = doc.add_text("text", "", prov=_prov())
+    inline = doc.add_inline_group(parent=inl_text)
+    doc.add_text("text", "Check ", parent=inline)
+    doc.add_text("handwritten_text", "out", parent=inline)
+    doc.add_text("text", " these", parent=inline)
+    doc.add_text("handwritten_text", " hand-written spans", parent=inline)
+    _assert_gt(export_to_doclang(doc, include_version=False), "handwritten_text.gt.dclg.xml")
+
+
+def test_suppress_empty_elements():
+    suppress = dict(
+        suppress_empty_elements=True, add_location=False, content_types=frozenset()
+    )
+    doc = Doc("test")
+    doc.add_text("text", "")
+    assert "<text" not in export_to_doclang(doc, include_version=False, **suppress)
+
+    doc2 = Doc("test")
+    doc2.add_text("text", "")
+    out = export_to_doclang(
+        doc2, include_version=False, add_location=False, content_types=frozenset()
+    )
+    assert "<text></text>" in out
+
+    doc3 = Doc("test")
+    doc3.add_heading("", level=2)
+    assert "<heading" not in export_to_doclang(doc3, include_version=False, **suppress)
+
+    doc4 = Doc("test")
+    doc4.add_picture()
+    assert "<picture" not in export_to_doclang(doc4, include_version=False, **suppress)
+
+    doc5 = Doc("test")
+    doc5.add_picture()
+    out5 = export_to_doclang(
+        doc5, include_version=False, add_location=False, content_types=frozenset()
+    )
+    assert "<picture></picture>" in out5 and "<group" not in out5
