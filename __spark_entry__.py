@@ -58,9 +58,13 @@ def _ensure_package(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"docling_core_spark_pkg_{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
+        # write-then-rename: a killed writer or concurrent process on the
+        # shared host must never leave a truncated zip at the final path
+        tmp = f"{zpath}.tmp-{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for full in sorted(sources):
                 zf.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:  # noqa: BLE001 — already added or restricted context

@@ -157,7 +157,10 @@ class DocLangDeserializer:
                 if node.data.strip():
                     out.append(node.data if el.tagName == "content" else node.data.strip())
             elif _is_el(node):
-                if node.tagName == "location":
+                # head tokens (summary/description/caption/...) are item
+                # properties, never body text — skipping only <location> (as
+                # the reference does) would leak meta text into item.text
+                if node.tagName in _HEAD_TAGS:
                     continue
                 if node.tagName == "br":
                     out.append("\n")
@@ -352,7 +355,7 @@ class DocLangDeserializer:
             if thread_id and (existing := self._threads.get((thread_id, nm))) is not None:
                 self._merge_threaded_text(existing, text, provs)
                 return
-            item = doc.add_formula(text, parent=parent, formatting=formatting)
+            item = doc.add_formula(text, parent=parent, formatting=formatting, content_layer=layer)
             self._apply_initial_provenance(item, text, provs)
             if thread_id:
                 self._threads[(thread_id, nm)] = item

@@ -71,11 +71,23 @@ def merge_tag_pairs(text: str) -> str:
     return text
 
 
+def _hms_millis(seconds: float) -> tuple[int, int, int, int]:
+    """Timestamp components on the millisecond grid.
+
+    The reference computes millis = round(frac*1000) independently of the
+    integer part; a time within 0.5 ms below a whole second rounds millis to
+    1000 and the reference's strict re-parse then rejects the cue.  Carry the
+    overflow instead (59.9996 -> 00:01:00.000) — valid inputs are unchanged.
+    """
+    total_ms = round(seconds * 1000)
+    hours, rem = divmod(total_ms, 3_600_000)
+    minutes, rem = divmod(rem, 60_000)
+    secs, millis = divmod(rem, 1000)
+    return int(hours), int(minutes), int(secs), int(millis)
+
+
 def format_timestamp(seconds: float, omit_hours_if_zero: bool = False) -> str:
-    hours = int(seconds // 3600)
-    minutes = int((seconds % 3600) // 60)
-    secs = int(seconds % 60)
-    millis = round((seconds % 1) * 1000)
+    hours, minutes, secs, millis = _hms_millis(seconds)
     if omit_hours_if_zero and hours == 0:
         return f"{minutes:02d}:{secs:02d}.{millis:03d}"
     return f"{hours:02d}:{minutes:02d}:{secs:02d}.{millis:03d}"
@@ -83,10 +95,7 @@ def format_timestamp(seconds: float, omit_hours_if_zero: bool = False) -> str:
 
 def timestamp_seconds(seconds: float) -> float:
     """The reference's from_seconds->seconds round trip (millisecond grid)."""
-    hours = int(seconds // 3600)
-    minutes = int((seconds % 3600) // 60)
-    secs = int(seconds % 60)
-    millis = round((seconds % 1) * 1000)
+    hours, minutes, secs, millis = _hms_millis(seconds)
     return hours * 3600 + minutes * 60 + secs + millis / 1000.0
 
 

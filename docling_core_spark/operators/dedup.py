@@ -220,6 +220,16 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            "iterations (component diameter exceeds the cap); some components "
+            "are split across cluster_ids — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -327,13 +337,17 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_duplicates(
+    docs: DataFrame, max_hamming: int = 3, max_bucket_size: int = 256
+) -> DataFrame:
     """Near-duplicate pairs at SimHash Hamming distance <= max_hamming.
 
     Banded LSH on the signature: 4 x 15-bit band keys; by pigeonhole any pair
     within Hamming 3 collides on at least one band.  Candidates come from the
     (band, band_value) equi-join — never an all-pairs stage — and are verified
-    with popcount(xor).  Returns (doc_a, doc_b, hamming).
+    with popcount(xor).  Buckets are capped at max_bucket_size members
+    (deterministic by doc_id, mirrored in the oracle SQL) so a mass-boilerplate
+    corpus cannot go quadratic.  Returns (doc_a, doc_b, hamming).
     """
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_bits) - 1
@@ -348,6 +362,12 @@ def simhash_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     bands = sig.select(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    cap_w = Window.partitionBy("band", "bval").orderBy("doc_id")
+    bands = (
+        bands.withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
     pairs = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bval"])
@@ -364,8 +384,10 @@ def simhash_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs
 
 
-def simhash_duplicates_sql(table: str = "documents", max_hamming: int = 3) -> str:
-    """DuckDB oracle SQL for simhash_duplicates (same hash, same banding)."""
+def simhash_duplicates_sql(
+    table: str = "documents", max_hamming: int = 3, max_bucket_size: int = 256
+) -> str:
+    """DuckDB oracle SQL for simhash_duplicates (same hash, banding, and cap)."""
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_bits) - 1
     return f"""
@@ -388,10 +410,18 @@ sig AS (
          SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)::BIGINT AS simhash
   FROM votes GROUP BY doc_id
 ),
-bands AS (
+bands_raw AS (
   SELECT doc_id, simhash, CAST(t.b AS INT) AS band,
-         (simhash >> (CAST(t.b AS INT) * {band_bits})) & {mask} AS bval
+         (simhash >> (CAST(t.b AS INT) * {band_bits})) & {mask} AS bval,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST(t.b AS INT),
+                        (simhash >> (CAST(t.b AS INT) * {band_bits})) & {mask}
+           ORDER BY doc_id
+         ) AS rn
   FROM sig CROSS JOIN range({SIMHASH_BANDS}) t(b)
+),
+bands AS (
+  SELECT doc_id, simhash, band, bval FROM bands_raw WHERE rn <= {max_bucket_size}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -108,17 +108,24 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
     n_texts_all: list[int] = []
     totals = {"texts": 0, "tables": 0, "pictures": 0, "chunks": 0}
 
+    from docling_core_spark.operators.extract import _error_row
+
     for page in pages:
-        r = extract_row(
-            page["url"],
-            page["html"],
-            page["lang"],
-            chunker="hybrid",
-            emit_doc_json=True,
-            emit_html=True,
-            emit_doctags=True,
-            emit_doclang=True,
-        )
+        try:
+            r = extract_row(
+                page["url"],
+                page["html"],
+                page["lang"],
+                chunker="hybrid",
+                emit_doc_json=True,
+                emit_html=True,
+                emit_doctags=True,
+                emit_doclang=True,
+            )
+        except Exception as err:  # noqa: BLE001 — mirror the Spark path's
+            # per-row isolation so one bad page yields one mismatched row,
+            # not a crashed oracle surface
+            r = _error_row(page["url"], page["lang"], len(page["html"] or b""), err)
         url = r["url"]
         md_rows.append(
             {
@@ -131,14 +138,18 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
             }
         )
         txt_rows.append({"url": url, "plain_text": r["plain_text"]})
+
+        def _len(v):  # error rows carry NULLs, like Spark F.length(NULL)
+            return len(v) if v is not None else None
+
         html_rows.append(
-            {"url": url, "html_out_len": len(r["html_out"]), "html_out": r["html_out"]}
+            {"url": url, "html_out_len": _len(r["html_out"]), "html_out": r["html_out"]}
         )
         dt_rows.append(
-            {"url": url, "doctags_len": len(r["doctags"]), "doctags": r["doctags"]}
+            {"url": url, "doctags_len": _len(r["doctags"]), "doctags": r["doctags"]}
         )
         dl_rows.append(
-            {"url": url, "doclang_len": len(r["doclang"]), "doclang": r["doclang"]}
+            {"url": url, "doclang_len": _len(r["doclang"]), "doclang": r["doclang"]}
         )
         for c in r["chunks"]:
             chunk_rows.append(
@@ -169,6 +180,8 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
         totals["chunks"] += len(r["chunks"])
 
         # docops paths run over the doc_json column exactly like the operators
+        if not r["doc_json"]:
+            continue  # error rows: the Spark docops skip falsy doc_json too
         doc = Doc.from_json(r["doc_json"])
         for c in page_chunks(doc):
             page_chunk_rows.append(
@@ -506,12 +519,23 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
     out = expected_dir(sf_dir)
     marker = out / "_complete"
     if not marker.exists():
-        out.mkdir(parents=True, exist_ok=True)
-        _build_extraction(sf_dir, out)
-        _build_media(out)
-        _build_minhash(sf_dir, out)
-        _build_similarity(sf_dir, out)
-        marker.write_text("ok")
+        # build into a private dir, then atomically rename into place: two
+        # concurrent builders (driver + pytest on the shared host) must never
+        # interleave half-written parquet under a visible _complete marker
+        tmp = out.with_name(out.name + f".tmp-{os.getpid()}")
+        tmp.mkdir(parents=True, exist_ok=True)
+        _build_extraction(sf_dir, tmp)
+        _build_media(tmp)
+        _build_minhash(sf_dir, tmp)
+        _build_similarity(sf_dir, tmp)
+        (tmp / "_complete").write_text("ok")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # another process won the race with an identical build
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     sqls = {}
     for name, order in EXPECTED_QUERIES.items():
         path = out / f"{name}.parquet"
