@@ -386,6 +386,25 @@ class DocLangSerializer(DocSerializer):
     def serialize_meta(self, item: dict) -> SerResult:
         return _res()  # summaries/descriptions ride the element head instead
 
+    _NATIVE_META_FIELDS = frozenset(
+        {"summary", "description", "classification", "tabular_chart", "confidence",
+         "created_by"}
+    )
+
+    def _meta_custom_head(self, meta: dict) -> str:
+        """<custom> head element for molecule + namespaced custom meta fields
+        (reference DocLangMetaSerializer; summary/description/classification/
+        tabular_chart are emitted natively and suppressed here)."""
+        parts = []
+        for key, val in meta.items():
+            if not self._meta_name_allowed(key):
+                continue
+            if key == "molecule" and isinstance(val, dict) and val.get("smi"):
+                parts.append(_wrap(self._escape_text(val["smi"]), "smiles"))
+            elif key not in self._NATIVE_META_FIELDS and key != "molecule":
+                parts.append(_wrap(self._escape_text(str(val or "")), key))
+        return _wrap("".join(parts), "custom") if parts else ""
+
     # -- text items -------------------------------------------------------------
 
     def _list_item_segment_sibling(self, child: dict) -> bool:
@@ -891,10 +910,33 @@ class DocLangSerializer(DocSerializer):
             _OTHER if class_name == "other" else class_name
         ) if class_name else self._element_label(None)
 
+        is_chart = class_name in _CHART_CLASSES
+        is_chem = bool(meta.get("molecule"))
+        specific_match = (is_chart and "chart" in p.content_types) or (
+            is_chem and "chemistry" in p.content_types
+        )
+        any_match = "picture" in p.content_types or specific_match
+
+        custom_head = ""
+        tabular_body = ""
+        if any_match and meta:
+            custom_head = self._meta_custom_head(meta)
+            chart_data = (meta.get("tabular_chart") or {}).get("chart_data")
+            if specific_match and chart_data and chart_data.get("table_cells"):
+                saved = self.params
+                self.params = replace(self.params, add_table_cell_location=False)
+                try:
+                    otsl = self._emit_otsl({"data": chart_data, "prov": []})
+                finally:
+                    self.params = saved
+                tabular_body = _wrap(otsl, "tabular")
+
         body_parts: list[str] = []
         uri = (item.get("image") or {}).get("uri")
         if p.image_mode in ("referenced", "embedded") and uri:
             body_parts.append(f'<src uri="{_attr_escape(str(uri))}"/>')
+        if tabular_body:
+            body_parts.append(tabular_body)
         # semantic children inside the picture body
         caption_refs = {c["$ref"] for c in item.get("captions", ())}
         footnote_refs = {f["$ref"] for f in item.get("footnotes", ())}
@@ -913,10 +955,12 @@ class DocLangSerializer(DocSerializer):
             item,
             label_value=picture_label,
             caption_text=caption_head or None,
-            include_item_meta_head="picture" in p.content_types,
+            custom_text=custom_head or None,
+            include_item_meta_head=any_match,
         )
         inner = head + "".join(body_parts)
-        picture_text = f"<picture>{inner}</picture>"
+        picture_open = '<picture class="chart">' if tabular_body else "<picture>"
+        picture_text = f"{picture_open}{inner}</picture>"
         footnote_text = ""
         if p.add_referenced_footnote:
             footnote_text = self.serialize_footnotes(item).text

@@ -305,3 +305,96 @@ def test_suppress_empty_elements():
         doc5, include_version=False, add_location=False, content_types=frozenset()
     )
     assert "<picture></picture>" in out5 and "<group" not in out5
+
+
+def _sample_doc() -> Doc:
+    """The committed embedded-yaml form of the reference's constructed
+    sample_doc fixture (structurally identical; verified by GT parity)."""
+    return _file_doc("constructed_doc.embedded.yaml.gt")
+
+
+def _escape_test_doc() -> Doc:
+    doc = _sample_doc()
+    doc.add_text("text", "Simple text")
+    doc.add_text("text", "    4 leading spaces, 1 trailing ")
+    doc.add_text("text", "Some 'single' quotes")
+    doc.add_text("text", 'Some "double" quotes')
+    t = doc.add_text("text", "An ampersand: &")
+    t["meta"] = {"summary": {"text": "Summary with <tags> & ampersands"}}
+    pic = doc.add_picture()
+    pic["meta"] = {"description": {"text": "Description content"}}
+    doc.add_code("0 == 0")
+    doc.add_code(" 1 leading space, 4 trailing    ")
+    doc.add_code("0 < 1")
+    doc.add_code("42 == 42", code_language="Python")
+    doc.add_code("42 < 1337", code_language="Python")
+    rows = [["Foo", "Bar"], ["Header & Title", "Value > 100"],
+            ["<script>", "A & B"], ["Only", "<second>"]]
+    doc.add_table({"num_rows": 4, "num_cols": 2, "table_cells": _row_cells(rows)})
+    doc.add_text("text", "0 < 1")
+    doc.add_text("text", "0 < 42", formatting={"bold": True, "italic": True})
+    return doc
+
+
+@pytest.mark.parametrize(
+    "mode,gt", [("always", "cdata_always.gt.dclg.xml"), ("auto", "cdata_when_needed.gt.dclg.xml")]
+)
+def test_cdata_modes(mode, gt):
+    out = export_to_doclang(
+        _escape_test_doc(), include_version=False, escape_mode=mode, image_mode="embedded"
+    )
+    _assert_gt(out, gt)
+
+
+def _content_filtering_doc() -> Doc:
+    doc = _sample_doc()
+    doc.add_page(1, 100, 100)
+    prov = _prov()
+    pic = doc.add_picture(caption=doc.add_text("caption", "Picture Caption"))
+    pic["prov"] = _prov()
+    pic["meta"] = {
+        "summary": {"text": "Picture Summary"},
+        "description": {"text": "Picture Description"},
+    }
+    chart = doc.add_picture(caption=doc.add_text("caption", "Picture Caption"))
+    chart["prov"] = _prov()
+    chart["meta"] = {
+        "summary": {"text": "Picture Summary"},
+        "description": {"text": "Picture Description"},
+        "classification": {"predictions": [{"class_name": "pie_chart", "confidence": 1.0}]},
+        "tabular_chart": {
+            "title": "Chart Title",
+            "chart_data": {
+                "num_rows": 2,
+                "num_cols": 2,
+                "table_cells": _row_cells([["Foo", "Bar"], ["One", "Two"]]),
+            },
+        },
+    }
+    doc.add_code("0 == 0")
+    doc.add_code("with location", prov=_prov())
+    return doc
+
+
+ALL_CONTENT = frozenset(
+    {"ref_caption", "ref_footnote", "text_code", "text_formula", "text_other",
+     "table", "chart", "table_cell", "picture", "chemistry"}
+)
+
+
+@pytest.mark.parametrize(
+    "types,gt",
+    [
+        (ALL_CONTENT, "content_all.gt.dclg.xml"),
+        (frozenset(), "content_none.gt.dclg.xml"),
+        (frozenset({"picture", "table", "table_cell", "ref_caption", "text_code"}),
+         "content_specific.gt.dclg.xml"),
+        (ALL_CONTENT - {"table", "text_code"}, "content_block_specific.gt.dclg.xml"),
+    ],
+)
+def test_content_type_filtering(types, gt):
+    out = export_to_doclang(
+        _content_filtering_doc(), include_version=False, content_types=types,
+        image_mode="embedded",
+    )
+    _assert_gt(out, gt)
