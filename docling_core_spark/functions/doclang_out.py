@@ -14,10 +14,13 @@ self-closing forms expanded for non-self-closing tokens.
 
 Scope notes vs the reference:
 - covers text/heading/list/ldiv/marker/code/formula/checkbox/handwriting/
-  caption/footnote/page-break/table-OTSL/picture/inline-group/generic-group
-  plus multi-provenance threading of text items and tables;
-- key/value + form graph serialization and picture tabular-chart bodies are
-  not ported (graph model out of scope v1); their items serialize empty.
+  caption/footnote/page-break/table-OTSL/picture/inline-group/generic-group,
+  multi-provenance threading of text items and tables, picture tabular-chart
+  bodies, and field-kv markup (field_region/field_item/key/value/hint/
+  field_heading incl. RichTableCell form tables);
+- legacy key_value_items/form_items graphs serialize empty, as in the
+  reference (DocLangKeyValueSerializer/DocLangFormSerializer are no-ops);
+  run Doc.migrate_to_field_regions() first to serialize their content.
 """
 
 from __future__ import annotations
@@ -468,6 +471,14 @@ class DocLangSerializer(DocSerializer):
             "marker": "marker",
         }
         if label in field_map:
+            if label == M.FIELD_VALUE:
+                kind = item.get("kind") or "read_only"
+                if kind != "read_only":
+                    return f'<value class="{kind}">'
+            elif label == M.FIELD_HEADING:
+                level = item.get("level", 1)
+                if level != 1:
+                    return f'<field_heading level="{level}">'
             return f"<{field_map[label]}>"
         if label in ("empty_value", "handwritten_text", "paragraph", "reference", "grading_scale"):
             return "<text>"
@@ -606,6 +617,12 @@ class DocLangSerializer(DocSerializer):
             if text_res or not p.suppress_empty_elements:
                 close = "</" + re.match(r"<\s*([\w-]+)", wrap_open).group(1) + ">"
                 text_res = f"{wrap_open}{text_res}{close}"
+                # field markup must sit under field_item / field_region hosts
+                # (reference doclang.py:1014-1018, _doclang_utils.py:60-81)
+                if label == M.FIELD_HEADING:
+                    text_res = self._wrap_in_field_region_if_needed(text_res, item)
+                elif label in (M.FIELD_KEY, M.FIELD_VALUE):
+                    text_res = self._wrap_field_kv_markup_if_needed(text_res, item)
         if ldiv_element:
             text_res = ldiv_element + text_res
         return _res(text_res, item)
@@ -784,8 +801,10 @@ class DocLangSerializer(DocSerializer):
         data = item.get("data") or {}
         if not data.get("table_cells"):
             return ""
-        if not data.get("grid"):
-            self.doc._normalize_table_data(data)  # fills defaults + dense grid
+        # always rebuild: a loaded document's dumped grid loses RichTableCell
+        # refs (the reference dumps grid cells as plain TableCell) while its
+        # in-memory grid keeps them — serialization uses the in-memory form
+        self.doc._normalize_table_data(data)
         grid = data.get("grid") or []
         nrows, ncols = data.get("num_rows", 0), data.get("num_cols", 0)
         row_end = nrows if row_end is None else row_end
@@ -804,7 +823,14 @@ class DocLangSerializer(DocSerializer):
         for i in range(row_start, row_end):
             for j in range(col_start, col_end):
                 cell = grid[i][j]
-                content = (cell.get("text") or "").strip()
+                is_rich = bool(cell.get("ref"))
+                if is_rich:
+                    # RichTableCell: the cell body is the serialized referenced
+                    # item (reference table_data.py:63-77, doclang.py:1392)
+                    target = self.doc.resolve(cell["ref"]["$ref"])
+                    content = self.serialize(item=target, visited=set()).text.strip()
+                else:
+                    content = (cell.get("text") or "").strip()
                 rowstart, colstart = cell["start_row_offset_idx"], cell["start_col_offset_idx"]
                 cell_loc = ""
                 if need_cell_loc and cell.get("bbox"):
@@ -818,9 +844,10 @@ class DocLangSerializer(DocSerializer):
                         if cell_loc:
                             parts.append(cell_loc)
                         if "table_cell" in p.content_types:
-                            content = self._escape_text(content)
-                            if not p.use_virtual_text:
-                                content = _wrap(content, "text")
+                            if not is_rich:
+                                content = self._escape_text(content)
+                                if not p.use_virtual_text:
+                                    content = _wrap(content, "text")
                             parts.append(content)
                 elif rowstart != i and colstart != j:
                     parts.append("<xcel/>")
@@ -974,10 +1001,47 @@ class DocLangSerializer(DocSerializer):
 
     # -- fallback / kv / form ---------------------------------------------------------
 
+    def _has_field_ancestor(self, item: dict, array_name: str) -> bool:
+        """True when the item sits under a field_items/field_regions node."""
+        parent = self.doc.parent_of(item)
+        while parent is not None:
+            if M.ref_array(parent.get("self_ref", "")) == array_name:
+                return True
+            if parent.get("self_ref") == self.doc.body.get("self_ref"):
+                return False
+            parent = self.doc.parent_of(parent)
+        return False
+
+    def _wrap_in_field_region_if_needed(self, text: str, item: dict) -> str:
+        if self._has_field_ancestor(item, "field_regions"):
+            return text
+        return _wrap(text, "field_region")
+
+    def _wrap_field_kv_markup_if_needed(self, text: str, item: dict) -> str:
+        """Nest key/value markup under field_item (and field_region when orphan)."""
+        if self._has_field_ancestor(item, "field_items"):
+            return text
+        return self._wrap_in_field_region_if_needed(_wrap(text, "field_item"), item)
+
     def _serialize_fallback(self, item, visited):
         if M.is_group(item):
             parts = self.get_parts(item=item, visited=visited)
             return _res(self._delim.join(x.text for x in parts if x.text), parts)
+        array = M.ref_array(item.get("self_ref", ""))
+        if array in ("field_regions", "field_items"):
+            # reference DocLangFallbackSerializer (doclang.py:1657-1669):
+            # element head (layer/location) for field regions only, children
+            # joined with the record delimiter, wrapped in the host token
+            texts: list[str] = []
+            if array == "field_regions" and (head := self._head_prefix(item)):
+                texts.append(head)
+            sub = self.get_parts(item=item, visited=visited)
+            texts.extend(s.text for s in sub if s.text)
+            tag = "field_region" if array == "field_regions" else "field_item"
+            text = _wrap(self._delim.join(texts), tag)
+            if array == "field_items":
+                text = self._wrap_in_field_region_if_needed(text, item)
+            return _res(text, sub)
         return _res()
 
     def serialize(self, item=None, list_level=0, is_inline_scope=False, visited=None,

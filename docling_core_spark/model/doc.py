@@ -460,6 +460,7 @@ class Doc:
         caption: Optional[dict] = None,
         parent: Optional[dict] = None,
         prov: Optional[list] = None,
+        image: Optional[dict] = None,
     ) -> dict:
         """Append a PictureItem (reference document.py:1701)."""
         item: dict[str, Any] = {
@@ -470,6 +471,8 @@ class Doc:
             "footnotes": [],
             "annotations": [],
         }
+        if image is not None:
+            item["image"] = image
         out = self._attach("pictures", item, parent)
         if caption is not None:
             out["captions"].append({"$ref": caption["self_ref"]})
@@ -486,6 +489,136 @@ class Doc:
             "graph": graph,
         }
         return self._attach("key_value_items", item, parent)
+
+    def add_form(self, graph: dict, prov: Optional[list] = None, parent: Optional[dict] = None) -> dict:
+        """Append a FormItem (reference document.py:1962)."""
+        item: dict[str, Any] = {
+            "label": "form",
+            "prov": prov or [],
+            "captions": [],
+            "references": [],
+            "footnotes": [],
+            "graph": graph,
+        }
+        return self._attach("form_items", item, parent)
+
+    def add_field_region(self, prov: Optional[list] = None, parent: Optional[dict] = None) -> dict:
+        """Append a FieldRegionItem (reference document.py:1993)."""
+        return self._attach("field_regions", {"label": FIELD_REGION, "prov": prov or []}, parent)
+
+    def add_field_item(self, prov: Optional[list] = None, parent: Optional[dict] = None) -> dict:
+        """Append a FieldItem (reference document.py:2071)."""
+        return self._attach("field_items", {"label": FIELD_ITEM, "prov": prov or []}, parent)
+
+    def add_field_key(self, text: str, **kw: Any) -> dict:
+        """Append a field key text item (reference document.py:2093)."""
+        return self.add_text(FIELD_KEY, text, **kw)
+
+    def add_field_value(self, text: str, kind: str = "read_only", **kw: Any) -> dict:
+        """Append a FieldValueItem (reference document.py:2126; kind is
+        read_only | fillable and is always dumped)."""
+        item = self.add_text(FIELD_VALUE, text, **kw)
+        item["kind"] = kind
+        return item
+
+    def add_field_heading(self, text: str, level: int = 1, **kw: Any) -> dict:
+        """Append a FieldHeadingItem (reference document.py:2021)."""
+        item = self.add_text(FIELD_HEADING, text, **kw)
+        item["level"] = level
+        return item
+
+    def add_field_hint(self, text: str, **kw: Any) -> dict:
+        """Append a field hint text item (reference document.py:2177)."""
+        return self.add_text(FIELD_HINT, text, **kw)
+
+    def add_marker(self, text: str, **kw: Any) -> dict:
+        """Append a marker text item (reference document.py:2209)."""
+        return self.add_text(MARKER, text, **kw)
+
+    def migrate_to_field_regions(self) -> None:
+        """Convert legacy key_value_items / form_items graphs into
+        field_regions + field_items (reference document.py:381-455, the
+        graph-link path: one field_item per key cell, its TO_VALUE /
+        TO_KEY-linked value cells in first-seen order; other link kinds are
+        dropped; the new field_region replaces the graph item in place)."""
+        from docling_core_spark.model.mutate import delete_items, insert_sibling
+
+        to_delete: list[dict] = []
+        for item, _ in self.iterate_items():
+            if ref_array(item.get("self_ref", "")) not in ("key_value_items", "form_items"):
+                continue
+            graph = item.get("graph") or {}
+            cells = {c["cell_id"]: c for c in graph.get("cells", ())}
+            to_delete.append(item)
+
+            region: dict[str, Any] = {"label": FIELD_REGION, "prov": item.get("prov") or []}
+            for passthrough in ("content_layer", "meta", "comments", "source"):
+                if item.get(passthrough) is not None and passthrough in item:
+                    region[passthrough] = item[passthrough]
+            insert_sibling(self, region, "field_regions", item, after=True)
+
+            seen: set[tuple[int, int]] = set()
+            values_by_key: dict[int, list[int]] = {}
+            for link in graph.get("links", ()):
+                if link.get("label") == "to_value":
+                    key_id, value_id = link["source_cell_id"], link["target_cell_id"]
+                elif link.get("label") == "to_key":
+                    key_id, value_id = link["target_cell_id"], link["source_cell_id"]
+                else:
+                    continue
+                if (key_id, value_id) in seen:
+                    continue
+                seen.add((key_id, value_id))
+                values_by_key.setdefault(key_id, []).append(value_id)
+
+            for key_id, value_ids in values_by_key.items():
+                fi = self.add_field_item(parent=region)
+                key_cell = cells[key_id]
+                self.add_field_key(
+                    text=key_cell.get("text", ""),
+                    parent=fi,
+                    prov=[key_cell["prov"]] if key_cell.get("prov") else None,
+                )
+                for value_id in value_ids:
+                    value_cell = cells[value_id]
+                    self.add_field_value(
+                        text=value_cell.get("text", ""),
+                        parent=fi,
+                        prov=[value_cell["prov"]] if value_cell.get("prov") else None,
+                    )
+
+        if to_delete:
+            delete_items(self, to_delete)
+        self.normalize_references()
+
+    def normalize_references(self) -> None:
+        """Re-index every array in reading order and compact refs in place
+        (reference document.py:5412 _normalize_references)."""
+        from docling_core_spark.model.transform import filter_pages
+
+        rebuilt = filter_pages(self)
+        self.body = rebuilt.body
+        for array_name in (
+            "groups", "texts", "pictures", "tables",
+            "key_value_items", "form_items", "field_regions", "field_items",
+        ):
+            setattr(self, array_name, getattr(rebuilt, array_name))
+        self.pages = rebuilt.pages
+        self.extra.pop("_cap_ftn_sets", None)
+
+    def add_table_cell(self, table_item: dict, cell: dict) -> dict:
+        """Append a (possibly rich) cell to a table (reference document.py:5494);
+        rich cells must reference a child of the table."""
+        ref = cell.get("ref")
+        if ref:
+            target = self.resolve(ref["$ref"] if isinstance(ref, dict) else ref)
+            parent = (target.get("parent") or {}).get("$ref")
+            if parent != table_item["self_ref"]:
+                raise ValueError(
+                    f"Trying to add cell with another parent {parent} to {table_item['self_ref']}"
+                )
+        table_item["data"].setdefault("table_cells", []).append(cell)
+        return cell
 
     def add_page(self, page_no: int, width: float, height: float) -> dict:
         """Register a page (reference document.py:5049)."""
@@ -651,7 +784,15 @@ class Doc:
         for tbl in self.tables:
             tbl.setdefault("annotations", [])
             if tbl.get("data"):
-                self._normalize_table_data(tbl["data"])
+                data = tbl["data"]
+                self._normalize_table_data(data)
+                # the reference dumps computed-grid cells as plain TableCell:
+                # RichTableCell refs appear in table_cells but not in grid
+                if any("ref" in c for c in data.get("table_cells", ())):
+                    data["grid"] = [
+                        [{k: v for k, v in c.items() if k != "ref"} for c in row]
+                        for row in data["grid"]
+                    ]
         for pic in self.pictures:
             meta = pic.get("meta") or {}
             chart = (meta.get("tabular_chart") or {}).get("chart_data")
