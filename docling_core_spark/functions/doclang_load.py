@@ -9,8 +9,14 @@ classification labels and captions/footnotes, provenance from quantized
 location tokens on synthetic resolution-square pages, page breaks, and
 element-head meta (summary/description).
 
-Out of scope v1 (documented): field/key-value graph reconstruction, archive
-media resolution (PIL absent), temporal tokens.
+Covers field-kv markup: field_region/field_item containers, key/value (flat
+text, inline-container, and generic-children forms with checkbox-label
+merging), field headings/hints, fillable kinds. Legacy graph items are not
+reconstructed (the serializer never emits them; markers inside field items
+are lossy, as in the reference).
+
+Out of scope v1 (documented): archive media resolution (PIL absent),
+temporal tokens.
 """
 
 from __future__ import annotations
@@ -249,6 +255,22 @@ class DocLangDeserializer:
             self._ensure_page(doc)
         elif name == "heading":
             self._parse_heading(doc, el, parent)
+        elif name == "field_heading":
+            self._parse_field_heading(doc, el, parent)
+        elif name == "field_region":
+            self._parse_field_region(doc, el, parent)
+        elif name == "field_item":
+            self._parse_field_item(doc, el, parent)
+        elif name == "key":
+            self._parse_field_kv(doc, el, parent, is_value=False)
+        elif name == "value":
+            self._parse_field_kv(doc, el, parent, is_value=True)
+        elif name == "hint":
+            self._parse_field_hint(doc, el, parent)
+        elif name == "checkbox":
+            cls = el.getAttribute("class")
+            label = M.CHECKBOX_SELECTED if cls == "selected" else M.CHECKBOX_UNSELECTED
+            doc.add_text(label, "", parent=parent)
         elif name == "list":
             self._parse_list(doc, el, parent)
         elif name == "group":
@@ -384,6 +406,155 @@ class DocLangDeserializer:
             self._threads[(thread_id, "heading")] = item
         self._apply_head_meta(item, el)
 
+    # -- field regions / items / key-values (reference deserializer
+    # doclang.py:616-900) --------------------------------------------------------
+
+    _FIELD_INLINE_BODY_TAGS = _FORMAT_TAGS | {"content", "handwriting", "br", "checkbox", "hint"}
+
+    def _meaningful_body_nodes(self, body_nodes: Sequence[Node]) -> list[Node]:
+        return [
+            n for n in body_nodes
+            if _is_el(n) or (isinstance(n, Text) and n.data.strip())
+        ]
+
+    def _dispatch_body_nodes(self, doc: Doc, body_nodes: Sequence[Node], parent: dict) -> None:
+        for node in body_nodes:
+            if _is_el(node):
+                self._dispatch(doc, node, parent)
+            elif isinstance(node, Text) and node.data.strip():
+                doc.add_text(M.TEXT, node.data.strip(), parent=parent)
+
+    def _is_field_inline_body(self, body_nodes: Sequence[Node]) -> bool:
+        meaningful = self._meaningful_body_nodes(body_nodes)
+        if not meaningful:
+            return False
+        return all(
+            isinstance(n, Text) or n.tagName in self._FIELD_INLINE_BODY_TAGS
+            for n in meaningful
+        )
+
+    def _field_kv_needs_inline_container(self, body_nodes: Sequence[Node]) -> bool:
+        """True when key/value body must become an inline group, not flat text."""
+        meaningful = self._meaningful_body_nodes(body_nodes)
+        element_children = [n for n in meaningful if _is_el(n)]
+        if not self._is_field_inline_body(body_nodes):
+            return False
+        if len(element_children) > 1:
+            return True
+        if any(n.tagName == "checkbox" for n in element_children):
+            return True
+        if element_children and any(isinstance(n, Text) for n in meaningful):
+            return True
+        return False
+
+    def _dispatch_field_inline_body_nodes(
+        self, doc: Doc, body_nodes: Sequence[Node], parent: dict
+    ) -> None:
+        """Dispatch inline kv body nodes, merging checkbox labels with
+        a single following text/content node."""
+        meaningful = self._meaningful_body_nodes(body_nodes)
+        idx = 0
+        while idx < len(meaningful):
+            node = meaningful[idx]
+            if _is_el(node) and node.tagName == "checkbox":
+                cls = node.getAttribute("class")
+                label = M.CHECKBOX_SELECTED if cls == "selected" else M.CHECKBOX_UNSELECTED
+                text = ""
+                remaining = meaningful[idx + 1:]
+                if len(remaining) == 1:
+                    nxt = remaining[0]
+                    if isinstance(nxt, Text):
+                        text = nxt.data.strip()
+                        idx += 1
+                    elif _is_el(nxt) and nxt.tagName == "content":
+                        text = self._get_text(nxt)
+                        idx += 1
+                doc.add_text(label, text, parent=parent)
+                idx += 1
+                continue
+            if _is_el(node):
+                self._dispatch(doc, node, parent)
+            elif isinstance(node, Text) and node.data.strip():
+                doc.add_text(M.TEXT, node.data.strip(), parent=parent)
+            idx += 1
+
+    def _parse_field_heading(self, doc: Doc, el: Element, parent: Optional[dict]) -> None:
+        try:
+            level = int(el.getAttribute("level") or "1")
+        except ValueError:
+            level = 1
+        provs = self._extract_provenance(doc, el)
+        layer = self._extract_layer(el)
+        text = self._get_text(el).strip()
+        if not text:
+            return
+        thread_id = self._extract_thread_id(el)
+        if thread_id and (existing := self._threads.get((thread_id, "field_heading"))) is not None:
+            self._merge_threaded_text(existing, text, provs)
+            return
+        item = doc.add_field_heading(text, level=level, parent=parent, content_layer=layer)
+        self._apply_initial_provenance(item, text, provs)
+        if thread_id:
+            self._threads[(thread_id, "field_heading")] = item
+
+    def _parse_field_region(self, doc: Doc, el: Element, parent: Optional[dict]) -> None:
+        provs = self._extract_provenance(doc, el)
+        fri = doc.add_field_region(parent=parent, prov=provs)
+        _, body_nodes = self._split_head_body(el)
+        self._dispatch_body_nodes(doc, body_nodes, fri)
+
+    def _parse_field_item(self, doc: Doc, el: Element, parent: Optional[dict]) -> None:
+        provs = self._extract_provenance(doc, el)
+        layer = self._extract_layer(el)
+        fi = doc.add_field_item(parent=parent, prov=provs)
+        if layer:
+            fi["content_layer"] = layer
+        _, body_nodes = self._split_head_body(el)
+        self._dispatch_body_nodes(doc, body_nodes, fi)
+
+    def _parse_field_hint(self, doc: Doc, el: Element, parent: Optional[dict]) -> None:
+        provs = self._extract_provenance(doc, el)
+        layer = self._extract_layer(el)
+        text, formatting = self._extract_text_with_formatting(el)
+        text = text.strip()
+        if not text:
+            return
+        item = doc.add_field_hint(text, parent=parent, content_layer=layer, formatting=formatting)
+        self._apply_initial_provenance(item, text, provs)
+
+    def _parse_field_kv(
+        self, doc: Doc, el: Element, parent: Optional[dict], is_value: bool
+    ) -> None:
+        provs = self._extract_provenance(doc, el)
+        layer = self._extract_layer(el)
+        kind = "fillable" if is_value and el.getAttribute("class") == "fillable" else "read_only"
+        _, body_nodes = self._split_head_body(el)
+        simple_text = self._simple_text_block(el)
+        needs_inline = self._field_kv_needs_inline_container(body_nodes)
+
+        def add_kv(text: str, formatting: Optional[dict] = None) -> dict:
+            if is_value:
+                return doc.add_field_value(
+                    text, kind=kind, parent=parent, content_layer=layer, formatting=formatting
+                )
+            return doc.add_field_key(
+                text, parent=parent, content_layer=layer, formatting=formatting
+            )
+
+        if simple_text is not None and not needs_inline:
+            text, formatting = self._extract_text_with_formatting(el)
+            item = add_kv(text, formatting)
+            self._apply_initial_provenance(item, text, provs)
+            return
+
+        item = add_kv("")
+        if needs_inline:
+            inline_group = doc.add_inline_group(parent=item)
+            self._dispatch_field_inline_body_nodes(doc, body_nodes, inline_group)
+        else:
+            self._dispatch_body_nodes(doc, body_nodes, item)
+        self._apply_initial_provenance(item, "", provs)
+
     # -- lists ------------------------------------------------------------------------
 
     def _first_non_ws(self, nodes: Sequence[Node]) -> Optional[Node]:
@@ -453,10 +624,12 @@ class DocLangDeserializer:
                         li = doc.add_list_item("", parent=group, enumerated=ordered, marker=marker)
                         self._dispatch(doc, content_el, li)
                     else:
+                        # reference deserializer doclang.py:1281-1289 keeps the
+                        # parsed location charspan ([0,0]) and first prov only
                         provs = self._extract_provenance(doc, content_el)
                         text = self._get_text(content_el).strip()
-                        li = doc.add_list_item(text, parent=group, enumerated=ordered, marker=marker)
-                        self._apply_initial_provenance(li, text, provs)
+                        doc.add_list_item(text, parent=group, enumerated=ordered,
+                                          marker=marker, prov=provs[:1] or None)
                 else:
                     li = doc.add_list_item("", parent=group, enumerated=ordered, marker=marker)
                     self._dispatch(doc, content_el, li)
@@ -470,10 +643,11 @@ class DocLangDeserializer:
                         if _is_el(n) and n.tagName not in ("location", "layer")
                     ]
                     if len(inner) <= 1 and self._simple_text_block(first_el) is not None:
+                        # reference doclang.py:1324-1332: parsed charspan kept
                         provs = self._extract_provenance(doc, first_el)
                         text = self._get_text(first_el).strip()
-                        li = doc.add_list_item(text, parent=group, enumerated=ordered, marker=marker)
-                        self._apply_initial_provenance(li, text, provs)
+                        li = doc.add_list_item(text, parent=group, enumerated=ordered,
+                                               marker=marker, prov=provs[:1] or None)
                         for r in remaining:
                             self._dispatch(doc, r, li)
                         continue
@@ -564,9 +738,9 @@ class DocLangDeserializer:
         text = self._get_text(cap_el).strip()
         if not text:
             return None
+        # parsed charspan kept as-is (reference doclang.py:1667-1683)
         provs = self._extract_provenance(doc, cap_el)
-        item = doc.add_text(M.CAPTION, text)
-        self._apply_initial_provenance(item, text, provs)
+        item = doc.add_text(M.CAPTION, text, prov=list(provs) or None)
         return item
 
     def _extract_footnotes(self, doc: Doc, el: Element) -> list[dict]:
@@ -576,8 +750,7 @@ class DocLangDeserializer:
                 text = self._get_text(node).strip()
                 if text:
                     provs = self._extract_provenance(doc, node)
-                    item = doc.add_text("footnote", text)
-                    self._apply_initial_provenance(item, text, provs)
+                    item = doc.add_text("footnote", text, prov=list(provs) or None)
                     out.append(item)
         return out
 

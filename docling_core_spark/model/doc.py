@@ -425,8 +425,9 @@ class Doc:
         """Append a generic group (reference document.py:1392)."""
         return self._attach("groups", {"label": label, "name": name}, parent)
 
-    def add_list_group(self, name: str = "list", parent: Optional[dict] = None) -> dict:
-        """Append a ListGroup (reference document.py:1326)."""
+    def add_list_group(self, name: str = "group", parent: Optional[dict] = None) -> dict:
+        """Append a ListGroup (reference document.py:1326; the pydantic
+        GroupItem name default is "group")."""
         return self._attach("groups", {"label": GROUP_LIST, "name": name}, parent)
 
     def add_inline_group(self, name: str = "group", parent: Optional[dict] = None) -> dict:
@@ -811,6 +812,17 @@ class Doc:
         out["furniture"] = self.furniture
         out["body"] = self.body
         out["groups"] = self.groups
+        for t in self.texts:
+            fmt = t.get("formatting")
+            if fmt is not None:
+                # pydantic dump parity: Formatting always dumps all defaults
+                t["formatting"] = {
+                    "bold": fmt.get("bold", False),
+                    "italic": fmt.get("italic", False),
+                    "underline": fmt.get("underline", False),
+                    "strikethrough": fmt.get("strikethrough", False),
+                    "script": fmt.get("script", "baseline"),
+                }
         out["texts"] = self.texts
         out["pictures"] = self.pictures
         out["tables"] = self.tables

@@ -70,3 +70,57 @@ def test_kv_annot_output_serialization(subdir):
     assert (
         out_nc.rstrip() == (subdir / "output_no_content.dclg.xml").read_text().rstrip()
     )
+
+
+# -- deserializer round trips (reference test_deserializer_doclang.py:1882-2030) --
+
+from docling_core_spark.functions.doclang_load import load_from_doclang  # noqa: E402
+
+_KV_ANNOT_XML_LOSSLESS = frozenset(
+    {
+        "01d07afe1cb54ecd23eedfe4d91b81dd88e61bf4e0dbe2467784db4177a6c691",
+        "08212053e2db1a70dd60a4f85650ceb33d7519af34f502e3ac894389d76663d6",
+        "1eac20e5ac5fac655a611343f86927d6a76277e170430c1eba741585437a2e90",
+        "ba4120cada21304563625490e9ad13911e96114d3f07df056a6bf62397a859e1",
+    }
+)
+
+
+def _roundtrip(subdir, src_name: str, ser_name: str, **ser_kw):
+    doc = Doc.from_dict(json.loads((subdir / src_name).read_text()))
+    dt = export_to_doclang(doc, include_version=False, **ser_kw)
+    assert dt.rstrip() == (subdir / ser_name).read_text().rstrip()
+
+    doc2 = load_from_doclang(dt)
+    expected = json.loads((subdir / "deserialized.json").read_text())
+    got = doc2.to_dict()
+    got["version"] = expected["version"]
+    got["name"] = expected["name"]
+    assert got == expected
+
+    dt2 = export_to_doclang(doc2, include_version=False, **ser_kw)
+    assert dt2.rstrip() == (subdir / "reserialized.dclg.xml").read_text().rstrip()
+    return dt, dt2
+
+
+@pytest.mark.parametrize(
+    "fixture_dir",
+    ["field_region_kv_migration", "field_region_kv", "field_region_kv_invoice"],
+)
+def test_field_region_doclang_roundtrip(fixture_dir):
+    subdir = require_ref_data() / "doc" / fixture_dir
+    kw = {"image_mode": "placeholder"} if fixture_dir == "field_region_kv_invoice" else {}
+    dt, dt2 = _roundtrip(subdir, "input.json", "serialized.dclg.xml", **kw)
+    assert dt.strip() == dt2.strip()
+
+
+def _kv_annot_roundtrip_dirs():
+    base = require_ref_data() / "doc" / "kv"
+    return [d for d in sorted(base.iterdir()) if (d / "deserialized.json").exists()]
+
+
+@pytest.mark.parametrize("subdir", _kv_annot_roundtrip_dirs(), ids=lambda d: d.name[:24])
+def test_kv_annot_doclang_roundtrip(subdir):
+    dt, dt2 = _roundtrip(subdir, "output.json", "output.dclg.xml")
+    if subdir.name in _KV_ANNOT_XML_LOSSLESS:
+        assert dt.strip() == dt2.strip()
