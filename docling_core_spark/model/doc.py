@@ -69,6 +69,7 @@ GROUP_LIST = "list"
 GROUP_ORDERED_LIST = "ordered_list"  # deprecated; patched to "list" on load
 GROUP_INLINE = "inline"
 GROUP_UNSPECIFIED = "unspecified"
+GROUP_FORM_AREA = "form_area"
 
 # Default export label allowlists (reference common/constants.py:10-45)
 DEFAULT_EXPORT_LABELS = frozenset(
@@ -543,6 +544,33 @@ class Doc:
         TO_KEY-linked value cells in first-seen order; other link kinds are
         dropped; the new field_region replaces the graph item in place)."""
         from docling_core_spark.model.mutate import delete_items, insert_sibling
+
+        # annotation case: a single key_value_items entry that is the LAST
+        # item in full-document iteration (reference document.py:382-401)
+        if len(self.key_value_items) == 1:
+            last_is_kv = False
+            found = False
+            for item, _ in self.iterate_items(
+                with_groups=True,
+                traverse_pictures=True,
+                included_content_layers=set(CONTENT_LAYERS),
+            ):
+                if found:
+                    last_is_kv = False
+                    break
+                if item is self.key_value_items[0]:
+                    found = True
+                    last_is_kv = True
+            if last_is_kv:
+                from docling_core_spark.model.migrate_kv import (
+                    migrate_annot_forms_to_field_regions,
+                    post_migration_cleanup,
+                )
+
+                migrate_annot_forms_to_field_regions(self, self.key_value_items[0])
+                post_migration_cleanup(self)
+                self.normalize_references()
+                return
 
         to_delete: list[dict] = []
         for item, _ in self.iterate_items():

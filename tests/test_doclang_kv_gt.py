@@ -124,3 +124,24 @@ def test_kv_annot_doclang_roundtrip(subdir):
     dt, dt2 = _roundtrip(subdir, "output.json", "output.dclg.xml")
     if subdir.name in _KV_ANNOT_XML_LOSSLESS:
         assert dt.strip() == dt2.strip()
+
+
+def _annot_migration_dirs():
+    base = require_ref_data() / "doc"
+    dirs = [d for d in sorted((base / "kv").iterdir()) if (d / "input.json").exists()]
+    dirs += [
+        d for d in sorted((base / "doclang_ref").iterdir()) if (d / "input.json").exists()
+    ]
+    return dirs
+
+
+@pytest.mark.parametrize("subdir", _annot_migration_dirs(), ids=lambda d: d.name[:24])
+def test_kv_annot_migration(subdir):
+    """input.json --migrate_to_field_regions--> output.json, byte parity
+    (reference test_kv_migration_annot_scenario + document.py:381-765)."""
+    doc = Doc.from_dict(json.loads((subdir / "input.json").read_text()))
+    doc.migrate_to_field_regions()
+    expected = json.loads((subdir / "output.json").read_text())
+    got = doc.to_dict()
+    got["version"] = expected["version"]
+    assert got == expected
