@@ -321,7 +321,21 @@ class DocLangDeserializer:
             lang = "unknown"
             if label_val := self._head_attr(el, "label", "value"):
                 lang = _LINGUIST_TO_CODE_LANGUAGE.get(label_val, "unknown")
-            code_text = self._get_text(el)
+            # code keeps raw whitespace of non-empty text nodes (reference
+            # _extract_code_content_and_language, deserializer doclang.py:546)
+            code_parts: list[str] = []
+            for node in el.childNodes:
+                if isinstance(node, Text):
+                    if node.data.strip():
+                        code_parts.append(node.data)
+                elif _is_el(node):
+                    if node.tagName in ("location", "layer", "label"):
+                        continue
+                    if node.tagName == "br":
+                        code_parts.append("\n")
+                    else:
+                        code_parts.append(self._get_text(node))
+            code_text = "".join(code_parts)
             if not code_text.strip():
                 return
             if thread_id and (existing := self._threads.get((thread_id, nm))) is not None:

@@ -389,21 +389,22 @@ class DocLangSerializer(DocSerializer):
     def serialize_meta(self, item: dict) -> SerResult:
         return _res()  # summaries/descriptions ride the element head instead
 
+    # standard BaseMeta fields: summary/description/classification/tabular_chart
+    # are emitted natively (or suppressed); the rest have no custom-head form
     _NATIVE_META_FIELDS = frozenset(
-        {"summary", "description", "classification", "tabular_chart", "confidence",
-         "created_by"}
+        {"summary", "description", "classification", "tabular_chart", "language",
+         "entities", "keywords", "topics", "confidence", "created_by"}
     )
 
     def _meta_custom_head(self, meta: dict) -> str:
         """<custom> head element for molecule + namespaced custom meta fields
-        (reference DocLangMetaSerializer; summary/description/classification/
-        tabular_chart are emitted natively and suppressed here)."""
+        (reference DocLangMetaSerializer, doclang.py:1027-1082)."""
         parts = []
         for key, val in meta.items():
             if not self._meta_name_allowed(key):
                 continue
             if key == "molecule" and isinstance(val, dict) and val.get("smi"):
-                parts.append(_wrap(self._escape_text(val["smi"]), "smiles"))
+                parts.append(_wrap(self._escape_text(val["smi"]), "docling__smiles"))
             elif key not in self._NATIVE_META_FIELDS and key != "molecule":
                 parts.append(_wrap(self._escape_text(str(val or "")), key))
         return _wrap("".join(parts), "custom") if parts else ""
@@ -545,12 +546,14 @@ class DocLangSerializer(DocSerializer):
             and item.get("children")
             and self._first_child_is_inline(item)
         )
+        custom_head = self._meta_custom_head(item.get("meta") or {})
         include_href = not is_inline_scope
         if not skip_location:
             parts.append(
                 self._head_prefix(
                     item,
                     label_value=code_label,
+                    custom_text=custom_head or None,
                     include_href=include_href,
                     thread_id=thread_id,
                 )
@@ -564,6 +567,8 @@ class DocLangSerializer(DocSerializer):
                 parts.append(f'<href uri="{_attr_escape(str(item["hyperlink"]))}"/>')
             if lt := self._layer_token(item):
                 parts.append(lt)
+            if custom_head:
+                parts.append(custom_head)
 
         content_allowed = (
             (label == M.CODE and "text_code" in p.content_types)
@@ -920,7 +925,10 @@ class DocLangSerializer(DocSerializer):
     # -- pictures -----------------------------------------------------------------
 
     def _serialize_picture(self, item, visited):
-        self._mark_subtree_visited(item, visited)
+        # only the picture itself is pre-marked; body children are serialized
+        # below and mark themselves, so group children keep their content
+        # (reference _append_picture_body_children, doclang.py:1085-1107)
+        visited.add(item["self_ref"])
         p = self.params
         if item["self_ref"] in self.get_excluded_refs():
             return _res()
