@@ -510,50 +510,6 @@ class HybridChunker:
 
     # -- stage 2: plain-text splitting ---------------------------------------
 
-    _SPLIT_LEVELS = ("\n\n", "\n", ". ", "! ", "? ", "; ", ", ", " ")
-
-    def _split_text_recursive(self, text: str, budget: int, level: int = 0) -> list[str]:
-        """Deterministic recursive splitter (semchunk-equivalent contract).
-
-        Tries separators from most to least semantic; oversized fragments
-        recurse at the next separator level, guaranteeing progress; a hard
-        character halving is the last resort.
-        """
-        count = self.tokenizer.count_tokens
-        if count(text) <= budget:
-            return [text] if text else []
-        for li in range(level, len(self._SPLIT_LEVELS)):
-            sep = self._SPLIT_LEVELS[li]
-            if sep not in text:
-                continue
-            pieces = text.split(sep)
-            if len(pieces) <= 1:
-                continue
-            parts = [p + (sep if i < len(pieces) - 1 else "") for i, p in enumerate(pieces)]
-            out: list[str] = []
-            cur = ""
-            for part in parts:
-                if count(part) > budget:
-                    if cur:
-                        out.append(cur)
-                        cur = ""
-                    out.extend(self._split_text_recursive(part, budget, li + 1))
-                elif cur and count(cur + part) > budget:
-                    out.append(cur)
-                    cur = part
-                else:
-                    cur += part
-            if cur:
-                out.append(cur)
-            return [s for s in out if s]
-        # no separator left: hard character halving
-        if len(text) <= 1:
-            return [text]
-        mid = len(text) // 2
-        return self._split_text_recursive(text[:mid], budget, level) + self._split_text_recursive(
-            text[mid:], budget, level
-        )
-
     def _split_using_plain_text(self, chunk: dict, ser: DocSerializer) -> list[dict]:
         total = self._count_chunk_tokens(chunk)
         if total <= self.max_tokens:
@@ -583,7 +539,13 @@ class HybridChunker:
             if preamble:
                 segments = segments[:1] + [s[len(preamble):] for s in segments[1:]]
         else:
-            segments = self._split_text_recursive(chunk["text"], available)
+            # reference hybrid_chunker.py:320-326: semchunk.chunkerify(
+            # tokenizer, chunk_size=available)(text)
+            from docling_core_spark.functions.semchunk import semchunk_split
+
+            segments = semchunk_split(
+                chunk["text"], available, self.tokenizer.count_tokens
+            )
         return [{**chunk, "text": s} for s in segments]
 
     # -- stage 3: merge peers -------------------------------------------------
