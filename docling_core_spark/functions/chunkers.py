@@ -74,6 +74,7 @@ def hierarchical_chunks(
     doc: Doc,
     serializer: Optional[DocSerializer] = None,
     always_emit_headings: bool = False,
+    code_chunking: bool = False,
 ) -> Iterator[dict]:
     """Single-pass layout chunker.
 
@@ -123,6 +124,17 @@ def hierarchical_chunks(
             heading_by_level[level] = item
             continue
         if (M.is_list_group(item) or M.is_inline_group(item) or M.is_doc_item(item)) and sr not in visited:
+            if code_chunking and label == M.CODE and (item.get("text") or "").strip():
+                # reference hierarchical_chunker.py:249-256 delegates code
+                # items to the code chunking strategy (Python-only here)
+                from docling_core_spark.functions.code_chunker import chunk_python_code
+
+                if item.get("code_language") == "Python":
+                    visited.add(sr)
+                    yield from chunk_python_code(
+                        item["text"], doc_item=item, origin=doc.origin
+                    )
+                    continue
             ser_res = ser.serialize(item=item, visited=visited)
         else:
             continue
