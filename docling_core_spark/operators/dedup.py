@@ -171,6 +171,8 @@ def duplicate_clusters(
     docs: DataFrame,
     pairs: Optional[DataFrame] = None,
     max_iterations: int = 25,
+    convergence_check_every: int = 2,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph (cluster assignment).
 
@@ -182,6 +184,11 @@ def duplicate_clusters(
     hash-aggregate; the loop runs on the driver but every step is
     distributed — at 10^12 rows this is the textbook iterative-join CC
     (GraphX/large-star equivalent for small-diameter graphs).
+
+    Deep-diameter safety: the convergence check (a driver count) runs only
+    every ``convergence_check_every`` rounds, and the label lineage is cut
+    with ``localCheckpoint`` every ``checkpoint_every`` rounds so plan
+    compilation does not balloon on chain-shaped graphs.
 
     Returns (doc_id, cluster_id, cluster_size) for every document that has at
     least one duplicate, cluster_id = min doc_id of the component.
@@ -196,7 +203,8 @@ def duplicate_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).cache()
-    for _ in range(max_iterations):
+    converged = False
+    for i in range(1, max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
@@ -208,19 +216,28 @@ def duplicate_clusters(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
+        if i % checkpoint_every == 0:
+            # truncate the logical plan, not just the execution (cache keeps
+            # lineage; deep iteration would otherwise blow up plan compile)
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.cache()
+        if i % convergence_check_every == 0 or i == max_iterations:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels.unpersist()
+            labels = new_labels
+    if not converged:
         import warnings
 
         warnings.warn(

@@ -15,17 +15,34 @@ from pyspark.sql import DataFrame, functions as F
 
 _DECILES = [i / 10 for i in range(1, 10)]
 
+# t-digest/GK accuracy for the approx scale path: error <= 1/accuracy of rank
+_APPROX_ACCURACY = 10000
 
-def collection_stats(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+
+def _decile_expr(c, scale: str):
+    """Decile aggregate for the requested scale.
+
+    scale="exact" (F.percentile) materializes every value in one aggregation
+    buffer — needed for DuckDB quantile_cont hash parity, but a single-
+    aggregator OOM at 10^12 rows.  scale="approx" (F.approx_percentile) is a
+    mergeable bounded-memory sketch with map-side partials: the 100 TB path.
+    """
+    qs = F.array(*[F.lit(q) for q in _DECILES])
+    if scale == "approx":
+        return F.approx_percentile(c, qs, F.lit(_APPROX_ACCURACY))
+    return F.percentile(c, qs)
+
+
+def collection_stats(docs: DataFrame, col: str = "n_chars", scale: str = "exact") -> DataFrame:
     """Count/sum/avg/min/max + decile columns of a numeric column (A2).
 
     Deciles come out as nine scalar columns (p10..p90), not an array — scalar
     output columns are the driver-boundary contract (the correctness
-    canonicalizer cannot sort array cells).  One percentile sort buffer, one
-    aggregation; the element projection happens on the single result row.
+    canonicalizer cannot sort array cells).  ``scale="approx"`` swaps the
+    exact percentile for a mergeable sketch (use at large scale).
     """
     c = F.col(col).cast("double")
-    deciles = F.percentile(c, F.array(*[F.lit(q) for q in _DECILES]))
+    deciles = _decile_expr(c, scale)
     agg = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(c).cast("double").alias("total"),
@@ -125,11 +142,12 @@ def extracted_doc_profile(extracted: DataFrame) -> DataFrame:
     ).orderBy("url")
 
 
-def extracted_collection_profile(extracted: DataFrame) -> DataFrame:
+def extracted_collection_profile(extracted: DataFrame, scale: str = "exact") -> DataFrame:
     """A2 collection profile over the extraction output.
 
     Deciles of n_texts come out as scalar columns (driver-boundary contract —
-    no array-typed output columns).
+    no array-typed output columns).  ``scale="approx"`` uses the mergeable
+    percentile sketch (the 100 TB path; exact is for oracle hash parity).
     """
     agg = extracted.agg(
         F.count("*").alias("n_docs"),
@@ -138,9 +156,7 @@ def extracted_collection_profile(extracted: DataFrame) -> DataFrame:
         F.sum("n_pictures").alias("total_pictures"),
         F.sum(F.size("chunks")).alias("total_chunks"),
         F.round(F.avg("n_texts"), 4).alias("avg_texts"),
-        F.percentile(F.col("n_texts").cast("double"), F.array(*[F.lit(q) for q in _DECILES])).alias(
-            "_dec"
-        ),
+        _decile_expr(F.col("n_texts").cast("double"), scale).alias("_dec"),
     )
     return agg.select(
         "n_docs",

@@ -124,9 +124,11 @@ def rate_test_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFra
 
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
 
-    @F.udf("string")
-    def gen_html(v: int) -> str:
-        return synth_html(int(v), f"stream doc {v} body text", "en")
+    @F.pandas_udf("string")
+    def gen_html(values: "pd.Series") -> "pd.Series":
+        return values.map(
+            lambda v: synth_html(int(v), f"stream doc {int(v)} body text", "en")
+        )
 
     return rate.select(
         F.concat(F.lit("https://example.org/stream/"), F.col("value")).alias("url"),
