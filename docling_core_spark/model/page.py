@@ -379,3 +379,188 @@ class SegmentedPage:
 
 
 SegmentedPdfPage = SegmentedPage  # PDF pages carry a pdf_page_geometry dimension
+
+
+# ---------------------------------------------------------------------------
+# PDF annotations: hyperlinks, widgets, bitmap resources, shapes
+# (reference page.py:385-540)
+# ---------------------------------------------------------------------------
+
+
+def parse_hyperlink_uri(uri: Optional[str]):
+    """URI coercion for PDF hyperlinks (reference page.py:401-416): absolute
+    URIs parse as pydantic AnyUrl; relative paths / fragments / malformed
+    values fall back to the raw string; None passes through."""
+    if uri is None:
+        return None
+    try:
+        from pydantic import AnyUrl
+
+        return AnyUrl(uri)
+    except Exception:
+        return str(uri)
+
+
+def pdf_hyperlink(rect: dict, uri: Optional[str] = None, **extra: Any) -> dict:
+    """Hyperlink annotation (reference page.py:394-416)."""
+    return {"rect": rect, "uri": parse_hyperlink_uri(uri), **extra}
+
+
+def pdf_widget(rect: dict, **extra: Any) -> dict:
+    """Interactive form widget (reference page.py:385-392)."""
+    return {"rect": rect, **extra}
+
+
+def bitmap_resource(rect: dict, mode: str = "placeholder", image: Optional[dict] = None) -> dict:
+    """Bitmap image resource (reference page.py:418-441)."""
+    out: dict[str, Any] = {"rect": rect, "mode": mode}
+    if image is not None:
+        out["image"] = image
+    return out
+
+
+def resource_to_bottom_left_origin(res: dict, page_height: float) -> dict:
+    out = dict(res)
+    out["rect"] = rect_to_bottom_left_origin(res["rect"], page_height)
+    return out
+
+
+def resource_to_top_left_origin(res: dict, page_height: float) -> dict:
+    out = dict(res)
+    out["rect"] = rect_to_top_left_origin(res["rect"], page_height)
+    return out
+
+
+def pdf_text_cell(rect: dict, text: str, **kw: Any) -> dict:
+    """PDF text cell with font info (reference page.py:363-383).
+
+    The legacy ``left_to_right`` flag normalizes into text_direction."""
+    if "left_to_right" in kw:
+        kw["text_direction"] = (
+            "left_to_right" if kw.pop("left_to_right") else "right_to_left"
+        )
+    kw.setdefault("rendering_mode", 0)
+    kw.setdefault("widget", False)
+    kw.setdefault("font_key", "")
+    kw.setdefault("font_name", "")
+    return text_cell(rect, text, from_ocr=False, **kw)
+
+
+def pdf_shape(
+    parent_id: int,
+    points: list[tuple[float, float]],
+    coord_origin: str = BOTTOMLEFT,
+    **graphics_state: Any,
+) -> dict:
+    """Vector shape (reference page.py:466-540)."""
+    out: dict[str, Any] = {
+        "parent_id": parent_id,
+        "points": [tuple(p) for p in points],
+        "coord_origin": coord_origin,
+        "has_graphics_state": bool(graphics_state),
+        "line_width": -1.0,
+        "miter_limit": -1.0,
+        "line_cap": -1,
+        "line_join": -1,
+        "dash_phase": 0.0,
+        "dash_array": [],
+        "flatness": -1.0,
+        "rgb_stroking": {"r": 0, "g": 0, "b": 0, "a": 255},
+        "rgb_filling": {"r": 0, "g": 0, "b": 0, "a": 255},
+    }
+    out.update(graphics_state)
+    return out
+
+
+def shape_segments(shape: dict) -> Iterator[tuple[tuple[float, float], tuple[float, float]]]:
+    """Consecutive point pairs (reference page.py:505-511)."""
+    pts = shape["points"]
+    for k in range(len(pts) - 1):
+        yield (tuple(pts[k]), tuple(pts[k + 1]))
+
+
+def shape_to_bottom_left_origin(shape: dict, page_height: float) -> dict:
+    if shape.get("coord_origin", BOTTOMLEFT) == BOTTOMLEFT:
+        return shape
+    out = dict(shape)
+    out["points"] = [(x, page_height - y) for x, y in shape["points"]]
+    out["coord_origin"] = BOTTOMLEFT
+    return out
+
+
+def shape_to_top_left_origin(shape: dict, page_height: float) -> dict:
+    if shape.get("coord_origin", BOTTOMLEFT) == TOPLEFT:
+        return shape
+    out = dict(shape)
+    out["points"] = [(x, page_height - y) for x, y in shape["points"]]
+    out["coord_origin"] = TOPLEFT
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parsed-document containers (reference page.py:1457-1584)
+# ---------------------------------------------------------------------------
+
+
+def parse_pdf_metadata_xml(xml: str) -> dict[str, str]:
+    """Namespace-tag extraction from PDF XMP metadata XML
+    (reference PdfMetaData.initialise, page.py:1464-1478)."""
+    import re
+
+    pattern = r"\<([a-zA-Z]+)\:([a-zA-Z]+)\>(.+?)\<\/([a-zA-Z]+)\:([a-zA-Z]+)\>"
+    data: dict[str, str] = {}
+    for ns_open, tag_open, content, ns_close, tag_close in re.findall(pattern, xml):
+        if ns_open == ns_close and tag_open == tag_close:
+            data[tag_open] = content
+    return data
+
+
+def pdf_table_of_contents(text: str, orig: str = "", marker: str = "",
+                          children: Optional[list[dict]] = None) -> dict:
+    """Hierarchical TOC entry (reference page.py:1480-1526)."""
+    return {"text": text, "orig": orig, "marker": marker, "children": children or []}
+
+
+class ParsedPdfDocument:
+    """Fully parsed PDF: pages by number + metadata + TOC
+    (reference page.py:1528-1584)."""
+
+    def __init__(
+        self,
+        pages: Optional[dict[int, SegmentedPage]] = None,
+        meta_data: Optional[dict] = None,
+        table_of_contents: Optional[dict] = None,
+    ):
+        self.pages = pages or {}
+        self.meta_data = meta_data
+        self.table_of_contents = table_of_contents
+
+    def iterate_pages(self) -> Iterator[tuple[int, SegmentedPage]]:
+        yield from self.pages.items()
+
+    def to_dict(self) -> dict:
+        out: dict[str, Any] = {
+            "pages": {str(no): page.to_dict() for no, page in self.pages.items()}
+        }
+        if self.meta_data is not None:
+            out["meta_data"] = self.meta_data
+        if self.table_of_contents is not None:
+            out["table_of_contents"] = self.table_of_contents
+        return out
+
+    def save_as_json(self, filename: Union[str, Path], indent: int = 2) -> None:
+        Path(filename).write_text(
+            json.dumps(self.to_dict(), indent=indent, default=str), encoding="utf-8"
+        )
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ParsedPdfDocument":
+        return cls(
+            pages={int(no): SegmentedPage.from_dict(p) for no, p in (d.get("pages") or {}).items()},
+            meta_data=d.get("meta_data"),
+            table_of_contents=d.get("table_of_contents"),
+        )
+
+    @classmethod
+    def load_from_json(cls, filename: Union[str, Path]) -> "ParsedPdfDocument":
+        return cls.from_dict(json.loads(Path(filename).read_text(encoding="utf-8")))

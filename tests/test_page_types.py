@@ -135,3 +135,85 @@ def test_textlines_export():
 def test_iterate_cells_invalid_unit():
     with pytest.raises(ValueError):
         list(_page().iterate_cells("sentence"))
+
+
+# -- PDF annotation surface (reference test_page.py:218-269 + page.py:385-540) --
+
+from docling_core_spark.model.page import (  # noqa: E402
+    ParsedPdfDocument,
+    bitmap_resource,
+    parse_hyperlink_uri,
+    parse_pdf_metadata_xml,
+    pdf_hyperlink,
+    pdf_shape,
+    pdf_table_of_contents,
+    pdf_text_cell,
+    rectangle,
+    resource_to_bottom_left_origin,
+    shape_segments,
+    shape_to_bottom_left_origin,
+    shape_to_top_left_origin,
+)
+
+_RECT = rectangle(0, 0, 1, 0, 1, 1, 0, 1, coord_origin="TOPLEFT")
+
+
+def test_hyperlink_uri_coercion():
+    from pydantic import AnyUrl
+
+    h = pdf_hyperlink(_RECT, uri="https://example.com/page")
+    assert isinstance(h["uri"], AnyUrl)
+    assert h["uri"].scheme == "https" and h["uri"].host == "example.com"
+
+    m = pdf_hyperlink(_RECT, uri="mailto:user@example.com")
+    assert isinstance(m["uri"], AnyUrl) and m["uri"].scheme == "mailto"
+
+    for raw in ("/wiki/pages/internal-document-link", "#internal-bookmark",
+                "../relative/path.html"):
+        h = pdf_hyperlink(_RECT, uri=raw)
+        assert isinstance(h["uri"], str) and h["uri"] == raw
+
+    assert pdf_hyperlink(_RECT)["uri"] is None
+    assert parse_hyperlink_uri(None) is None
+
+
+def test_pdf_text_cell_ltr_normalization():
+    cell = pdf_text_cell(_RECT, "hi", left_to_right=False, font_name="F1")
+    assert cell["text_direction"] == "right_to_left"
+    cell = pdf_text_cell(_RECT, "hi", left_to_right=True)
+    assert cell["text_direction"] == "left_to_right"
+
+
+def test_shape_segments_and_origin_flips():
+    sh = pdf_shape(1, [(0, 0), (1, 0), (1, 2)], coord_origin="TOPLEFT", line_width=2.0)
+    assert list(shape_segments(sh)) == [((0, 0), (1, 0)), ((1, 0), (1, 2))]
+    assert sh["has_graphics_state"] and sh["line_width"] == 2.0
+    bl = shape_to_bottom_left_origin(sh, 10.0)
+    assert bl["points"] == [(0, 10.0), (1, 10.0), (1, 8.0)]
+    assert shape_to_bottom_left_origin(bl, 10.0) is bl  # already converted
+    assert shape_to_top_left_origin(bl, 10.0)["points"] == [(0, 0.0), (1, 0.0), (1, 2.0)]
+
+
+def test_bitmap_resource_flip():
+    res = bitmap_resource(rectangle(0, 1, 2, 1, 2, 3, 0, 3, coord_origin="TOPLEFT"))
+    flipped = resource_to_bottom_left_origin(res, 10.0)
+    assert flipped["rect"]["coord_origin"] == "BOTTOMLEFT"
+    assert flipped["rect"]["r_y0"] == 9.0
+
+
+def test_pdf_metadata_xml_parse():
+    xml = "<dc:title>My Doc</dc:title><xmp:creator>me</xmp:creator><a:b>bad</c:d>"
+    assert parse_pdf_metadata_xml(xml) == {"title": "My Doc", "creator": "me"}
+
+
+def test_parsed_pdf_document_roundtrip(tmp_path):
+    from docling_core_spark.model.page import SegmentedPage, page_geometry
+
+    page = SegmentedPage(dimension=page_geometry(0.0, _RECT))
+    toc = pdf_table_of_contents("Ch 1", children=[pdf_table_of_contents("Sec 1.1")])
+    doc = ParsedPdfDocument(pages={1: page}, table_of_contents=toc)
+    f = tmp_path / "doc.json"
+    doc.save_as_json(f)
+    loaded = ParsedPdfDocument.load_from_json(f)
+    assert list(dict(loaded.iterate_pages())) == [1]
+    assert loaded.table_of_contents["children"][0]["text"] == "Sec 1.1"
