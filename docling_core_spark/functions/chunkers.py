@@ -47,14 +47,28 @@ _TOKEN_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-￿]+| ?\d+| ?[^\sA
 
 
 class RegexTokenizer:
-    """Deterministic BPE-ish tokenizer (whitespace+punctuation regex)."""
+    """Deterministic BPE-ish tokenizer (whitespace+punctuation regex).
+
+    Counts are memoized: the hybrid chunker's window growth and semchunk's
+    budget binary search re-count the same strings repeatedly (semchunk
+    itself memoizes its token counter for the same reason).  The memo is
+    bounded so a long-lived executor cannot grow it without limit."""
+
+    _MEMO_MAX = 65536
 
     def __init__(self, max_tokens: int = 512):
         self.max_tokens = max_tokens
+        self._memo: dict[str, int] = {}
 
     def count_tokens(self, text: str) -> int:
         """Number of coarse tokens in text."""
-        return len(_TOKEN_RE.findall(text))
+        n = self._memo.get(text)
+        if n is None:
+            n = sum(1 for _ in _TOKEN_RE.finditer(text))
+            if len(self._memo) >= self._MEMO_MAX:
+                self._memo.clear()
+            self._memo[text] = n
+        return n
 
     def get_max_tokens(self) -> int:
         """Chunk capacity in tokens."""

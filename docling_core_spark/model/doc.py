@@ -206,8 +206,9 @@ def ref_of(item: dict) -> str:
 
 def ref_array(cref: str) -> str:
     """Array name of a `#/<array>/<idx>` or `#/<name>` pointer."""
-    parts = cref.split("/")
-    return parts[1]
+    # hot path (called per node per traversal): avoid building a full split
+    end = cref.find("/", 2)
+    return cref[2:] if end < 0 else cref[2:end]
 
 
 def is_group(item: dict) -> bool:
@@ -676,10 +677,17 @@ class Doc:
         """
         layers = included_content_layers if included_content_layers is not None else DEFAULT_CONTENT_LAYERS
         node = root if root is not None else self.body
-        stack_depth = 0
+        resolve = self.resolve
 
-        def walk(item: dict, depth: int) -> Iterator[tuple[dict, int]]:
-            grp = is_group(item)
+        # iterative pre-order DFS: recursive generators pay O(depth) per
+        # yield through the `yield from` chain — this loop is the hottest
+        # path of every serializer (profiled in the extract pipeline)
+        stack: list[tuple[dict, int]] = [(node, 0)]
+        group_arrays = _GROUP_ARRAYS | {BODY, FURNITURE}
+        while stack:
+            item, depth = stack.pop()
+            arr = ref_array(item["self_ref"])
+            grp = arr in group_arrays
             should_yield = (
                 (not grp or with_groups)
                 and (
@@ -691,17 +699,17 @@ class Doc:
             )
             if should_yield:
                 yield item, depth
-            pic = is_picture_item(item)
-            allowed = (
-                {r["$ref"] for r in item.get("captions", ())} if (pic and not traverse_pictures) else None
-            )
-            for ref in item.get("children", ()):
-                cref = ref["$ref"]
-                if allowed is not None and cref not in allowed:
-                    continue
-                yield from walk(self.resolve(cref), depth + 1)
-
-        yield from walk(node, stack_depth)
+            children = item.get("children", ())
+            if not children:
+                continue
+            if not traverse_pictures and arr == "pictures":
+                allowed = {r["$ref"] for r in item.get("captions", ())}
+                kids = [resolve(r["$ref"]) for r in children if r["$ref"] in allowed]
+            else:
+                kids = [resolve(r["$ref"]) for r in children]
+            next_depth = depth + 1
+            for child in reversed(kids):
+                stack.append((child, next_depth))
 
     # ------------------------------------------------------------------
     # (De)serialization
