@@ -174,6 +174,13 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _synth_op(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
+    from docling_core_spark.operators.doc_synth_ops import code_chunks, doclang_field_kv
+
+    docs = _docs(spark, sf_dir)
+    return code_chunks(docs) if op == "code" else doclang_field_kv(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + pipeline ops."""
     from docling_core_spark.operators import dedup, profile, relational, similarity, textstats
@@ -195,6 +202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         "embedding_cosine_dedup": lambda s, d: similarity.embedding_cosine_dedup(_emb(s, d)),
+        # --- code chunking (C8, Python) + field-kv DocLang (S5) over
+        # deterministically synthesized inputs; single-process-expected oracle
+        "code_chunks_python": lambda s, d: _synth_op(s, d, "code"),
+        "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
         # --- profiler aggregates (A1/A2) ---
         "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),
         "profile_histogram_chars": lambda s, d: profile.histogram(_docs(s, d)),

@@ -40,11 +40,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {"n_docs": n_docs, "cpus": cpus}
+    # shared-host noise diagnostic: interpret absolute numbers in context
+    extra["loadavg_start"] = round(os.getloadavg()[0], 2)
 
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name: str, fn, repeats: int = 2) -> None:
+        # best-of-N for every query (noisy-host guard): a single window can
+        # catch a neighbor's burst — r3 observed a 3.5x swing on one query
+        # between two same-code runs minutes apart
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # The flagship measures what a production job does: scan a crawl table
     # from storage -> extract (per BASELINE input_hint).  Page synthesis is
@@ -78,12 +87,7 @@ def main() -> None:
         extra["extract_chunks"] = int(stats["nc"] or 0)
         extra["extract_errors"] = stats["ne"]
 
-    # best-of-2 for the flagship (scaling-bench protocol): the shared host is
-    # noisy and a single window can catch a neighbor's burst
     timed("extract_pipeline", run_extract)
-    first = timings["extract_pipeline"]
-    timed("extract_pipeline", run_extract)
-    timings["extract_pipeline"] = min(first, timings["extract_pipeline"])
     extra["extract_docs_per_sec"] = round(n_docs / timings["extract_pipeline"], 2)
 
     timed("dedup_exact", lambda: dedup.exact_duplicates(docs_tbl).count())

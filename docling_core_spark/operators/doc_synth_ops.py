@@ -1,0 +1,183 @@
+"""Driver-boundary queries for the round-3 operators: Python code chunking
+and field-kv DocLang serialization, as distributed per-row transforms.
+
+Both run the same pure-python row code on Spark (mapInPandas) and in the
+single-process expected builder (oracle_expected.py), so the DuckDB oracle
+value-hashes the full output.  Inputs derive deterministically from the
+synthetic `documents` table — no external data.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_WORD_RE = re.compile(r"[a-z]+")
+
+
+def synth_python_module(doc_id: str, text: str) -> str:
+    """Deterministic small Python module derived from a document row:
+    imports, a module constant, a class with a method, a free function with
+    a decorator, and trailing top-level code — one of each chunkable shape."""
+    words = _WORD_RE.findall(text.lower())[:8] or ["empty"]
+    ident = re.sub(r"[^a-z0-9]", "_", doc_id.lower()) or "doc"
+    body_lines = "\n".join(
+        f'        out.append("{w}")' for w in words[:4]
+    )
+    return f'''import json
+import os
+# tuning constant for {ident}
+LIMIT_{ident.upper()} = {len(words)}
+
+class Handler_{ident}:
+    kind = "{words[0]}"
+
+    def __init__(self, root):
+        self.root = os.fspath(root)
+
+    def collect(self):
+        out = []
+{body_lines}
+        return out
+
+@staticmethod
+def render_{ident}(items):
+    payload = {{"n": LIMIT_{ident.upper()}, "items": list(items)}}
+    return json.dumps(payload)
+
+print(render_{ident}(["{words[-1]}"]))
+'''
+
+
+def code_chunk_rows(doc_id: str, text: str) -> list[dict]:
+    """Chunk the synthesized module; scalar columns only (driver contract)."""
+    from docling_core_spark.functions.code_chunker import chunk_python_code
+
+    code = synth_python_module(doc_id, text)
+    rows = []
+    for i, chunk in enumerate(chunk_python_code(code)):
+        m = chunk["meta"]
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "chunk_idx": i,
+                "part_name": m.get("part_name"),
+                "chunk_type": m["chunk_type"],
+                "start_line": int(m["start_line"]),
+                "end_line": int(m["end_line"]),
+                "sha1_int": str(m["sha256"]),
+                "chunk_text": chunk["text"],
+            }
+        )
+    return rows
+
+
+CODE_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("part_name", StringType()),
+        StructField("chunk_type", StringType()),
+        StructField("start_line", IntegerType()),
+        StructField("end_line", IntegerType()),
+        StructField("sha1_int", StringType()),
+        StructField("chunk_text", StringType()),
+    ]
+)
+
+
+def code_chunks(docs: DataFrame) -> DataFrame:
+    """Distributed Python code chunking over synthesized modules (C8)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CODE_CHUNK_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rows.extend(code_chunk_rows(str(doc_id), str(text)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(run, schema=CODE_CHUNK_SCHEMA)
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def doclang_kv_row(doc_id: str, lang: str, text: str) -> dict:
+    """Build a field-kv document for the row (builders + legacy-graph
+    migration) and serialize to minimized DocLang."""
+    from docling_core_spark.functions.doclang_out import export_to_doclang
+    from docling_core_spark.model.doc import Doc
+
+    words = _WORD_RE.findall((text or "").lower())[:6] or ["empty"]
+    doc = Doc(name=doc_id)
+    # the legacy graph item comes first: a single *trailing* kv item would
+    # take the annotation-migration path (reference document.py:382-401)
+    doc.add_key_values(
+        graph={
+            "cells": [
+                {"label": "key", "cell_id": 0, "text": "tail_word", "orig": "tail_word"},
+                {"label": "value", "cell_id": 1, "text": words[-1], "orig": words[-1]},
+            ],
+            "links": [
+                {"label": "to_value", "source_cell_id": 0, "target_cell_id": 1}
+            ],
+        }
+    )
+    region = doc.add_field_region()
+    doc.add_field_heading(f"Record {doc_id}", parent=region)
+    fi = doc.add_field_item(parent=region)
+    doc.add_field_key("lang", parent=fi)
+    doc.add_field_value(lang or "", parent=fi)
+    fi = doc.add_field_item(parent=region)
+    doc.add_field_key("first_words", parent=fi)
+    for w in words[:3]:
+        doc.add_field_value(w, parent=fi, kind="fillable")
+
+    doc.migrate_to_field_regions()
+    out = export_to_doclang(doc, include_version=False, pretty_indentation=None)
+    return {
+        "doc_id": doc_id,
+        "doclang_kv": out,
+        "n_field_regions": len(doc.field_regions),
+        "n_field_items": len(doc.field_items),
+    }
+
+
+DOCLANG_KV_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("doclang_kv", StringType()),
+        StructField("n_field_regions", IntegerType()),
+        StructField("n_field_items", IntegerType()),
+    ]
+)
+
+
+def doclang_field_kv(docs: DataFrame) -> DataFrame:
+    """Distributed field-kv DocLang serialization (S5 field-kv surface)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DOCLANG_KV_SCHEMA.fields]
+        for pdf in batches:
+            rows = [
+                doclang_kv_row(str(d), str(lg), str(tx))
+                for d, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        docs.select("doc_id", "lang", "text")
+        .mapInPandas(run, schema=DOCLANG_KV_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -491,7 +491,48 @@ def _build_media(out: Path, n: int = 200) -> None:
     )
 
 
+def _build_synth_ops(sf_dir: str, out: Path) -> None:
+    import pyarrow.parquet as _pq
+
+    from docling_core_spark.operators.doc_synth_ops import (
+        code_chunk_rows,
+        doclang_kv_row,
+    )
+
+    docs_tbl = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pylist()
+
+    chunk_rows: list[dict] = []
+    kv_rows: list[dict] = []
+    for r in docs_tbl:
+        chunk_rows.extend(code_chunk_rows(str(r["doc_id"]), str(r["text"])))
+        kv_rows.append(doclang_kv_row(str(r["doc_id"]), str(r["lang"]), str(r["text"])))
+    chunk_rows.sort(key=lambda x: (x["doc_id"], x["chunk_idx"]))
+    kv_rows.sort(key=lambda x: x["doc_id"])
+
+    _write(
+        out / "code_chunks_python.parquet",
+        chunk_rows,
+        pa.schema(
+            [("doc_id", _S), ("chunk_idx", _I32), ("part_name", _S),
+             ("chunk_type", _S), ("start_line", _I32), ("end_line", _I32),
+             ("sha1_int", _S), ("chunk_text", _S)]
+        ),
+    )
+    _write(
+        out / "doclang_field_kv.parquet",
+        kv_rows,
+        pa.schema(
+            [("doc_id", _S), ("doclang_kv", _S), ("n_field_regions", _I32),
+             ("n_field_items", _I32)]
+        ),
+    )
+
+
 EXPECTED_QUERIES = {
+    "code_chunks_python": "ORDER BY doc_id, chunk_idx",
+    "doclang_field_kv": "ORDER BY doc_id",
     "dedup_minhash_lsh": "ORDER BY doc_a, doc_b",
     "dedup_clusters": "ORDER BY doc_id",
     "similarity_ann_lsh": "ORDER BY cos_sim DESC, vec_id ASC",
@@ -528,6 +569,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_media(tmp)
         _build_minhash(sf_dir, tmp)
         _build_similarity(sf_dir, tmp)
+        _build_synth_ops(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
         try:
             os.rename(tmp, out)
