@@ -69,10 +69,11 @@ def _is_el(node: Node) -> bool:
 class DocLangDeserializer:
     """Stateful walker building a Doc from DocLang XML."""
 
-    def __init__(self) -> None:
+    def __init__(self, media_root=None) -> None:
         self._page_no = 1
         self._resolution = DFLT_RESOLUTION
         self._threads: dict[tuple[str, str], dict] = {}
+        self._media_root = media_root
 
     # -- entry ----------------------------------------------------------------
 
@@ -243,6 +244,29 @@ class DocLangDeserializer:
             elif node.tagName == "description":
                 if text := self._get_text(node).strip():
                     item.setdefault("meta", {})["description"] = {"text": text}
+            elif node.tagName == "custom":
+                # namespaced custom-vocabulary fields (reference deserializer
+                # doclang.py:1600-1664): docling__summary/description map to
+                # the native meta fields, docling__smiles to picture
+                # molecule data, any other ns__name stays a custom field
+                for child in node.childNodes:
+                    if not _is_el(child):
+                        continue
+                    tag = child.tagName
+                    value = self._get_text(child)
+                    if tag == "docling__summary":
+                        if text := value.strip():
+                            item.setdefault("meta", {})["summary"] = {"text": text}
+                    elif tag == "docling__description":
+                        if text := value.strip():
+                            item.setdefault("meta", {})["description"] = {"text": text}
+                    elif tag == "docling__smiles":
+                        if (smi := value.strip()) and M.ref_array(
+                            item.get("self_ref", "")
+                        ) == "pictures":
+                            item.setdefault("meta", {})["molecule"] = {"smi": smi}
+                    elif "__" in tag and tag.split("__", 1)[0] and tag.split("__", 1)[1]:
+                        item.setdefault("meta", {})[tag] = value
 
     # -- dispatch --------------------------------------------------------------
 
@@ -1013,10 +1037,43 @@ class DocLangDeserializer:
             self._apply_head_meta(pic, picture_el)
             _, body = self._split_head_body(picture_el)
             for node in body:
+                if _is_el(node) and node.tagName == "src" and self._media_root is not None:
+                    if uri := node.getAttribute("uri"):
+                        if ref := self._image_ref_from_archive_uri(uri):
+                            pic["image"] = ref
+                    continue
                 if _is_el(node) and node.tagName not in ("src", "tabular"):
                     self._dispatch(doc, node, pic)
 
+    def _image_ref_from_archive_uri(self, uri: str) -> Optional[dict]:
+        """Restore a relative <src uri> from an archive root (reference
+        doclang.py:1556-1598; sizes come from image headers, not a decode)."""
+        from pathlib import Path
 
-def load_from_doclang(text: str, page_no: int = 1) -> Doc:
-    """Parse DocLang XML into a Doc."""
-    return DocLangDeserializer().deserialize(text, page_no=page_no)
+        from docling_core_spark.sources.doclang_archive import _image_size
+
+        uri = uri.strip()
+        if not uri or uri.startswith("data:") or "://" in uri:
+            return None
+        root = Path(self._media_root).resolve()
+        resolved = (root / uri).resolve()
+        if not str(resolved).startswith(str(root)) or not resolved.is_file():
+            return None
+        data = resolved.read_bytes()
+        size = _image_size(data)
+        if size is None:
+            return None
+        import mimetypes
+
+        return {
+            "mimetype": mimetypes.guess_type(resolved.name)[0] or "image/png",
+            "dpi": 72,
+            "size": {"width": float(size[0]), "height": float(size[1])},
+            "uri": str(resolved),
+        }
+
+
+def load_from_doclang(text: str, page_no: int = 1, media_root=None) -> Doc:
+    """Parse DocLang XML into a Doc; media_root resolves relative <src> URIs
+    (DocLang archive extraction root)."""
+    return DocLangDeserializer(media_root=media_root).deserialize(text, page_no=page_no)
