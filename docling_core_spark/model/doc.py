@@ -410,10 +410,10 @@ class Doc:
         return item
 
     def add_code(self, text: str, code_language: Optional[str] = None, **kw: Any) -> dict:
-        """Append a CodeItem (reference document.py:1787)."""
+        """Append a CodeItem (reference document.py:1787; the model's
+        code_language default "unknown" always dumps)."""
         item = self.add_text(CODE, text, **kw)
-        if code_language:
-            item["code_language"] = code_language
+        item["code_language"] = code_language if code_language else "unknown"
         item.setdefault("captions", [])
         item.setdefault("references", [])
         item.setdefault("footnotes", [])
@@ -649,6 +649,258 @@ class Doc:
                 )
         table_item["data"].setdefault("table_cells", []).append(cell)
         return cell
+
+    # ------------------------------------------------------------------
+    # Positioned insertion (reference document.py:2290-2947)
+    # ------------------------------------------------------------------
+
+    def _insert(self, item: dict, array: str, sibling: dict, after: bool) -> dict:
+        from docling_core_spark.model.mutate import insert_sibling
+
+        return insert_sibling(self, item, array, sibling, after=after)
+
+    def insert_list_group(self, sibling: dict, name: Optional[str] = None,
+                          after: bool = True) -> dict:
+        """Insert a ListGroup next to a sibling (reference document.py:2290)."""
+        item = {"label": GROUP_LIST, "name": name if name is not None else "group"}
+        return self._insert(item, "groups", sibling, after)
+
+    def insert_inline_group(self, sibling: dict, name: Optional[str] = None,
+                            after: bool = True) -> dict:
+        """Insert an InlineGroup (reference document.py:2320)."""
+        item = {"label": GROUP_INLINE, "name": name if name is not None else "group"}
+        return self._insert(item, "groups", sibling, after)
+
+    def insert_group(self, sibling: dict, label: Optional[str] = None,
+                     name: Optional[str] = None, after: bool = True) -> dict:
+        """Insert a group; list/ordered_list/inline labels delegate to the
+        typed variants (reference document.py:2351)."""
+        if label in (GROUP_LIST, GROUP_ORDERED_LIST):
+            return self.insert_list_group(sibling, name=name, after=after)
+        if label == GROUP_INLINE:
+            return self.insert_inline_group(sibling, name=name, after=after)
+        item = {"label": label if label is not None else GROUP_UNSPECIFIED,
+                "name": name if name is not None else "group"}
+        return self._insert(item, "groups", sibling, after)
+
+    def insert_list_item(self, sibling: dict, text: str, enumerated: bool = False,
+                         marker: Optional[str] = None, orig: Optional[str] = None,
+                         after: bool = True) -> dict:
+        """Insert a ListItem; a non-ListGroup insertion point grows a list
+        group on the fly with a DeprecationWarning (reference document.py:2401)."""
+        import warnings
+
+        parent = self.parent_of(sibling)
+        item: dict[str, Any] = {
+            "label": LIST_ITEM,
+            "prov": [],
+            "orig": orig if orig is not None else text,
+            "text": text,
+            "enumerated": enumerated,
+            "marker": marker or "",
+        }
+        if parent is not None and not is_list_group(parent):
+            warnings.warn(
+                "ListItem parent must be a ListGroup, creating one on the fly.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            group = self.insert_list_group(sibling, after=after)
+            return self._attach("texts", item, group)
+        return self._insert(item, "texts", sibling, after)
+
+    def insert_text(self, sibling: dict, label: str, text: str,
+                    orig: Optional[str] = None, after: bool = True) -> dict:
+        """Insert a text-family item; title/section_header/code/formula/
+        list_item delegate to their typed forms (reference document.py:2474)."""
+        if label == TITLE:
+            return self.insert_title(sibling, text, orig=orig, after=after)
+        if label == SECTION_HEADER:
+            return self.insert_heading(sibling, text, orig=orig, after=after)
+        if label == CODE:
+            return self.insert_code(sibling, text, orig=orig, after=after)
+        if label == FORMULA:
+            return self.insert_formula(sibling, text, orig=orig, after=after)
+        if label == LIST_ITEM:
+            return self.insert_list_item(sibling, text, orig=orig, after=after)
+        item = {"label": label, "prov": [], "orig": orig if orig is not None else text,
+                "text": text}
+        return self._insert(item, "texts", sibling, after)
+
+    def insert_title(self, sibling: dict, text: str, orig: Optional[str] = None,
+                     after: bool = True) -> dict:
+        """Insert a TitleItem (reference document.py:2679)."""
+        item = {"label": TITLE, "prov": [], "orig": orig if orig is not None else text,
+                "text": text}
+        return self._insert(item, "texts", sibling, after)
+
+    def insert_heading(self, sibling: dict, text: str, level: int = 1,
+                       orig: Optional[str] = None, after: bool = True) -> dict:
+        """Insert a SectionHeaderItem (reference document.py:2834)."""
+        item = {"label": SECTION_HEADER, "prov": [],
+                "orig": orig if orig is not None else text, "text": text,
+                "level": level}
+        return self._insert(item, "texts", sibling, after)
+
+    def insert_code(self, sibling: dict, text: str, code_language: Optional[str] = None,
+                    orig: Optional[str] = None, after: bool = True) -> dict:
+        """Insert a CodeItem (reference document.py:2728)."""
+        item: dict[str, Any] = {
+            "label": CODE, "prov": [], "orig": orig if orig is not None else text,
+            "text": text, "captions": [], "references": [], "footnotes": [],
+            "code_language": code_language if code_language else "unknown",
+        }
+        return self._insert(item, "texts", sibling, after)
+
+    def insert_formula(self, sibling: dict, text: str, orig: Optional[str] = None,
+                       after: bool = True) -> dict:
+        """Insert a FormulaItem (reference document.py:2785)."""
+        item = {"label": FORMULA, "prov": [], "orig": orig if orig is not None else text,
+                "text": text}
+        return self._insert(item, "texts", sibling, after)
+
+    def insert_table(self, sibling: dict, data: dict, after: bool = True) -> dict:
+        """Insert a TableItem (reference document.py:2587)."""
+        item = {"label": TABLE, "prov": [], "captions": [], "references": [],
+                "footnotes": [], "data": data}
+        return self._insert(item, "tables", sibling, after)
+
+    def insert_picture(self, sibling: dict, image: Optional[dict] = None,
+                       after: bool = True) -> dict:
+        """Insert a PictureItem (reference document.py:2634)."""
+        item: dict[str, Any] = {"label": PICTURE, "prov": [], "captions": [],
+                                "references": [], "footnotes": [], "annotations": []}
+        if image is not None:
+            item["image"] = image
+        return self._insert(item, "pictures", sibling, after)
+
+    def insert_key_values(self, sibling: dict, graph: dict, after: bool = True) -> dict:
+        """Insert a KeyValueItem (reference document.py:2886)."""
+        item = {"label": KEY_VALUE_REGION, "prov": [], "captions": [],
+                "references": [], "footnotes": [], "graph": graph}
+        return self._insert(item, "key_value_items", sibling, after)
+
+    def insert_form(self, sibling: dict, graph: dict, after: bool = True) -> dict:
+        """Insert a FormItem (reference document.py:2915)."""
+        item = {"label": "form", "prov": [], "captions": [], "references": [],
+                "footnotes": [], "graph": graph}
+        return self._insert(item, "form_items", sibling, after)
+
+    # ------------------------------------------------------------------
+    # Bulk / range / cross-document operations (reference document.py:2948-3200)
+    # ------------------------------------------------------------------
+
+    def _append_item_copies(self, node_items: list[dict], parent: dict, src: "Doc") -> list[dict]:
+        """Deep-copy items (with their subtrees, pre-order) from src into
+        this document under parent; returns the new child refs.  Top-level
+        refs are wired by _attach in order, matching the reference's
+        append-then-link sequence."""
+        import copy as _copy
+
+        label_arrays = {
+            GROUP_LIST: "groups", GROUP_ORDERED_LIST: "groups",
+            GROUP_INLINE: "groups", GROUP_UNSPECIFIED: "groups",
+            GROUP_FORM_AREA: "groups", TABLE: "tables",
+            DOCUMENT_INDEX: "tables", PICTURE: "pictures",
+            KEY_VALUE_REGION: "key_value_items", "form": "form_items",
+            FIELD_REGION: "field_regions", FIELD_ITEM: "field_items",
+        }
+        refs = []
+        for item in node_items:
+            dup = _copy.deepcopy(item)
+            kid_refs = dup.get("children") or []
+            dup.pop("parent", None)
+            dup["children"] = []
+            # fresh items (no self_ref yet) land in the array their label implies
+            sr = dup.pop("self_ref", None)
+            array = ref_array(sr) if sr else label_arrays.get(item.get("label"), "texts")
+            self._attach(array, dup, parent)
+            kids = [src.resolve(r["$ref"]) for r in kid_refs]
+            self._append_item_copies(kids, dup, src)
+            refs.append({"$ref": dup["self_ref"]})
+        return refs
+
+    def add_node_items(self, node_items: list[dict], doc: "Doc",
+                       parent: Optional[dict] = None) -> None:
+        """Bulk-append copies of items (and subtrees) from doc under parent
+        (reference document.py:3084)."""
+        parent = parent if parent is not None else self.body
+        if not is_list_group(parent):
+            for item in node_items:
+                if item.get("label") == LIST_ITEM:
+                    raise ValueError("Cannot add ListItem into a non-ListGroup parent.")
+        self._append_item_copies(node_items, parent, doc)
+
+    def insert_node_items(self, sibling: dict, node_items: list[dict], doc: "Doc",
+                          after: bool = True) -> None:
+        """Bulk-insert copies of items at a sibling position
+        (reference document.py:3117)."""
+        parent = self.parent_of(sibling)
+        if parent is None:
+            raise ValueError("sibling has no parent")
+        if not is_list_group(parent):
+            for item in node_items:
+                if item.get("label") == LIST_ITEM:
+                    raise ValueError("Cannot insert ListItem into a non-ListGroup parent.")
+        new_refs = self._append_item_copies(node_items, parent, doc)
+        # _attach appended the refs at the end of parent.children; move them
+        # to the sibling position, preserving order
+        kids = parent["children"]
+        del kids[len(kids) - len(new_refs):]
+        idx = next(i for i, r in enumerate(kids) if r["$ref"] == sibling["self_ref"])
+        pos = idx + (1 if after else 0)
+        kids[pos:pos] = new_refs
+
+    def add_document(self, doc: "Doc", parent: Optional[dict] = None) -> None:
+        """Merge another document's body content under parent
+        (reference document.py:3068)."""
+        items = [doc.resolve(r["$ref"]) for r in doc.body.get("children", ())]
+        self.add_node_items(items, doc, parent=parent)
+
+    def insert_document(self, doc: "Doc", sibling: dict, after: bool = True) -> None:
+        """Merge another document's body content at a sibling position
+        (reference document.py:3050)."""
+        items = [doc.resolve(r["$ref"]) for r in doc.body.get("children", ())]
+        self.insert_node_items(sibling, items, doc, after=after)
+
+    def _range_slice(self, start: dict, end: dict, start_inclusive: bool,
+                     end_inclusive: bool) -> tuple[dict, list[dict]]:
+        if start.get("parent") != end.get("parent"):
+            raise ValueError("Start and end NodeItems must have the same parent")
+        parent = self.parent_of(start) or self.body
+        kids = parent.get("children", [])
+        start_index = next(i for i, r in enumerate(kids) if r["$ref"] == start["self_ref"])
+        end_index = next(i for i, r in enumerate(kids) if r["$ref"] == end["self_ref"])
+        if start_index > end_index:
+            raise ValueError(
+                "Start NodeItem must come before or be the same as the end NodeItem"
+            )
+        refs = kids[start_index : end_index + 1]
+        if not start_inclusive:
+            refs = refs[1:]
+        if not end_inclusive:
+            refs = refs[:-1]
+        return parent, list(refs)
+
+    def delete_items_range(self, start: dict, end: dict, start_inclusive: bool = True,
+                           end_inclusive: bool = True) -> None:
+        """Delete a contiguous sibling range with subtrees
+        (reference document.py:2948)."""
+        from docling_core_spark.model.mutate import delete_items
+
+        _, refs = self._range_slice(start, end, start_inclusive, end_inclusive)
+        delete_items(self, [self.resolve(r["$ref"]) for r in refs])
+
+    def extract_items_range(self, start: dict, end: dict, start_inclusive: bool = True,
+                            end_inclusive: bool = True, delete: bool = False) -> "Doc":
+        """Extract a contiguous sibling range into a new document
+        (reference document.py:2994)."""
+        _, refs = self._range_slice(start, end, start_inclusive, end_inclusive)
+        new_doc = Doc(name=f"{self.name}- Extracted Range")
+        new_doc.add_node_items([self.resolve(r["$ref"]) for r in refs], self)
+        if delete:
+            self.delete_items_range(start, end, start_inclusive, end_inclusive)
+        return new_doc
 
     def add_page(self, page_no: int, width: float, height: float) -> dict:
         """Register a page (reference document.py:5049)."""
