@@ -59,14 +59,24 @@ def main() -> None:
     # from storage -> extract (per BASELINE input_hint).  Page synthesis is
     # input prep, not pipeline throughput — materialize it once (cached per
     # package digest so code edits invalidate).
+    from pyspark.sql import functions as F
+
     from docling_core_spark.oracle_expected import package_digest
 
+    # 4x-replicated crawl table (same protocol as scripts/scaling_bench.py):
+    # at sf0.1 a single pass is ~1.3 s of compute wrapped in ~1.3 s of fixed
+    # job/stage overhead, which misreads steady-state throughput by ~2x
+    replication = 4
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    pages_path = f"/tmp/bench_web_pages_{sf_name}_{package_digest()}.parquet"
+    pages_path = f"/tmp/bench_web_pages_{sf_name}_x{replication}_{package_digest()}.parquet"
     if not os.path.isdir(pages_path):
-        web_pages_df(spark, sf_dir).repartition(4 * cpus, "url").write.mode(
-            "overwrite"
-        ).parquet(pages_path)
+        pages = web_pages_df(spark, sf_dir)
+        many = pages
+        for i in range(1, replication):
+            many = many.unionByName(
+                pages.withColumn("url", F.concat(F.lit(f"r{i}-"), F.col("url")))
+            )
+        many.repartition(4 * cpus, "url").write.mode("overwrite").parquet(pages_path)
 
     # Warm-up: fork the python workers and import the package on EVERY core
     # BEFORE the timed flagship run (same protocol as scripts/scaling_bench.py).
@@ -88,7 +98,9 @@ def main() -> None:
         extra["extract_errors"] = stats["ne"]
 
     timed("extract_pipeline", run_extract)
-    extra["extract_docs_per_sec"] = round(n_docs / timings["extract_pipeline"], 2)
+    extra["extract_docs_per_sec"] = round(
+        replication * n_docs / timings["extract_pipeline"], 2
+    )
 
     timed("dedup_exact", lambda: dedup.exact_duplicates(docs_tbl).count())
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_duplicates(docs_tbl).count())
