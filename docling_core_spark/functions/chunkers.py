@@ -140,15 +140,43 @@ def hierarchical_chunks(
         if (M.is_list_group(item) or M.is_inline_group(item) or M.is_doc_item(item)) and sr not in visited:
             if code_chunking and label == M.CODE and (item.get("text") or "").strip():
                 # reference hierarchical_chunker.py:249-256 delegates code
-                # items to the code chunking strategy (Python-only here)
+                # items to the code chunking strategy; languages without an
+                # inner chunker fall back to one code_block chunk
+                # (standard_code_chunking_strategy.py:85-94)
+                import hashlib
+
                 from docling_core_spark.functions.code_chunker import chunk_python_code
 
+                visited.add(sr)
                 if item.get("code_language") == "Python":
-                    visited.add(sr)
                     yield from chunk_python_code(
                         item["text"], doc_item=item, origin=doc.origin
                     )
-                    continue
+                else:
+                    code_text = item["text"]
+                    yield {
+                        "text": code_text,
+                        "meta": {
+                            "schema_name": "docling_core.transforms.chunker.CodeDocMeta",
+                            "version": "1.0.0",
+                            "doc_items": [
+                                {
+                                    k: item[k]
+                                    for k in ("self_ref", "parent", "children",
+                                              "content_layer", "label", "prov")
+                                    if k in item
+                                }
+                            ],
+                            **({"origin": doc.origin} if doc.origin else {}),
+                            "sha256": int(
+                                hashlib.sha1(code_text.encode("utf-8")).hexdigest(), 16
+                            ),
+                            "start_line": 1,
+                            "end_line": len(code_text.splitlines()),
+                            "chunk_type": "code_block",
+                        },
+                    }
+                continue
             ser_res = ser.serialize(item=item, visited=visited)
         else:
             continue

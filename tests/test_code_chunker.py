@@ -68,8 +68,12 @@ def test_hierarchical_chunker_code_strategy_hook():
     assert [c["meta"]["chunk_type"] for c in chunks] == [
         c["meta"]["chunk_type"] for c in exp
     ]
-    # non-Python code items keep the normal serialization path
+    # languages without an inner chunker fall back to one code_block chunk
+    # (reference standard_code_chunking_strategy.py:85-94)
     doc2 = Doc(name="x")
     doc2.add_code("int main() { return 0; }", code_language="C")
-    normal = list(hierarchical_chunks(doc2, code_chunking=True))
-    assert len(normal) == 1 and "meta" not in normal[0]
+    fallback = list(hierarchical_chunks(doc2, code_chunking=True))
+    assert len(fallback) == 1
+    assert fallback[0]["meta"]["chunk_type"] == "code_block"
+    assert fallback[0]["meta"]["start_line"] == 1
+    assert fallback[0]["text"] == "int main() { return 0; }"
