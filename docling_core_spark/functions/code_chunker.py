@@ -269,7 +269,8 @@ class _PyChunker:
 
     def _used_import_names(self, imports: dict[str, ast.stmt], node_range: tuple[int, int],
                            additional_context: str,
-                           module_variables: Optional[dict[str, ast.stmt]]) -> set[str]:
+                           module_variables: Optional[dict[str, ast.stmt]],
+                           body_range: Optional[tuple[int, int]] = None) -> set[str]:
         used = {
             name for name in self._identifiers_in_node(*node_range) if name in imports
         }
@@ -278,7 +279,9 @@ class _PyChunker:
                 if name in additional_context:
                     used.add(name)
         if module_variables:
-            for var_name in self._used_variables_of_range(node_range):
+            # variable usage scans the function BODY only (reference
+            # _find_used_variables resolves the body block)
+            for var_name in self._used_variables_of_range(body_range or node_range):
                 if var_name in module_variables:
                     var_range = self.src.node_range(module_variables[var_name])
                     used |= {
@@ -486,7 +489,10 @@ def chunk_python_code(
         chunk_ranges = [node_range]
         if imports_text:
             for name in sorted(
-                ck._used_import_names(imports, node_range, additional_context, module_vars)
+                ck._used_import_names(
+                    imports, node_range, additional_context, module_vars,
+                    body_range=ck._function_body_range(func),
+                )
             ):
                 if name in imports:
                     stmt = imports[name]
