@@ -11,8 +11,9 @@ Scale design:
   Hamming distance <= 3 shares at least one band (pigeonhole); candidates are
   verified with popcount(xor) — a real near-dup operator, not equality.
 
-Exact dedup, n-gram Jaccard and SimHash are DuckDB-oracle-checked end to end;
-MinHash keeps JVM-side xxhash64 (faster) and registers rows-only.
+Every operator here is value-hash oracle-checked: exact dedup, n-gram
+Jaccard and SimHash against DuckDB SQL; MinHash (JVM-side xxhash64) against
+the single-process expected run via the pure-python xxhash64 replica.
 """
 
 from __future__ import annotations
@@ -24,12 +25,15 @@ from pyspark.sql import DataFrame, Window, functions as F
 NORM = lambda c: F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")  # noqa: E731
 
 
-def exact_duplicates(docs: DataFrame) -> DataFrame:
+def exact_duplicates(docs: DataFrame, max_group_ids: int = 256) -> DataFrame:
     """Groups of documents with identical normalized content.
 
     Returns (fingerprint, n_docs, keep_doc_id, doc_ids) for groups with
     more than one member.  Single shuffle on the fingerprint.  doc_ids is a
-    "|"-joined sorted id string (scalar at the driver boundary by contract).
+    "|"-joined sorted id string (scalar at the driver boundary by contract),
+    capped at max_group_ids entries so a mass-boilerplate fingerprint cannot
+    materialize an unbounded aggregation value at 100x data; n_docs still
+    counts the full group.
     """
     fp = docs.select(
         "doc_id", F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")).alias("fingerprint")
@@ -40,7 +44,10 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
             F.array_join(
-                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_group_ids),
+                    lambda x: x.cast("string"),
+                ),
                 "|",
             ).alias("doc_ids"),
         )
@@ -49,13 +56,13 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_duplicates_sql(table: str = "documents") -> str:
-    """DuckDB oracle SQL for exact_duplicates."""
+def exact_duplicates_sql(table: str = "documents", max_group_ids: int = 256) -> str:
+    """DuckDB oracle SQL for exact_duplicates (same doc_ids cap)."""
     return f"""
 SELECT fingerprint,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS keep_doc_id,
-       array_to_string(list_sort(list(doc_id)), '|') AS doc_ids
+       array_to_string(list_sort(list(doc_id))[1:{max_group_ids}], '|') AS doc_ids
 FROM (
   SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
   FROM {table}
