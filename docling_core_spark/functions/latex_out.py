@@ -168,7 +168,11 @@ class LaTeXSerializer(DocSerializer):
             item.get("text", "") == "" and child_group is not None and M.is_inline_group(child_group)
         )
         if has_inline_repr:
-            text = self.serialize(item=child_group, visited=visited, is_inline_scope=True).text
+            # the reference passthrough serializes the inline group WITHOUT
+            # threading `visited` (latex.py:152), so the group is serialized
+            # again by the enclosing traversal — construct_doc.gt.tex encodes
+            # that duplication for list items; replicate faithfully
+            text = self.serialize(item=child_group, visited=set(), is_inline_scope=True).text
             needs_pp = False
         else:
             text = item.get("text", "")
