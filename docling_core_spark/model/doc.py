@@ -992,6 +992,14 @@ class Doc:
     def from_dict(cls, d: dict) -> "Doc":
         """Build from a DoclingDocument JSON dict (schema version 1.x)."""
         cls._normalize_refs(d)
+        # 1.0.0 docs predate content_layer: page headers/footers move to the
+        # furniture layer on load (reference document.py:364-376), and the
+        # document reports the current version after migration
+        if d.get("version", "") == "1.0.0":
+            for item in d.get("texts", ()):
+                if item.get("label") in (PAGE_HEADER, PAGE_FOOTER):
+                    item["content_layer"] = "furniture"
+            d["version"] = CURRENT_VERSION
         doc = cls.__new__(cls)
         doc.schema_name = d.get("schema_name", "DoclingDocument")
         doc.version = d.get("version", CURRENT_VERSION)

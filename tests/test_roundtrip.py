@@ -66,3 +66,14 @@ def test_uint64_binary_hash_roundtrip():
 
     with _pytest.raises(ValueError):
         parse_binary_hash("not-hex")
+
+
+def test_upgrade_content_layer_from_1_0_0():
+    """1.0.0 docs move page headers/footers to furniture on load and report
+    the current version (reference test_docling_doc.py:973-980)."""
+    from docling_core_spark.model.doc import CURRENT_VERSION
+
+    doc = Doc.from_dict(load_doc_json("doc/2206.01062-1.0.0.json"))
+    assert doc.version == CURRENT_VERSION
+    assert doc.texts[0]["label"] == "page_header"
+    assert doc.texts[0]["content_layer"] == "furniture"
