@@ -218,15 +218,33 @@ def split_pages(doctags: str) -> list[str]:
     return [p.strip() for p in body.split("<page_break>")]
 
 
-def load_from_doctags(doctags: str, name: str = "Document") -> Doc:
+def load_from_doctags(doctags: str, name: str = "Document",
+                      images: "Optional[list]" = None) -> Doc:
     """Parse a DocTags stream (single or multipage) into a Doc.
 
     Without page images, page size is 1x1 and bboxes stay normalized — same
-    as the reference's no-image path.
+    as the reference's no-image path.  ``images`` pairs one page image
+    (path or bytes) per page: page sizes come from the PNG/JPEG header (the
+    reference opens them with PIL), provenances scale to pixel coordinates,
+    and pictures/pages carry crop-sized image refs (without the embedded
+    data URI, which would need an image encoder).
     """
     doc = Doc(name=name)
     pages = split_pages(doctags)
     pg_w = pg_h = 1.0
+
+    page_dims: list = []
+    if images:
+        from pathlib import Path as _Path
+
+        from docling_core_spark.sources.doclang_archive import _image_size
+
+        for img in images:
+            if img is None:
+                page_dims.append(None)
+                continue
+            data = bytes(img) if isinstance(img, (bytes, bytearray)) else _Path(img).read_bytes()
+            page_dims.append(_image_size(data))
 
     def add_text_like(full_chunk: str, bbox: Optional[dict], page_no: int, tag: str, parent=None) -> None:
         label = _TAG_TO_LABEL.get(tag, M.TEXT)
@@ -260,7 +278,15 @@ def load_from_doctags(doctags: str, name: str = "Document") -> Doc:
 
     for pg_idx, page_tokens in enumerate(pages):
         page_no = pg_idx + 1
-        doc.add_page(page_no, pg_w, pg_h)
+        dims = page_dims[pg_idx] if pg_idx < len(page_dims) else None
+        pg_w, pg_h = (float(dims[0]), float(dims[1])) if dims else (1.0, 1.0)
+        page = doc.add_page(page_no, pg_w, pg_h)
+        if dims:
+            page["image"] = {
+                "mimetype": "image/png",
+                "dpi": 72,
+                "size": {"width": pg_w, "height": pg_h},
+            }
 
         for match in _TAG_PATTERN.finditer(page_tokens):
             full_chunk = match.group(0)
@@ -298,8 +324,22 @@ def load_from_doctags(doctags: str, name: str = "Document") -> Doc:
                 table_data = parse_otsl_table_content(full_chunk) if tag == "chart" else None
                 pic_title = classification if classification is not None else "other"
                 if bbox:
+                    image_ref = None
+                    if dims:
+                        # reference crop box truncates normalized coords x
+                        # pixel dims (document.py:4490-4499); the crop SIZE is
+                        # derivable without decoding the image
+                        crop_w = int(bbox["r"] * pg_w) - int(bbox["l"] * pg_w)
+                        crop_h = int(bbox["b"] * pg_h) - int(bbox["t"] * pg_h)
+                        image_ref = {
+                            "mimetype": "image/png",
+                            "dpi": 72,
+                            "size": {"width": float(crop_w), "height": float(crop_h)},
+                        }
                     pic = doc.add_picture(
-                        prov=[{"page_no": page_no, "bbox": bbox, "charspan": [0, 0]}]
+                        prov=[{"page_no": page_no, "bbox": _scale_bbox(bbox, pg_w, pg_h),
+                               "charspan": [0, 0]}],
+                        image=image_ref,
                     )
                     if caption is not None and caption_bbox is not None:
                         caption["prov"].append(
@@ -321,25 +361,9 @@ def load_from_doctags(doctags: str, name: str = "Document") -> Doc:
                                 }
                             ]
                         }
-                        pic["annotations"].append(
-                            {
-                                "kind": "classification",
-                                "provenance": "load_from_doctags",
-                                "predicted_classes": [
-                                    {"class_name": classification, "confidence": 1.0}
-                                ],
-                            }
-                        )
                     if table_data is not None:
                         meta = pic.setdefault("meta", {})
                         meta["tabular_chart"] = {"title": pic_title, "chart_data": table_data}
-                        pic["annotations"].append(
-                            {
-                                "kind": "tabular_chart_data",
-                                "title": pic_title,
-                                "chart_data": table_data,
-                            }
-                        )
             elif tag == "key_value_region":
                 graph, kv_prov = _parse_key_value(full_chunk)
                 doc.add_key_values(graph=graph, prov=kv_prov or [])

@@ -10,7 +10,7 @@ from docling_core_spark.functions.doctags import export_to_doctags
 from docling_core_spark.functions.doctags_load import load_from_doctags, parse_otsl_table_content
 from docling_core_spark.model.doc import Doc
 
-from .conftest import require_ref_data
+from .conftest import load_doc_json, load_gt, require_ref_data
 
 
 def _strip_uris(d):
@@ -57,3 +57,50 @@ def test_otsl_spans():
     assert by_pos[(0, 0)]["row_span"] == 2
     assert by_pos[(0, 2)]["text"] == "b"
     assert by_pos[(1, 2)]["text"] == "c"
+
+
+# -- image-paired DocTags load (reference test_doctags_load.py:107-140) --
+
+
+def _strip_uris(data):
+    if isinstance(data, dict):
+        return {k: _strip_uris(v) for k, v in data.items() if k != "uri"}
+    if isinstance(data, list):
+        return [_strip_uris(x) for x in data]
+    return data
+
+
+def test_doctags_chart_with_image():
+    """barchart.dt + barchart.png -> barchart.dt.out.json (uri-stripped:
+    image sizes/provs from the PNG header, no embedded re-encoding)."""
+    doctags = load_gt("doc/barchart.dt")
+    doc = load_from_doctags(
+        doctags, images=[str(require_ref_data() / "doc" / "barchart.png")]
+    )
+    expected = load_doc_json("doc/barchart.dt.out.json")
+    got = doc.to_dict()
+    got["version"] = expected["version"]
+    got["name"] = expected["name"]
+    assert _strip_uris(got) == _strip_uris(expected)
+
+
+def test_doctags_table_provenances_and_captions():
+    doc = load_from_doctags(
+        load_gt("doc/01030000000083.dt"),
+        images=[str(require_ref_data() / "doc" / "01030000000083.png")],
+    )
+    assert doc.tables
+    for table in doc.tables:
+        assert table["prov"]
+        assert table["captions"]
+
+
+def test_doctags_picture_provenances_and_captions():
+    doc = load_from_doctags(
+        load_gt("doc/01030000000111.dt"),
+        images=[str(require_ref_data() / "doc" / "01030000000111.png")],
+    )
+    assert doc.pictures
+    for picture in doc.pictures:
+        assert picture["prov"]
+        assert picture["captions"]
