@@ -374,8 +374,12 @@ def load_from_doctags(doctags: str, name: str = "Document",
                     li_chunk = li.group(0)
                     text = _inner_text(li_chunk)
                     marker = f"{n}." if enumerated else ""
+                    # list-item provs attach only when a page image exists
+                    # (reference document.py: li_bbox = ... if image else None)
+                    li_bbox = _extract_bbox(li_chunk) if dims else None
                     doc.add_list_item(
-                        text, enumerated=enumerated, marker=marker, parent=group, prov=[]
+                        text, enumerated=enumerated, marker=marker, parent=group,
+                        prov=_prov(li_bbox, pg_w, pg_h, page_no, len(text)) or [],
                     )
             else:
                 add_text_like(full_chunk, bbox, page_no, tag)

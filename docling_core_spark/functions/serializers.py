@@ -69,6 +69,7 @@ class MarkdownParams:
     escape_underscores: bool = True
     escape_html: bool = True
     mark_meta: bool = False
+    include_non_meta: bool = True
     include_annotations: bool = True
     mark_annotations: bool = False
     orig_list_item_marker_mode: str = "auto"  # never | always | auto
@@ -838,6 +839,13 @@ class DocSerializer:
             cand = self.serialize_meta(my_item)
             if cand.text:
                 meta_part = cand
+
+        if not self.params.include_non_meta:
+            # meta-only export (reference common.py:403-404): item bodies are
+            # suppressed; descendants stay unvisited so the outer traversal
+            # still surfaces their meta
+            parts.append(meta_part if meta_part is not None else _res())
+            return _res(delim.join(p.text for p in parts if p.text), parts)
 
         if M.is_list_group(my_item):
             part = self._serialize_list_group(my_item, my_visited, list_level, is_inline_scope)

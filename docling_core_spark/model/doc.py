@@ -1028,7 +1028,60 @@ class Doc:
             _migrate_picture_annotations(pic)
         for tbl in doc.tables:
             _migrate_table_annotations(tbl)
+        doc._normalize_misplaced_list_items()
         return doc
+
+    def _normalize_misplaced_list_items(self) -> None:
+        """Wrap list items whose parent is not a ListGroup in on-the-fly list
+        groups at load, consecutive items sharing one group (reference
+        validate_misplaced_list_items, document.py:5188-5234; runs are
+        processed in reverse, and items are re-added so their refs renumber)."""
+        runs: list[list[dict]] = []
+        prev: Optional[dict] = None
+        for item, _ in self.iterate_items(
+            traverse_pictures=True,
+            included_content_layers=CONTENT_LAYERS,
+            with_groups=True,
+        ):
+            if item.get("label") == LIST_ITEM:
+                parent = self.parent_of(item)
+                if parent is None or not is_list_group(parent):
+                    prev_parent_is_body = prev is not None and (
+                        prev.get("parent") is None
+                        or self.parent_of(prev) is self.body
+                    )
+                    if (
+                        runs
+                        and prev is not None
+                        and prev.get("label") == LIST_ITEM
+                        and prev_parent_is_body
+                    ):
+                        runs[-1].append(item)
+                    else:
+                        runs.append([item])
+            prev = item
+        if not runs:
+            return
+        from docling_core_spark.model.mutate import delete_items, insert_sibling
+
+        for run in reversed(runs):
+            group = insert_sibling(
+                self, {"label": GROUP_LIST, "name": "group"}, "groups", run[0], after=False
+            )
+            items = [dict(li) for li in run]
+            delete_items(self, run)
+            for li in items:
+                self.add_list_item(
+                    li.get("text", ""),
+                    enumerated=li.get("enumerated", False),
+                    marker=li.get("marker"),
+                    orig=li.get("orig"),
+                    prov=li["prov"][:1] if li.get("prov") else None,
+                    parent=group,
+                    content_layer=li.get("content_layer"),
+                    formatting=li.get("formatting"),
+                    hyperlink=li.get("hyperlink"),
+                )
 
     @classmethod
     def from_json(cls, s: str | bytes) -> "Doc":

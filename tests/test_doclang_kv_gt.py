@@ -145,3 +145,11 @@ def test_kv_annot_migration(subdir):
     got = doc.to_dict()
     got["version"] = expected["version"]
     assert got == expected
+
+
+@pytest.mark.parametrize("fixture_dir", ["multi_page_roundtrip", "multi_prov_thread"])
+def test_doclang_roundtrip_dirs(fixture_dir):
+    """Multi-page and multi-provenance-thread DocLang roundtrips
+    (reference test_deserializer_doclang.py fixture dirs)."""
+    subdir = require_ref_data() / "doc" / fixture_dir
+    _roundtrip(subdir, "input.json", "serialized.dclg.xml")

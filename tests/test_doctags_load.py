@@ -104,3 +104,17 @@ def test_doctags_picture_provenances_and_captions():
     for picture in doc.pictures:
         assert picture["prov"]
         assert picture["captions"]
+
+
+def test_doctags_page_with_pic_from_files():
+    """page_with_pic.dt + png -> page_with_pic_from_files.dt.json
+    (uri-stripped; reference test_doctags_load.py:40-49)."""
+    doc = load_from_doctags(
+        load_gt("doc/page_with_pic.dt"),
+        images=[str(require_ref_data() / "doc" / "page_with_pic.png")],
+    )
+    expected = load_doc_json("doc/page_with_pic_from_files.dt.json")
+    got = doc.to_dict()
+    got["version"] = expected["version"]
+    got["name"] = expected["name"]
+    assert _strip_uris(got) == _strip_uris(expected)
