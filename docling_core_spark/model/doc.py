@@ -199,6 +199,22 @@ def binary_hash_column_value(value) -> str:
     return str(parse_binary_hash(value))
 
 
+def _round_export_floats(obj, coord_p: Optional[int], confid_p: Optional[int]) -> None:
+    """Round coordinate/size and confidence floats in an export dict in place."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if isinstance(v, float):
+                if coord_p is not None and k in ("l", "t", "r", "b", "width", "height"):
+                    obj[k] = round(v, coord_p)
+                elif confid_p is not None and k == "confidence":
+                    obj[k] = round(v, confid_p)
+            else:
+                _round_export_floats(v, coord_p, confid_p)
+    elif isinstance(obj, list):
+        for v in obj:
+            _round_export_floats(v, coord_p, confid_p)
+
+
 def ref_of(item: dict) -> str:
     """Return the item's self reference string."""
     return item["self_ref"]
@@ -1128,9 +1144,17 @@ class Doc:
                     grid[i][j] = cell
         data["grid"] = grid
 
-    def to_dict(self) -> dict:
+    def to_dict(
+        self,
+        coord_precision: Optional[int] = None,
+        confid_precision: Optional[int] = None,
+    ) -> dict:
         """Export to a DoclingDocument-shaped dict (export_to_dict parity:
-        by_alias, exclude_none -> we simply never store None fields)."""
+        by_alias, exclude_none -> we simply never store None fields).
+
+        coord_precision rounds bbox coordinates and sizes, confid_precision
+        rounds confidence fields — plain round(), like the reference's
+        serialization-context field serializers (base.py:31-36)."""
         for tbl in self.tables:
             tbl.setdefault("annotations", [])
             if tbl.get("data"):
@@ -1182,6 +1206,11 @@ class Doc:
         if self.field_items:
             out["field_items"] = self.field_items
         out["pages"] = self.pages
+        if coord_precision is not None or confid_precision is not None:
+            import copy as _copy
+
+            out = _copy.deepcopy(out)  # never mutate live model state
+            _round_export_floats(out, coord_precision, confid_precision)
         return out
 
     def to_json(self) -> str:

@@ -84,3 +84,15 @@ def test_misplaced_list_items_normalize_on_load():
     got = doc.to_dict()
     got["version"] = expected["version"]
     assert got == expected
+
+
+def test_export_with_precision():
+    """to_dict(coord_precision, confid_precision) rounds coordinates/sizes
+    and confidences (reference test_docling_doc.py:1735-1746)."""
+    doc = _doc("dummy_doc_2.yaml")
+    expected = load_doc_json("doc/dummy_doc_2_prec.yaml")
+    got = doc.to_dict(coord_precision=2, confid_precision=1)
+    got["version"] = expected["version"]
+    assert got == expected
+    # the live model keeps full precision
+    assert doc.to_dict()["texts"][0]["prov"][0]["bbox"]["l"] == 21.342
