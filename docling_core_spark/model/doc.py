@@ -509,6 +509,27 @@ class Doc:
         }
         return self._attach("key_value_items", item, parent)
 
+    def add_comment(
+        self,
+        text: str,
+        prov: Optional[list] = None,
+        parent: Optional[dict] = None,
+        targets: Optional[list] = None,
+    ) -> dict:
+        """Add a comment text item in the notes layer and attach fine refs to
+        its targets (reference document.py:1624-1654).  Each target is an
+        item dict or an (item, (start, end)) span tuple."""
+        item = self.add_text(TEXT, text, prov=prov, parent=parent, content_layer="notes")
+        for target in targets or ():
+            span = None
+            if isinstance(target, tuple):
+                target, span = target
+            ref: dict[str, Any] = {"$ref": item["self_ref"]}
+            if span is not None:
+                ref["range"] = list(span)
+            target.setdefault("comments", []).append(ref)
+        return item
+
     def add_form(self, graph: dict, prov: Optional[list] = None, parent: Optional[dict] = None) -> dict:
         """Append a FormItem (reference document.py:1962)."""
         item: dict[str, Any] = {

@@ -110,6 +110,13 @@ def delete_items(doc: Doc, items: list[dict]) -> None:
         for fld in ("captions", "references", "footnotes"):
             if fld in node:
                 node[fld] = remap_reflist(node[fld])
+        if "comments" in node:
+            # fine refs keep their extra keys (range spans)
+            node["comments"] = [
+                {**r, "$ref": remap(r["$ref"])}
+                for r in node["comments"]
+                if r["$ref"] not in deleted_crefs
+            ]
         if M.is_table_item(node):
             for cell in (node.get("data") or {}).get("table_cells", ()):
                 ref = cell.get("ref")

@@ -124,6 +124,13 @@ class _Reindexer:
                             for r in it[fld]
                             if r["$ref"] in ref_map
                         ]
+                if "comments" in it:
+                    # fine refs keep their extra keys (range spans)
+                    it["comments"] = [
+                        {**r, "$ref": ref_map[r["$ref"]]}
+                        for r in it["comments"]
+                        if r["$ref"] in ref_map
+                    ]
 
         new_max = None
         for page_key, page in doc.pages.items():

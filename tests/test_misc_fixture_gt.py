@@ -96,3 +96,47 @@ def test_export_with_precision():
     assert got == expected
     # the live model keeps full precision
     assert doc.to_dict()["texts"][0]["prov"][0]["bbox"]["l"] == 21.342
+
+
+def test_docitem_comments_field():
+    """reference test_docling_doc.py:2327-2349."""
+    doc = Doc(name="test_comments")
+    doc.add_text("text", "Normal text without comment.")
+    text = doc.add_text("text", "This text has a comment attached.")
+    doc.add_comment("[John Reviewer]: This is a reviewer comment.", targets=[text])
+    expected = load_doc_json("doc/docitem_comments_field.out.yaml")
+    got = doc.to_dict()
+    got["version"] = expected["version"]
+    assert got == expected
+
+
+def test_docitem_comments_multiple():
+    """reference test_docling_doc.py:2352-2388."""
+    doc = Doc(name="test_multiple_comments")
+    t1 = doc.add_text("text", "Text 1.")
+    t2 = doc.add_text("text", "Text 2.")
+    t3 = doc.add_text("text", "Text 3.")
+    doc.add_comment("[Reviewer A]: This is a comment on texts 1 and 2.", targets=[t1, t2])
+    doc.add_comment(
+        "[Reviewer B]: This is a comment on texts 2 (range [0,6)) and 3.",
+        targets=[(t2, (0, 6)), t3],
+    )
+    expected = load_doc_json("doc/docitem_comments_multiple.out.yaml")
+    got = doc.to_dict()
+    got["version"] = expected["version"]
+    assert got == expected
+
+
+def test_docitem_comments_delete_updates_refs():
+    """reference test_docling_doc.py:2391-2421."""
+    from docling_core_spark.model.mutate import delete_items
+
+    doc = Doc(name="test_comments_delete")
+    para1 = doc.add_text("paragraph", "First paragraph.")
+    para2 = doc.add_text("paragraph", "Second paragraph with comment.")
+    doc.add_comment("Comment on second paragraph.", targets=[para2])
+    delete_items(doc, [para1])
+    updated = doc.texts[0]
+    assert len(updated["comments"]) == 1
+    resolved = doc.resolve(updated["comments"][0]["$ref"])
+    assert resolved["text"] == "Comment on second paragraph."
