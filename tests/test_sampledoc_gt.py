@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from docling_core_spark.functions.azure_out import export_to_azure
 from docling_core_spark.functions.latex_out import export_to_latex
 from docling_core_spark.functions.serializers import export_to_text
@@ -58,3 +60,54 @@ def test_azure_constructed_minimal_prov():
 
     actual = export_to_azure(doc)
     assert json.loads(actual) == json.loads(load_gt("doc/constructed.gt.azure.json"))
+
+
+@pytest.mark.parametrize(
+    "fn,gt",
+    [
+        (lambda d: _md(d), "constructed_document.yaml.md"),
+        (lambda d: _html(d), "constructed_document.yaml.html"),
+        (lambda d: _dt(d), "constructed_document.yaml.dt"),
+        (lambda d: _et(d), "constructed_document.yaml.et"),
+        (lambda d: _vtt(d), "constructed_document.yaml.vtt"),
+    ],
+    ids=["md", "html", "dt", "et", "vtt"],
+)
+def test_constructed_document_exports(fn, gt):
+    """reference test_construct_doc export methods over the sample doc."""
+    assert fn(_sample_doc()).rstrip() == load_gt(f"doc/{gt}").rstrip()
+
+
+def test_element_tree_2206():
+    doc = Doc.from_dict(load_doc_json("doc/2206.01062.yaml"))
+    assert _et(doc).rstrip() == load_gt("doc/2206.01062.yaml.et").rstrip()
+
+
+def _md(d):
+    from docling_core_spark.functions.serializers import export_to_markdown
+
+    return export_to_markdown(d)
+
+
+def _html(d):
+    from docling_core_spark.functions.html_out import export_to_html
+
+    return export_to_html(d)
+
+
+def _dt(d):
+    from docling_core_spark.functions.doctags import export_to_doctags
+
+    return export_to_doctags(d)
+
+
+def _et(d):
+    from docling_core_spark.functions.serializers import export_to_element_tree
+
+    return export_to_element_tree(d)
+
+
+def _vtt(d):
+    from docling_core_spark.functions.webvtt_out import export_to_webvtt
+
+    return export_to_webvtt(d)
