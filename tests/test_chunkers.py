@@ -300,3 +300,14 @@ def test_hybrid_table_split_repeats_header_exactly():
         lines = c["text"].splitlines()
         assert "h1" in lines[0] and "h2" in lines[0], c["text"][:120]
         assert set(lines[1].replace("|", "").strip()) <= {"-", " "}  # separator row
+
+
+def test_hybrid_chunk_2f_merge_only():
+    """2f golden (reference test_chunk_openai): a 128k token budget never
+    splits, so the output is tokenizer-independent peer merging."""
+    doc = Doc.from_dict(load_doc_json("chunker/2_inp_dl_doc.json"))
+    chunks = HybridChunker(tokenizer=RegexTokenizer(128 * 1024)).chunk(doc)
+    expected = json.loads(
+        (require_ref_data() / "chunker" / "2f_out_chunks.json").read_text()
+    )["root"]
+    assert [_chunk_proj(c) for c in chunks] == [_gt_proj(c) for c in expected]
