@@ -311,3 +311,21 @@ def test_hybrid_chunk_2f_merge_only():
         (require_ref_data() / "chunker" / "2f_out_chunks.json").read_text()
     )["root"]
     assert [_chunk_proj(c) for c in chunks] == [_gt_proj(c) for c in expected]
+
+
+def test_chunk_single_cell_rich_table():
+    """A layout table whose only cell is a rich ref chunks to the inner text
+    with the table as lineage (reference test_chunk_single_cell_rich_table)."""
+    doc = Doc(name="single_cell_rich_table")
+    table = doc.add_table(data={"table_cells": [], "num_rows": 1, "num_cols": 1})
+    wrapper = doc.add_group(parent=table)
+    doc.add_text("text", "Important body text inside layout table", parent=wrapper)
+    doc.add_table_cell(table, {
+        "start_row_offset_idx": 0, "end_row_offset_idx": 1,
+        "start_col_offset_idx": 0, "end_col_offset_idx": 1,
+        "ref": {"$ref": wrapper["self_ref"]}, "text": "",
+    })
+    chunks = HybridChunker(tokenizer=RegexTokenizer(64)).chunk(doc)
+    assert len(chunks) == 1
+    assert chunks[0]["text"] == "Important body text inside layout table"
+    assert [it["self_ref"] for it in chunks[0]["doc_items"]] == ["#/tables/0"]
