@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "similarity_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
         "embedding_cosine_dedup": lambda s, d: similarity.embedding_cosine_dedup(_emb(s, d)),
         # --- code chunking (C8, Python) + field-kv DocLang (S5) over
         # deterministically synthesized inputs; single-process-expected oracle
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_duplicates_sql(),
         "similarity_cosine_topk": similarity.cosine_topk_sql(),
+        "similarity_ivf_topk": similarity.ivf_topk_sql(),
         "profile_collection_stats": profile.collection_stats_sql(),
         "profile_histogram_chars": profile.histogram_sql(),
         "profile_by_lang": profile.group_profile_sql(),

@@ -170,3 +170,122 @@ def embedding_cosine_dedup(
         .orderBy("vec_a", "vec_b")
     )
     return pairs
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the n vectors with the smallest
+    md5(vec_id) act as centroids — a reproducible pseudo-random sample of
+    the data (cross-engine, no training RNG).  TakeOrdered, never a global
+    sort; the result is a broadcastable handful of rows."""
+    return (
+        embeddings.select(
+            F.col("vec_id").alias("centroid_id"),
+            _as_double(F.col("embedding")).alias("cv"),
+        )
+        .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
+        .limit(n_centroids)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate nearest neighbours (the scale path next to
+    SRP-LSH): assign every vector to its nearest of n_centroids coarse
+    centroids (one broadcast join + one shuffle on vec_id — the index build),
+    probe the query's nprobe nearest lists, and rank candidates by exact
+    cosine.  At 100x data the per-query scan touches ~nprobe/n_centroids of
+    the table instead of all of it."""
+    cents = F.broadcast(ivf_centroids(embeddings, n_centroids))
+
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    assignments = (
+        embeddings.select("vec_id", "label", _as_double(F.col("embedding")).alias("ev"))
+        .crossJoin(cents)
+        .withColumn("c_sim", _cosine(F.col("ev"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(assign_w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "label", "ev", "centroid_id")
+    )
+
+    probed = (
+        assignments.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("ev").alias("qv"))
+        .crossJoin(cents)
+        .withColumn("q_sim", _cosine(F.col("qv"), F.col("cv")))
+        .orderBy(F.desc("q_sim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id", "qv")
+    )
+
+    return (
+        assignments.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probed), "centroid_id")
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            F.round(_cosine(F.col("ev"), F.col("qv")), 5).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB oracle SQL for ivf_topk (same quantizer, assignment ranking,
+    probe order, and rounding)."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM {table}
+  ORDER BY md5(vec_id::VARCHAR), vec_id
+  LIMIT {n_centroids}
+),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS ev, c.centroid_id,
+         list_dot_product(e.embedding::DOUBLE[], c.cv)
+           / greatest(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv)), 1e-12) AS c_sim
+  FROM {table} e CROSS JOIN cents c
+),
+assignments AS (
+  SELECT vec_id, label, ev, centroid_id
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, centroid_id ASC) AS rn
+    FROM scored
+  )
+  WHERE rn = 1
+),
+q AS (SELECT ev AS qv FROM assignments WHERE vec_id = {query_vec_id}),
+probed AS (
+  SELECT c.centroid_id, q.qv
+  FROM cents c, q
+  ORDER BY list_dot_product(q.qv, c.cv)
+             / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.cv, c.cv)), 1e-12) DESC,
+           c.centroid_id ASC
+  LIMIT {nprobe}
+)
+SELECT a.vec_id, a.label, a.centroid_id,
+       round(list_dot_product(a.ev, p.qv)
+             / greatest(sqrt(list_dot_product(a.ev, a.ev))
+                        * sqrt(list_dot_product(p.qv, p.qv)), 1e-12), 5) AS cos_sim
+FROM assignments a JOIN probed p USING (centroid_id)
+WHERE a.vec_id <> {query_vec_id}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
