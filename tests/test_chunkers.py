@@ -329,3 +329,18 @@ def test_chunk_single_cell_rich_table():
     assert len(chunks) == 1
     assert chunks[0]["text"] == "Important body text inside layout table"
     assert [it["self_ref"] for it in chunks[0]["doc_items"]] == ["#/tables/0"]
+
+
+@pytest.mark.parametrize(
+    "emit,gt",
+    [(False, "2h_out_chunks_hybr_emit_false.json"),
+     (True, "2h_out_chunks_hybr_emit_true.json")],
+)
+def test_hybrid_emit_headings_goldens(emit, gt):
+    """Hybrid always_emit_headings over the shadowed-headings doc is
+    tokenizer-independent (nothing exceeds any budget)."""
+    chunks = HybridChunker(
+        tokenizer=RegexTokenizer(512), always_emit_headings=emit
+    ).chunk(_shadowed_headings_doc())
+    expected = json.loads((require_ref_data() / "chunker" / gt).read_text())["root"]
+    assert [_chunk_proj(c) for c in chunks] == [_gt_proj(c) for c in expected]
