@@ -196,27 +196,52 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat approximate nearest neighbours (the scale path next to
     SRP-LSH): assign every vector to its nearest of n_centroids coarse
-    centroids (one broadcast join + one shuffle on vec_id — the index build),
-    probe the query's nprobe nearest lists, and rank candidates by exact
-    cosine.  At 100x data the per-query scan touches ~nprobe/n_centroids of
-    the table instead of all of it."""
+    centroids MAP-SIDE (the centroids collapse to ONE broadcast row of
+    array<struct>, and the argmin over them is an ``F.aggregate`` fold per
+    row — no row blowup, no window, no shuffle in the index build), probe
+    the query's nprobe nearest lists, and rank candidates by exact cosine.
+    At 100x data the per-query scan touches ~nprobe/n_centroids of the
+    table instead of all of it, and the build is a single map-only pass."""
     cents = F.broadcast(ivf_centroids(embeddings, n_centroids))
-
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_sim"), F.asc("centroid_id")
+    # One row: array of (centroid_id, cv) structs — broadcast, crossJoined,
+    # then folded per embedding row.  Tie-break matches the oracle: max
+    # cosine first, then min centroid_id.
+    cent_row = F.broadcast(
+        ivf_centroids(embeddings, n_centroids).agg(
+            F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr")
+        )
     )
+
+    def _argmin_fold(acc, c):
+        sim = _cosine(F.col("ev"), c["cv"])
+        better = (sim > acc["best_sim"]) | (
+            (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
+        )
+        return F.when(
+            better,
+            F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
+        ).otherwise(acc)
+
     assignments = (
         embeddings.select("vec_id", "label", _as_double(F.col("embedding")).alias("ev"))
-        .crossJoin(cents)
-        .withColumn("c_sim", _cosine(F.col("ev"), F.col("cv")))
-        .withColumn("_rn", F.row_number().over(assign_w))
-        .filter(F.col("_rn") == 1)
+        .crossJoin(cent_row)
+        .withColumn(
+            "centroid_id",
+            F.aggregate(
+                F.col("cent_arr"),
+                F.struct(
+                    F.lit(-2.0).alias("best_sim"),
+                    F.lit(None).cast("long").alias("best_id"),
+                ),
+                _argmin_fold,
+            )["best_id"],
+        )
         .select("vec_id", "label", "ev", "centroid_id")
     )
 
     probed = (
-        assignments.filter(F.col("vec_id") == query_vec_id)
-        .select(F.col("ev").alias("qv"))
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(_as_double(F.col("embedding")).alias("qv"))
         .crossJoin(cents)
         .withColumn("q_sim", _cosine(F.col("qv"), F.col("cv")))
         .orderBy(F.desc("q_sim"), F.asc("centroid_id"))
