@@ -614,9 +614,16 @@ def chunk_python_code(
             yield from _split_large_chunk(chunk, tokenizer, max_tokens, min_chunk_size)
 
 
-def _split_large_chunk(chunk: dict, tokenizer, max_tokens: int, min_chunk_size: int) -> Iterator[dict]:
-    """Oversize fallback (reference _ChunkSizeProcessor; Python prefix '\\n\\t',
-    empty suffix)."""
+def _split_large_chunk(
+    chunk: dict,
+    tokenizer,
+    max_tokens: int,
+    min_chunk_size: int,
+    prefix: str = "\n\t",
+    suffix: str = "",
+) -> Iterator[dict]:
+    """Oversize fallback (reference _ChunkSizeProcessor; Python prefix '\\n\\t'
+    with empty suffix, brace languages ' {' with '\\n}')."""
     if chunk["meta"]["chunk_type"] in ("function", "method"):
         lines = chunk["text"].split("\n")
         signature_line = ""
@@ -633,22 +640,24 @@ def _split_large_chunk(chunk: dict, tokenizer, max_tokens: int, min_chunk_size: 
         if body_lines and body_lines[-1].strip() == "}":
             body_lines = body_lines[:-1]
         pieces = []
-        current = [f"{signature_line}\n\t"]
+        current = [f"{signature_line}{prefix}"]
         size = 0
         for line in body_lines:
             line_tokens = tokenizer.count_tokens(line)
             if size + line_tokens > max_tokens and len(current) > 1:
-                pieces.append("".join(current))
-                current = [f"{signature_line}\n\t"]
+                pieces.append("".join(current) + suffix)
+                current = [f"{signature_line}{prefix}"]
                 size = 0
             current.append(line)
             size += line_tokens
         if current:
-            pieces.append("".join(current))
+            pieces.append("".join(current) + suffix)
         if len(pieces) > 1:
             last = pieces.pop()
             if tokenizer.count_tokens(last) < min_chunk_size:
-                pieces[-1] = pieces[-1] + "\n" + last.lstrip(signature_line + "\n\t")
+                # QUIRK: the reference rstrip/lstrips with *char sets*
+                stripped = pieces[-1].rstrip(suffix) if suffix else pieces[-1]
+                pieces[-1] = stripped + "\n" + last.lstrip(signature_line + prefix)
             else:
                 pieces.append(last)
         for i, text in enumerate(pieces):
