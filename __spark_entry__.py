@@ -178,6 +178,8 @@ def _synth_op(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     from docling_core_spark.operators.doc_synth_ops import code_chunks, doclang_field_kv
 
     docs = _docs(spark, sf_dir)
+    if op.startswith("code:"):
+        return code_chunks(docs, lang=op.split(":", 1)[1])
     return code_chunks(docs) if op == "code" else doclang_field_kv(docs)
 
 
@@ -203,9 +205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         "similarity_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
         "embedding_cosine_dedup": lambda s, d: similarity.embedding_cosine_dedup(_emb(s, d)),
-        # --- code chunking (C8, Python) + field-kv DocLang (S5) over
-        # deterministically synthesized inputs; single-process-expected oracle
+        # --- code chunking (C8: Python/Java/C/TS) + field-kv DocLang (S5)
+        # over deterministically synthesized inputs; single-process-expected
+        # oracle (JS shares the TS chunker, reference
+        # _JavaScriptFunctionChunker == TS with the JS grammar)
         "code_chunks_python": lambda s, d: _synth_op(s, d, "code"),
+        "code_chunks_java": lambda s, d: _synth_op(s, d, "code:java"),
+        "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
+        "code_chunks_ts": lambda s, d: _synth_op(s, d, "code:ts"),
         "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
         # --- profiler aggregates (A1/A2) ---
         "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),

@@ -46,6 +46,36 @@ from docling_core_spark.model.doc import Doc
 _TOKEN_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-￿]+| ?\d+| ?[^\sA-Za-z\d]+|\s+")
 
 
+def _inner_code_chunkers() -> dict:
+    """code_language -> chunker, mirroring the reference
+    standard_code_chunking_strategy.py:29-35 _INNER_CHUNKERS_BY_LANG."""
+    from docling_core_spark.functions.code_chunker import chunk_python_code
+    from docling_core_spark.functions.code_chunker_c import chunk_c_code
+    from docling_core_spark.functions.code_chunker_java import chunk_java_code
+    from docling_core_spark.functions.code_chunker_jsts import (
+        chunk_js_code,
+        chunk_ts_code,
+    )
+
+    return {
+        "Python": chunk_python_code,
+        "TypeScript": chunk_ts_code,
+        "JavaScript": chunk_js_code,
+        "C": chunk_c_code,
+        "Java": chunk_java_code,
+    }
+
+
+class _LazyChunkerMap(dict):
+    def get(self, key, default=None):
+        if not self:
+            self.update(_inner_code_chunkers())
+        return super().get(key, default)
+
+
+_INNER_CODE_CHUNKERS: dict = _LazyChunkerMap()
+
+
 class RegexTokenizer:
     """Deterministic BPE-ish tokenizer (whitespace+punctuation regex).
 
@@ -145,13 +175,10 @@ def hierarchical_chunks(
                 # (standard_code_chunking_strategy.py:85-94)
                 import hashlib
 
-                from docling_core_spark.functions.code_chunker import chunk_python_code
-
                 visited.add(sr)
-                if item.get("code_language") == "Python":
-                    yield from chunk_python_code(
-                        item["text"], doc_item=item, origin=doc.origin
-                    )
+                inner = _INNER_CODE_CHUNKERS.get(item.get("code_language"))
+                if inner is not None:
+                    yield from inner(item["text"], doc_item=item, origin=doc.origin)
                 else:
                     code_text = item["text"]
                     yield {

@@ -58,13 +58,132 @@ print(render_{ident}(["{words[-1]}"]))
 '''
 
 
-def code_chunk_rows(doc_id: str, text: str) -> list[dict]:
-    """Chunk the synthesized module; scalar columns only (driver contract)."""
-    from docling_core_spark.functions.code_chunker import chunk_python_code
+def synth_java_module(doc_id: str, text: str) -> str:
+    """Deterministic small Java file derived from a document row: package,
+    imports, a copyright header, a method-less interface (class chunk), and
+    a class with a field and two methods (function chunks + context)."""
+    words = _WORD_RE.findall(text.lower())[:8] or ["empty"]
+    ident = re.sub(r"[^a-z0-9]", "_", doc_id.lower()) or "doc"
+    adds = "\n".join(f'\t\tout.add("{w}");' for w in words[:4])
+    return f"""/* Copyright (c) example. Licensed under the MIT license. */
+package com.example.{ident};
 
-    code = synth_python_module(doc_id, text)
+import java.util.ArrayList;
+import java.util.List;
+
+interface Constants_{ident} {{
+\tString KIND = "{words[0]}";
+}}
+
+public class Handler_{ident} {{
+
+\tprivate int limit = {len(words)};
+
+\tpublic List<String> collect() {{
+\t\tList<String> out = new ArrayList<String>();
+{adds}
+\t\treturn out;
+\t}}
+
+\tpublic int size() {{
+\t\treturn limit + Constants_{ident}.KIND.length();
+\t}}
+}}
+"""
+
+
+def synth_c_module(doc_id: str, text: str) -> str:
+    """Deterministic small C file: an include, an object-like macro (module
+    variable AND import), a star-keyed global (`*kind_x` glob-import quirk),
+    a struct, and two functions with doc comments."""
+    words = _WORD_RE.findall(text.lower())[:8] or ["empty"]
+    ident = re.sub(r"[^a-z0-9]", "_", doc_id.lower()) or "doc"
+    return f"""/* Copyright (c) example. Licensed under the MIT license. */
+#include <stddef.h>
+
+/* tuning for {ident} */
+#define LIMIT_{ident.upper()} {len(words)}
+
+static const char *kind_{ident} = "{words[0]}";
+
+struct item_{ident}
+{{
+\tint idx;
+}};
+
+/* count helper for {ident} */
+static int count_{ident}(const char *s)
+{{
+\tstruct item_{ident} it;
+\tit.idx = LIMIT_{ident.upper()};
+\treturn it.idx + (int)(s != kind_{ident});
+}}
+
+int total_{ident}(void)
+{{
+\treturn count_{ident}("{words[-1]}");
+}}
+"""
+
+
+def synth_ts_module(doc_id: str, text: str) -> str:
+    """Deterministic small TypeScript file: imports, a documented class with
+    a method (function chunk + context), a method-less class (class chunk),
+    a free function, and an export statement (preamble)."""
+    words = _WORD_RE.findall(text.lower())[:8] or ["empty"]
+    ident = re.sub(r"[^a-z0-9]", "_", doc_id.lower()) or "doc"
+    return f"""import {{ format_{ident} }} from "./format";
+import helpers from "./helpers";
+
+/**
+ * Handler for {ident}.
+ */
+class Handler_{ident} {{
+  kind: string = "{words[0]}";
+
+  resolve(name: string): string {{
+    return helpers.join(name, this.kind);
+  }}
+}}
+
+class Empty_{ident} {{
+  marker: number = {len(words)};
+}}
+
+function load_{ident}(p: string): string {{
+  return format_{ident}(p) + "{words[-1]}";
+}}
+
+export default Handler_{ident};
+"""
+
+
+def _chunker_for(lang: str):
+    if lang == "python":
+        from docling_core_spark.functions.code_chunker import chunk_python_code
+
+        return synth_python_module, chunk_python_code
+    if lang == "java":
+        from docling_core_spark.functions.code_chunker_java import chunk_java_code
+
+        return synth_java_module, chunk_java_code
+    if lang == "c":
+        from docling_core_spark.functions.code_chunker_c import chunk_c_code
+
+        return synth_c_module, chunk_c_code
+    if lang == "ts":
+        from docling_core_spark.functions.code_chunker_jsts import chunk_ts_code
+
+        return synth_ts_module, chunk_ts_code
+    raise ValueError(f"unknown code-chunk language: {lang}")
+
+
+def code_chunk_rows(doc_id: str, text: str, lang: str = "python") -> list[dict]:
+    """Chunk the synthesized module; scalar columns only (driver contract)."""
+    synth, chunker = _chunker_for(lang)
+    code = synth(doc_id, text)
     rows = []
-    for i, chunk in enumerate(chunk_python_code(code)):
+    for i, chunk in enumerate(chunker(code)):
         m = chunk["meta"]
         rows.append(
             {
@@ -95,15 +214,16 @@ CODE_CHUNK_SCHEMA = StructType(
 )
 
 
-def code_chunks(docs: DataFrame) -> DataFrame:
-    """Distributed Python code chunking over synthesized modules (C8)."""
+def code_chunks(docs: DataFrame, lang: str = "python") -> DataFrame:
+    """Distributed code chunking over synthesized modules (C8); one variant
+    per ported language (python/java/c/ts)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CODE_CHUNK_SCHEMA.fields]
         for pdf in batches:
             rows: list[dict] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                rows.extend(code_chunk_rows(str(doc_id), str(text)))
+                rows.extend(code_chunk_rows(str(doc_id), str(text), lang))
             yield pd.DataFrame(rows, columns=cols)
 
     return (

@@ -503,23 +503,21 @@ def _build_synth_ops(sf_dir: str, out: Path) -> None:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     ).to_pylist()
 
-    chunk_rows: list[dict] = []
-    kv_rows: list[dict] = []
-    for r in docs_tbl:
-        chunk_rows.extend(code_chunk_rows(str(r["doc_id"]), str(r["text"])))
-        kv_rows.append(doclang_kv_row(str(r["doc_id"]), str(r["lang"]), str(r["text"])))
-    chunk_rows.sort(key=lambda x: (x["doc_id"], x["chunk_idx"]))
-    kv_rows.sort(key=lambda x: x["doc_id"])
-
-    _write(
-        out / "code_chunks_python.parquet",
-        chunk_rows,
-        pa.schema(
-            [("doc_id", _S), ("chunk_idx", _I32), ("part_name", _S),
-             ("chunk_type", _S), ("start_line", _I32), ("end_line", _I32),
-             ("sha1_int", _S), ("chunk_text", _S)]
-        ),
+    chunk_schema = pa.schema(
+        [("doc_id", _S), ("chunk_idx", _I32), ("part_name", _S),
+         ("chunk_type", _S), ("start_line", _I32), ("end_line", _I32),
+         ("sha1_int", _S), ("chunk_text", _S)]
     )
+    kv_rows: list[dict] = []
+    for lang in ("python", "java", "c", "ts"):
+        chunk_rows: list[dict] = []
+        for r in docs_tbl:
+            chunk_rows.extend(code_chunk_rows(str(r["doc_id"]), str(r["text"]), lang))
+        chunk_rows.sort(key=lambda x: (x["doc_id"], x["chunk_idx"]))
+        _write(out / f"code_chunks_{lang}.parquet", chunk_rows, chunk_schema)
+    for r in docs_tbl:
+        kv_rows.append(doclang_kv_row(str(r["doc_id"]), str(r["lang"]), str(r["text"])))
+    kv_rows.sort(key=lambda x: x["doc_id"])
     _write(
         out / "doclang_field_kv.parquet",
         kv_rows,
@@ -532,6 +530,9 @@ def _build_synth_ops(sf_dir: str, out: Path) -> None:
 
 EXPECTED_QUERIES = {
     "code_chunks_python": "ORDER BY doc_id, chunk_idx",
+    "code_chunks_java": "ORDER BY doc_id, chunk_idx",
+    "code_chunks_c": "ORDER BY doc_id, chunk_idx",
+    "code_chunks_ts": "ORDER BY doc_id, chunk_idx",
     "doclang_field_kv": "ORDER BY doc_id",
     "dedup_minhash_lsh": "ORDER BY doc_a, doc_b",
     "dedup_clusters": "ORDER BY doc_id",

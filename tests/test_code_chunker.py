@@ -69,9 +69,11 @@ def test_hierarchical_chunker_code_strategy_hook():
         c["meta"]["chunk_type"] for c in exp
     ]
     # languages without an inner chunker fall back to one code_block chunk
-    # (reference standard_code_chunking_strategy.py:85-94)
+    # (reference standard_code_chunking_strategy.py:85-94); since round 4
+    # all five reference languages have inner chunkers, so only unmapped
+    # labels hit the fallback
     doc2 = Doc(name="x")
-    doc2.add_code("int main() { return 0; }", code_language="C")
+    doc2.add_code("int main() { return 0; }", code_language="Rust")
     fallback = list(hierarchical_chunks(doc2, code_chunking=True))
     assert len(fallback) == 1
     assert fallback[0]["meta"]["chunk_type"] == "code_block"
