@@ -216,6 +216,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
         # --- profiler aggregates (A1/A2) ---
         "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),
+        # the 100 TB scale variant: mergeable approx_percentile sketch.
+        # Deliberately NO oracle_sql entry (rows+schema check only): the
+        # sketch returns actual data values at approximate ranks, which is a
+        # different (and scale-correct) definition than quantile_cont's
+        # interpolation — a value-hash against the exact oracle would be
+        # comparing two intentionally different estimators.
+        "profile_collection_stats_approx": lambda s, d: profile.collection_stats(
+            _docs(s, d), scale="approx"
+        ),
         "profile_histogram_chars": lambda s, d: profile.histogram(_docs(s, d)),
         "profile_by_lang": lambda s, d: profile.group_profile(_docs(s, d)),
         # --- relational coverage (Catalyst-native path) ---

@@ -22,6 +22,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from docling_core_spark.operators.canon import canonical_order
+
 NORM = lambda c: F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")  # noqa: E731
 
 
@@ -52,7 +54,7 @@ def exact_duplicates(docs: DataFrame, max_group_ids: int = 256) -> DataFrame:
             ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
-        .orderBy("fingerprint")
+        .transform(lambda d: canonical_order(d, "fingerprint"))
     )
 
 
@@ -169,7 +171,7 @@ def minhash_lsh_duplicates(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda d: canonical_order(d, "doc_a", "doc_b"))
     )
     return verified
 
@@ -262,7 +264,7 @@ def duplicate_clusters(
             F.col("label").alias("cluster_id"),
             "cluster_size",
         )
-        .orderBy("doc_id")
+        .transform(lambda d: canonical_order(d, "doc_id"))
     )
 
 
@@ -289,7 +291,7 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda d: canonical_order(d, "doc_a", "doc_b"))
     )
     return pairs
 
@@ -403,7 +405,7 @@ def simhash_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda d: canonical_order(d, "doc_a", "doc_b"))
     )
     return pairs
 

@@ -14,6 +14,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from docling_core_spark.operators.canon import canonical_order
 from pyspark.sql.types import (
     IntegerType,
     StringType,
@@ -229,7 +231,7 @@ def code_chunks(docs: DataFrame, lang: str = "python") -> DataFrame:
     return (
         docs.select("doc_id", "text")
         .mapInPandas(run, schema=CODE_CHUNK_SCHEMA)
-        .orderBy("doc_id", "chunk_idx")
+        .transform(lambda d: canonical_order(d, "doc_id", "chunk_idx"))
     )
 
 
@@ -299,5 +301,5 @@ def doclang_field_kv(docs: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id", "lang", "text")
         .mapInPandas(run, schema=DOCLANG_KV_SCHEMA)
-        .orderBy("doc_id")
+        .transform(lambda d: canonical_order(d, "doc_id"))
     )

@@ -22,6 +22,8 @@ from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from docling_core_spark.operators.canon import canonical_order
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -138,7 +140,9 @@ def extract_row(
     }
 
 
-def _error_row(url: str, lang: str, html_len: int, err: Exception) -> dict:
+def _error_row(
+    url: str, lang: str, html_len: int, err: Exception, parse_us: int = 0
+) -> dict:
     return {
         "url": url,
         "lang": lang,
@@ -154,7 +158,7 @@ def _error_row(url: str, lang: str, html_len: int, err: Exception) -> dict:
         "n_pictures": 0,
         "n_groups": 0,
         "html_bytes": html_len,
-        "parse_us": 0,
+        "parse_us": parse_us,
         "error": f"{type(err).__name__}: {err}"[:1000],
     }
 
@@ -176,9 +180,12 @@ def extract_pages(
     cols = ["url", "html", "lang"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
         for pdf in batches:
             out = []
             for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                t0 = time.perf_counter()
                 try:
                     out.append(
                         extract_row(
@@ -194,7 +201,10 @@ def extract_pages(
                         )
                     )
                 except Exception as err:  # noqa: BLE001 — per-row isolation by design
-                    out.append(_error_row(url, lang, len(html or b""), err))
+                    # failed rows keep their real elapsed time so time-spent
+                    # lineage includes them
+                    elapsed_us = int((time.perf_counter() - t0) * 1_000_000)
+                    out.append(_error_row(url, lang, len(html or b""), err, elapsed_us))
             yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
 
     return pages.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
@@ -257,5 +267,5 @@ def lineage_metrics(docs: DataFrame) -> DataFrame:
             F.sum(F.size("chunks")).alias("n_chunks"),
             F.sum("parse_us").alias("parse_us"),
         )
-        .orderBy("partition_id")
+        .transform(lambda d: canonical_order(d, "partition_id"))
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from docling_core_spark.operators.canon import canonical_order
+
 _DECILES = [i / 10 for i in range(1, 10)]
 
 # t-digest/GK accuracy for the approx scale path: error <= 1/accuracy of rank
@@ -89,7 +91,7 @@ def histogram(docs: DataFrame, col: str = "n_chars", bins: int = 10, lo: float =
         docs.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
-        .orderBy("bucket")
+        .transform(lambda d: canonical_order(d, "bucket"))
     )
 
 
@@ -114,7 +116,7 @@ def group_profile(docs: DataFrame, key: str = "lang") -> DataFrame:
             F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
             F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
         )
-        .orderBy(key)
+        .transform(lambda d: canonical_order(d, key))
     )
 
 
@@ -139,7 +141,7 @@ def extracted_doc_profile(extracted: DataFrame) -> DataFrame:
         "n_pictures",
         "n_groups",
         F.size("chunks").alias("n_chunks"),
-    ).orderBy("url")
+    ).transform(lambda d: canonical_order(d, "url"))
 
 
 def extracted_collection_profile(extracted: DataFrame, scale: str = "exact") -> DataFrame:

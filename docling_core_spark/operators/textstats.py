@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from docling_core_spark.operators.canon import canonical_order
+
 # small fixed stopword sets per language (public lists, truncated for
 # deterministic SQL-parity between Spark and the DuckDB oracle)
 LANG_STOPWORDS = {
@@ -61,7 +63,7 @@ def language_id(docs: DataFrame) -> DataFrame:
         "doc_id",
         *[F.col(f"score_{lang}") for lang in langs],
         guess.alias("lang_guess"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: canonical_order(d, "doc_id"))
 
 
 def language_id_sql(table: str = "documents") -> str:
@@ -104,7 +106,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.round(n_digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
         en_stop.cast("int").alias("en_stopword_hits"),
         F.round(n_chars / F.greatest(n_words, F.lit(1)), 4).alias("avg_word_len"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: canonical_order(d, "doc_id"))
 
 
 def quality_scores_sql(table: str = "documents") -> str:
@@ -135,7 +137,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
         "doc_id",
         ws_tokens.cast("long").alias("ws_tokens"),
         F.ceil(word_chars / 4.0).cast("long").alias("bpe_tokens_est"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: canonical_order(d, "doc_id"))
 
 
 def token_counts_sql(table: str = "documents") -> str:
@@ -153,7 +155,7 @@ ORDER BY doc_id
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Normalized-content md5 fingerprint per document."""
     norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
-    return docs.select("doc_id", F.md5(norm).alias("fingerprint")).orderBy("doc_id")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint")).transform(lambda d: canonical_order(d, "doc_id"))
 
 
 def fingerprints_sql(table: str = "documents") -> str:
