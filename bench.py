@@ -102,6 +102,29 @@ def main() -> None:
         replication * n_docs / timings["extract_pipeline"], 2
     )
 
+    # second flagship: every serializer on (markdown + text + html + doctags
+    # + doclang + doc json) — what the driver's extract_* queries actually
+    # exercise per row
+    def run_extract_full() -> None:
+        extracted = extract_pages(
+            split_skew(bench_pages),
+            chunker="hybrid",
+            emit_doc_json=True,
+            emit_html=True,
+            emit_doctags=True,
+            emit_doclang=True,
+        )
+        stats = extracted.selectExpr(
+            "count(*) AS n", "count(error) AS ne", "sum(length(doctags)) AS dt"
+        ).first()
+        extra["extract_full_pages"] = stats["n"]
+        extra["extract_full_errors"] = stats["ne"]
+
+    timed("extract_pipeline_full_formats", run_extract_full)
+    extra["extract_full_docs_per_sec"] = round(
+        replication * n_docs / timings["extract_pipeline_full_formats"], 2
+    )
+
     timed("dedup_exact", lambda: dedup.exact_duplicates(docs_tbl).count())
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_duplicates(docs_tbl).count())
     timed("dedup_simhash", lambda: dedup.simhash_duplicates(docs_tbl).count())
