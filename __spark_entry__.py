@@ -180,6 +180,10 @@ def _synth_op(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     if op.startswith("code:"):
         return code_chunks(docs, lang=op.split(":", 1)[1])
+    if op == "viz":
+        from docling_core_spark.operators.doc_synth_ops import visualize_svg_op
+
+        return visualize_svg_op(docs)
     return code_chunks(docs) if op == "code" else doclang_field_kv(docs)
 
 
@@ -213,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunks_java": lambda s, d: _synth_op(s, d, "code:java"),
         "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
         "code_chunks_ts": lambda s, d: _synth_op(s, d, "code:ts"),
+        # --- SVG visualizer overlays (layout/table/kv/reading-order) over
+        # deterministically synthesized geometry; single-process oracle
+        "visualize_svg": lambda s, d: _synth_op(s, d, "viz"),
         "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
         # --- profiler aggregates (A1/A2) ---
         "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),

@@ -235,6 +235,132 @@ def code_chunks(docs: DataFrame, lang: str = "python") -> DataFrame:
     )
 
 
+def synth_layout_doc(doc_id: str, text: str):
+    """Deterministic document with geometry derived from the row: one page,
+    provenance'd texts, a 2x2 table with a header cell, and a key-value
+    graph with one to_value link — every overlay kind the visualizers draw."""
+    from docling_core_spark.model.doc import Doc
+
+    words = _WORD_RE.findall(text.lower())[:6] or ["empty"]
+    d = Doc(name=doc_id)
+    d.add_page(1, 612.0, 792.0)
+
+    def bb(i: int, w: str) -> dict:
+        x0 = 40.0 + 13.0 * (len(w) % 7)
+        y_top = 740.0 - 60.0 * i  # BOTTOMLEFT: t above b
+        return {
+            "l": x0,
+            "t": y_top,
+            "r": x0 + 30.0 + 9.0 * len(w),
+            "b": y_top - 14.0,
+            "coord_origin": "BOTTOMLEFT",
+        }
+
+    for i, w in enumerate(words):
+        label = "section_header" if i == 0 else "text"
+        d.add_text(label, w, prov=[{"page_no": 1, "bbox": bb(i, w), "charspan": [0, len(w)]}])
+
+    def cell(r, c, txt, header=False):
+        return {
+            "bbox": {
+                "l": 300.0 + 80.0 * c,
+                "t": 700.0 - 24.0 * r,
+                "r": 376.0 + 80.0 * c,
+                "b": 680.0 - 24.0 * r,
+                "coord_origin": "BOTTOMLEFT",
+            },
+            "row_span": 1,
+            "col_span": 1,
+            "start_row_offset_idx": r,
+            "end_row_offset_idx": r + 1,
+            "start_col_offset_idx": c,
+            "end_col_offset_idx": c + 1,
+            "text": txt,
+            "column_header": header,
+            "row_header": False,
+            "row_section": False,
+        }
+
+    d.add_table(
+        data={
+            "num_rows": 2,
+            "num_cols": 2,
+            "table_cells": [
+                cell(0, 0, "k", header=True),
+                cell(0, 1, "v", header=True),
+                cell(1, 0, words[0]),
+                cell(1, 1, words[-1]),
+            ],
+        },
+        prov=[{"page_no": 1, "bbox": {"l": 300.0, "t": 700.0, "r": 456.0, "b": 656.0, "coord_origin": "BOTTOMLEFT"}, "charspan": [0, 0]}],
+    )
+    d.add_key_values(
+        graph={
+            "cells": [
+                {
+                    "cell_id": 0,
+                    "label": "key",
+                    "text": words[0],
+                    "prov": {"page_no": 1, "bbox": {"l": 60.0, "t": 200.0, "r": 140.0, "b": 184.0, "coord_origin": "BOTTOMLEFT"}, "charspan": [0, 0]},
+                },
+                {
+                    "cell_id": 1,
+                    "label": "value",
+                    "text": words[-1],
+                    "prov": {"page_no": 1, "bbox": {"l": 180.0, "t": 200.0, "r": 300.0, "b": 184.0, "coord_origin": "BOTTOMLEFT"}, "charspan": [0, 0]},
+                },
+            ],
+            "links": [{"source_cell_id": 0, "target_cell_id": 1, "label": "to_value"}],
+        }
+    )
+    return d
+
+
+def visualize_svg_row(doc_id: str, text: str) -> dict:
+    """Stacked SVG overlay of the synthesized document; scalar columns."""
+    from docling_core_spark.functions.visualize_svg import visualize_doc_svg
+
+    doc = synth_layout_doc(doc_id, text)
+    svg = visualize_doc_svg(doc)[1]
+    return {
+        "doc_id": doc_id,
+        "page_no": 1,
+        "svg": svg,
+        "n_rects": svg.count("<rect"),
+        "n_arrows": svg.count("<polygon"),
+    }
+
+
+VISUALIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("page_no", IntegerType()),
+        StructField("svg", StringType()),
+        StructField("n_rects", IntegerType()),
+        StructField("n_arrows", IntegerType()),
+    ]
+)
+
+
+def visualize_svg_op(docs: DataFrame) -> DataFrame:
+    """Distributed visualizer-overlay rendering (map-only mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VISUALIZE_SCHEMA.fields]
+        for pdf in batches:
+            rows = [
+                visualize_svg_row(str(doc_id), str(text))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(run, schema=VISUALIZE_SCHEMA)
+        .transform(lambda d: canonical_order(d, "doc_id"))
+    )
+
+
 def doclang_kv_row(doc_id: str, lang: str, text: str) -> dict:
     """Build a field-kv document for the row (builders + legacy-graph
     migration) and serialize to minimized DocLang."""

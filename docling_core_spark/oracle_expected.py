@@ -518,6 +518,21 @@ def _build_synth_ops(sf_dir: str, out: Path) -> None:
     for r in docs_tbl:
         kv_rows.append(doclang_kv_row(str(r["doc_id"]), str(r["lang"]), str(r["text"])))
     kv_rows.sort(key=lambda x: x["doc_id"])
+
+    from docling_core_spark.operators.doc_synth_ops import visualize_svg_row
+
+    viz_rows = [
+        visualize_svg_row(str(r["doc_id"]), str(r["text"])) for r in docs_tbl
+    ]
+    viz_rows.sort(key=lambda x: x["doc_id"])
+    _write(
+        out / "visualize_svg.parquet",
+        viz_rows,
+        pa.schema(
+            [("doc_id", _S), ("page_no", _I32), ("svg", _S),
+             ("n_rects", _I32), ("n_arrows", _I32)]
+        ),
+    )
     _write(
         out / "doclang_field_kv.parquet",
         kv_rows,
@@ -533,6 +548,7 @@ EXPECTED_QUERIES = {
     "code_chunks_java": "ORDER BY doc_id, chunk_idx",
     "code_chunks_c": "ORDER BY doc_id, chunk_idx",
     "code_chunks_ts": "ORDER BY doc_id, chunk_idx",
+    "visualize_svg": "ORDER BY doc_id",
     "doclang_field_kv": "ORDER BY doc_id",
     "dedup_minhash_lsh": "ORDER BY doc_a, doc_b",
     "dedup_clusters": "ORDER BY doc_id",
