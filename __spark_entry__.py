@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": lambda s, d: textstats.quality_scores(_docs(s, d)),
         "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
         "fingerprints": lambda s, d: textstats.fingerprints(_docs(s, d)),
+        "repetition_scores": lambda s, d: textstats.repetition_scores(_docs(s, d)),
+        "sample_hash_10pct": lambda s, d: textstats.sample_by_hash(_docs(s, d)),
         # --- dedup (exact + ngram SQL-checked; minhash/simhash rows-only) ---
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -292,6 +294,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textstats.quality_scores_sql(),
         "token_counts": textstats.token_counts_sql(),
         "fingerprints": textstats.fingerprints_sql(),
+        "repetition_scores": textstats.repetition_scores_sql(),
+        "sample_hash_10pct": textstats.sample_by_hash_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_duplicates_sql(),
