@@ -522,5 +522,147 @@ def visualize_doc_svg(doc: Doc) -> dict[int, str]:
     return out
 
 
+def get_visualization_svg(
+    doc: Doc,
+    show_label: bool = True,
+    show_branch_numbering: bool = False,
+    viz_mode: str = "reading_order",
+    show_cell_id: bool = False,
+) -> dict[int, str]:
+    """SVG counterpart of the reference DoclingDocument.get_visualization
+    (document.py:5061-5121): layout base layer + reading-order arrows
+    (default) or key-value overlay, exercised against the same fixtures the
+    reference's test_visualization.py pins as PNGs."""
+    if viz_mode == "reading_order":
+        top = reading_order_svg(doc, show_branch_numbering=show_branch_numbering)
+    elif viz_mode == "key_value":
+        top = key_value_svg(doc, show_label=show_label, show_cell_id=show_cell_id)
+    else:
+        raise ValueError(f"Unknown visualization mode: {viz_mode}")
+    base = layout_svg(doc, show_label=show_label)
+    pages = _pages(doc)
+    out = {}
+    for nr in pages:
+        body = []
+        for layer in (base, top):
+            svg = layer.get(nr, "")
+            if svg:
+                body.append(svg.split(">", 1)[1].rsplit("</svg>", 1)[0])
+        out[nr] = _svg(pages[nr]["size"]["width"], pages[nr]["size"]["height"], body)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SegmentedPdfPage rendering (reference page.py render_as_image, PNG -> SVG)
+# ---------------------------------------------------------------------------
+
+_NAMED = {
+    "black": (0, 0, 0),
+    "white": (255, 255, 255),
+    "cyan": (0, 255, 255),
+    "red": (255, 0, 0),
+    "green": (0, 128, 0),
+    "yellow": (255, 255, 0),
+    "blue": (0, 0, 255),
+    "orange": (255, 165, 0),
+}
+
+
+def _named_rect(poly, name: str, alpha: float, cls: str) -> str:
+    r, g, b = _NAMED.get(name, (0, 0, 0))
+    pts = " ".join(f"{_fmt(x)},{_fmt(y)}" for x, y in poly)
+    return (
+        f'<polygon class="{cls}" points="{pts}" fill="rgb({r},{g},{b})"'
+        f' fill-opacity="{_fmt(alpha)}" stroke="rgb({r},{g},{b})"/>'
+    )
+
+
+def render_page_svg(
+    page,
+    cell_unit: str = "word",
+    draw_cells_bbox: bool = True,
+    draw_cells_text: bool = False,
+    cell_outline: str = "black",
+    cell_color: str = "cyan",
+    cell_alpha: float = 1.0,
+    draw_bitmap_resources: bool = True,
+    bitmap_resources_fill: str = "yellow",
+    bitmap_resources_alpha: float = 1.0,
+    draw_shapes: bool = True,
+    shape_width: int = 1,
+    draw_widgets: bool = True,
+    widgets_fill: str = "blue",
+    widgets_alpha: float = 0.3,
+    draw_hyperlinks: bool = True,
+    hyperlinks_fill: str = "orange",
+    hyperlinks_alpha: float = 0.3,
+) -> str:
+    """SVG rendering of a SegmentedPage (reference
+    page.py:902-1456 render_as_image): bitmap-resource placeholders, shape
+    polygons/segments with their own stroking/filling colors, widget and
+    hyperlink overlays, and text cells as filled polygons or text.
+
+    Deviations: bitmap pixel data is not pasted (PIL-blocked — the
+    placeholder polygon is always drawn) and draw_cells_text emits <text>
+    elements instead of PIL glyph rasterization."""
+    from docling_core_spark.model import page as P
+
+    page_h = P.geometry_height(page.dimension)
+    page_w = P.geometry_width(page.dimension)
+    body: list[str] = []
+
+    if draw_bitmap_resources:
+        for res in page.bitmap_resources:
+            tl = P.resource_to_top_left_origin(res, page_h)
+            poly = P.rect_to_polygon(tl["rect"])
+            body.append(
+                _named_rect(poly, bitmap_resources_fill, bitmap_resources_alpha, "bitmap")
+            )
+    if draw_shapes:
+        for shape in page.shapes:
+            tl = P.shape_to_top_left_origin(shape, page_h)
+            stroke = tl["rgb_stroking"]
+            fill = tl["rgb_filling"]
+            width = max(1, round(tl["line_width"])) if tl["line_width"] > 0 else max(1, round(shape_width))
+            pts = tl["points"]
+            if len(pts) >= 3 and tuple(pts[0]) == tuple(pts[-1]):
+                p = " ".join(f"{_fmt(x)},{_fmt(y)}" for x, y in pts)
+                body.append(
+                    f'<polygon class="shape" points="{p}"'
+                    f' fill="rgb({fill["r"]},{fill["g"]},{fill["b"]})"'
+                    f' stroke="rgb({stroke["r"]},{stroke["g"]},{stroke["b"]})"/>'
+                )
+            else:
+                for (x0, y0), (x1, y1) in P.shape_segments(tl):
+                    body.append(
+                        f'<line class="shape" x1="{_fmt(x0)}" y1="{_fmt(y0)}"'
+                        f' x2="{_fmt(x1)}" y2="{_fmt(y1)}"'
+                        f' stroke="rgb({stroke["r"]},{stroke["g"]},{stroke["b"]})"'
+                        f' stroke-width="{width}"/>'
+                    )
+    if draw_widgets:
+        for widget in page.widgets:
+            tl = P.resource_to_top_left_origin(widget, page_h)
+            poly = P.rect_to_polygon(tl["rect"])
+            body.append(_named_rect(poly, widgets_fill, widgets_alpha, "widget"))
+    if draw_hyperlinks:
+        for link in page.hyperlinks:
+            tl = P.resource_to_top_left_origin(link, page_h)
+            poly = P.rect_to_polygon(tl["rect"])
+            body.append(_named_rect(poly, hyperlinks_fill, hyperlinks_alpha, "hyperlink"))
+    for cell in page.iterate_cells(cell_unit):
+        tl_rect = P.rect_to_top_left_origin(cell["rect"], page_h)
+        if draw_cells_text:
+            x, y = P.rect_centre(tl_rect)
+            body.append(
+                f'<text x="{_fmt(x)}" y="{_fmt(y)}" font-size="9"'
+                f' text-anchor="middle">{_escape(cell.get("text", ""))}</text>'
+            )
+        elif draw_cells_bbox:
+            poly = P.rect_to_polygon(tl_rect)
+            body.append(_named_rect(poly, cell_color, cell_alpha, "cell"))
+    return _svg(page_w, page_h, body)
+
+
 def _iter_pages(doc: Doc) -> Iterator[int]:  # pragma: no cover - convenience
     yield from sorted(_pages(doc))

@@ -104,3 +104,79 @@ def test_row_col_bboxes_minimal_and_uniform():
             if cell.get("bbox") and cell["start_row_offset_idx"] <= idx < cell["end_row_offset_idx"]:
                 assert bb["l"] <= cell["bbox"]["l"] + 1e-9
                 assert bb["r"] >= cell["bbox"]["r"] - 1e-9
+
+
+# -- get_visualization_svg on the reference's own viz-test fixtures --
+# (reference test_visualization.py pins PNGs for get_visualization; the SVG
+# counterpart pins the same stacks on the shipped fixtures)
+
+
+def test_get_visualization_svg_default_stack():
+    d = _doc("2408.09869v3_enriched_p2_p3_p5.gt.json")
+    viz = V.get_visualization_svg(d)
+    assert viz[2] == (_SVG_DIR / "getviz_2408_p2.svg").read_text()
+    MD.parseString(viz[2])
+    # layout layer present (rects) and reading-order layer present (arrows)
+    assert "<rect" in viz[2] and "<line" in viz[2]
+
+
+def test_get_visualization_svg_no_label():
+    d = _doc("2408.09869v3_enriched_p2_p3_p5.gt.json")
+    viz = V.get_visualization_svg(d, show_label=False)
+    assert viz[2] == (_SVG_DIR / "getviz_2408_nolabel_p2.svg").read_text()
+    assert "<text" not in viz[2]
+
+
+def test_get_visualization_svg_branch_numbering():
+    d = _doc("cross_page_lists.json")
+    viz = V.get_visualization_svg(d, show_branch_numbering=True)
+    assert viz[1] == (_SVG_DIR / "getviz_crosspage_branchnum_p1.svg").read_text()
+    assert viz[1].count("<circle") >= 1
+
+
+def test_get_visualization_svg_key_value_mode():
+    d = _doc("doc_with_kv.dt.json")
+    viz = V.get_visualization_svg(d, viz_mode="key_value", show_cell_id=True)
+    assert viz[1] == (_SVG_DIR / "getviz_kvmode_p1.svg").read_text()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        V.get_visualization_svg(d, viz_mode="nope")
+
+
+def test_render_page_svg():
+    """SegmentedPage rendering (reference page.py render_as_image -> SVG)."""
+    from docling_core_spark.model import page as P
+
+    dim = P.pdf_page_geometry(
+        angle=0.0, rect=P.rectangle(0, 0, 612, 0, 612, 792, 0, 792, "BOTTOMLEFT")
+    )
+    cell_rect = P.rectangle(10, 760, 110, 760, 110, 780, 10, 780, "BOTTOMLEFT")
+    res_rect = P.rectangle(200, 300, 300, 300, 300, 400, 200, 400, "BOTTOMLEFT")
+    page = P.SegmentedPage(
+        dimension=dim,
+        word_cells=[P.text_cell(cell_rect, "hello", index=0)],
+        bitmap_resources=[P.bitmap_resource(res_rect)],
+        widgets=[P.pdf_widget(res_rect)],
+        hyperlinks=[P.pdf_hyperlink(res_rect, uri="https://example.com")],
+        shapes=[P.pdf_shape(0, [(10.0, 10.0), (50.0, 10.0), (50.0, 50.0), (10.0, 10.0)])],
+    )
+    svg = V.render_page_svg(page, cell_unit="word")
+    MD.parseString(svg)
+    assert svg.count('class="bitmap"') == 1
+    assert svg.count('class="widget"') == 1
+    assert svg.count('class="hyperlink"') == 1
+    # closed shape renders as one filled polygon
+    assert svg.count('class="shape"') == 1 and "<polygon" in svg
+    # the word cell: top-left-origin polygon (792-780=12 top edge)
+    assert 'class="cell"' in svg and "10,12" in svg
+    # text mode swaps polygons for <text> at the cell centre
+    svg_txt = V.render_page_svg(page, cell_unit="word", draw_cells_text=True)
+    assert "hello" in svg_txt and 'class="cell"' not in svg_txt
+    # open polyline shape renders as segments
+    page2 = P.SegmentedPage(
+        dimension=dim,
+        shapes=[P.pdf_shape(0, [(10.0, 10.0), (50.0, 10.0), (50.0, 50.0)])],
+    )
+    svg2 = V.render_page_svg(page2)
+    assert svg2.count("<line") == 2
