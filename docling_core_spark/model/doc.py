@@ -175,6 +175,49 @@ def _migrate_table_annotations(item: dict) -> None:
                 meta[key] = ann.get("content") if kind == "misc" else ann
 
 
+META_NAMESPACE_DELIMITER = "__"
+META_LEGACY_NAMESPACE = "docling_legacy"
+
+
+def create_meta_field_name(*, namespace: str, name: str) -> str:
+    """Namespaced custom meta field key (reference common/meta.py:275-282)."""
+    return f"{namespace}{META_NAMESPACE_DELIMITER}{name}"
+
+
+def check_custom_meta_field(key: str) -> None:
+    """Custom meta keys must be 'namespace__field_name'
+    (reference common/meta.py:37-42)."""
+    parts = key.split(META_NAMESPACE_DELIMITER, maxsplit=1)
+    if len(parts) != 2 or (not parts[0]) or (not parts[1]):
+        raise ValueError(
+            "Custom meta field name must be in format 'namespace__field_name' "
+            f"(e.g. 'my_corp__max_size'): {key}"
+        )
+
+
+def set_meta_custom_field(item: dict, *, namespace: str, name: str, value) -> str:
+    """Set a namespaced custom field on an item's meta and return the key
+    (reference common/meta.py:60-64); pydantic values are stored dumped."""
+    key = create_meta_field_name(namespace=namespace, name=name)
+    check_custom_meta_field(key)
+    if hasattr(value, "model_dump"):
+        value = value.model_dump(mode="json")
+    meta = item.get("meta")
+    if meta is None:
+        meta = item["meta"] = {}
+    meta[key] = value
+    return key
+
+
+def get_meta_custom_part(meta: Optional[dict]) -> dict:
+    """The namespaced (custom) fields of a meta dict
+    (reference common/meta.py:29-31 — pydantic extras; in the dict model the
+    '__' delimiter is the marker, since standard names must not contain it)."""
+    if not meta:
+        return {}
+    return {k: v for k, v in meta.items() if META_NAMESPACE_DELIMITER in k}
+
+
 def parse_binary_hash(value) -> int:
     """uint64 binary hash parse (reference common/origin.py:48-60).
 
