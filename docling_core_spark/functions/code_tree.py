@@ -327,13 +327,15 @@ def lex(code: str, *, js_regex: bool = False, templates: bool = False) -> list[T
 
 
 def skip_balanced(toks: list[Tok], i: int, open_: str, close: str) -> int:
-    """Index just past the bracket pair opening at toks[i]."""
+    """Index just past the bracket pair opening at toks[i].
+
+    For brace pairs, template-interpolation openers ("${") count as "{" —
+    the lexer emits their closers as plain "}"."""
     depth = 0
-    pairs = {"(": ")", "{": "}", "[": "]", "<": ">"}
     while i < len(toks):
         t = toks[i]
         if t.kind == "punct":
-            if t.text == open_:
+            if t.text == open_ or (open_ == "{" and t.text == "${"):
                 depth += 1
             elif t.text == close:
                 depth -= 1
