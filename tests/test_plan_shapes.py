@@ -1,0 +1,88 @@
+"""Physical-plan shape guards for the scale-path guarantees.
+
+These pin the properties the 100 TB design depends on, so a refactor that
+silently reintroduces a shuffle, a window, or a driver-side loop fails a
+test instead of a plan audit:
+- the IVF index build is map-side (no exchange between the scan and the
+  broadcast probe join, no window);
+- the keyed aggregations run with map-side partial aggregation;
+- `SPARK_GRAFT_CANONICAL=0` removes the trailing global sort;
+- the extraction stage is map-only (mapInPandas straight over the scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_ivf_build_is_map_side(emb):
+    from docling_core_spark.operators.similarity import ivf_topk
+
+    plan = _plan(ivf_topk(emb))
+    assert "Window" not in plan
+    # broadcast exchanges only — no hash/range repartitioning anywhere in
+    # the assignment path (the TakeOrdered top-k needs no exchange either)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_repetition_scores_partial_aggregation(docs):
+    from docling_core_spark.operators.textstats import repetition_scores
+
+    plan = _plan(repetition_scores(docs))
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_canonical_off_drops_sort(docs, monkeypatch):
+    from docling_core_spark.operators.textstats import language_id, quality_scores
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    for op in (language_id, quality_scores):
+        plan = _plan(op(docs))
+        assert "Sort" not in plan
+        assert "Exchange" not in plan  # map-only end to end
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "1")
+    assert "Sort" in _plan(language_id(docs))
+
+
+def test_extract_stage_is_map_only(spark):
+    from docling_core_spark.operators.extract import extract_pages
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    pages = web_pages_df(spark, SF_DIR)
+    plan = _plan(extract_pages(pages))
+    assert "MapInPandas" in plan
+    # the only exchange is the input-prep repartition inside web_pages_df
+    # (spreading the single-file synthetic scan); the extract stage itself
+    # adds none — its MapInPandas sits ABOVE that exchange in the plan
+    assert plan.count("Exchange") == 1
+    assert plan.index("MapInPandas") < plan.index("Exchange")
+    assert "Window" not in plan
+
+
+def test_sample_by_hash_filter_reaches_scan(docs, monkeypatch):
+    from docling_core_spark.operators.textstats import sample_by_hash
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(sample_by_hash(docs))
+    # the md5-threshold predicate is evaluated at the scan (DataFilters),
+    # and without canonicalization nothing shuffles at all
+    assert "Exchange" not in plan
+    assert "conv(substring(md5" in plan
