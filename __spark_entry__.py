@@ -225,12 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
         # --- profiler aggregates (A1/A2) ---
         "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),
-        # the 100 TB scale variant: mergeable approx_percentile sketch.
-        # Deliberately NO oracle_sql entry (rows+schema check only): the
-        # sketch returns actual data values at approximate ranks, which is a
-        # different (and scale-correct) definition than quantile_cont's
-        # interpolation — a value-hash against the exact oracle would be
-        # comparing two intentionally different estimators.
+        # the 100 TB scale variant: mergeable approx_percentile sketch; at
+        # oracle size the sketch is exact, so quantile_disc value-hashes it
         "profile_collection_stats_approx": lambda s, d: profile.collection_stats(
             _docs(s, d), scale="approx"
         ),
@@ -302,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_cosine_topk": similarity.cosine_topk_sql(),
         "similarity_ivf_topk": similarity.ivf_topk_sql(),
         "profile_collection_stats": profile.collection_stats_sql(),
+        "profile_collection_stats_approx": profile.collection_stats_sql(scale="approx"),
         "profile_histogram_chars": profile.histogram_sql(),
         "profile_by_lang": profile.group_profile_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),

@@ -66,10 +66,20 @@ def collection_stats(docs: DataFrame, col: str = "n_chars", scale: str = "exact"
     )
 
 
-def collection_stats_sql(table: str = "documents", col: str = "n_chars") -> str:
-    """DuckDB oracle SQL for collection_stats."""
+def collection_stats_sql(
+    table: str = "documents", col: str = "n_chars", scale: str = "exact"
+) -> str:
+    """DuckDB oracle SQL for collection_stats.
+
+    scale="exact" mirrors F.percentile with quantile_cont (interpolated);
+    scale="approx" mirrors F.approx_percentile with quantile_disc — at
+    oracle size the GK sketch is in its exact regime and returns the same
+    discrete data values (verified element-for-element at sf0.01; at real
+    scale the sketch is approximate by design and the oracle no longer
+    applies, which is the point of the scale knob)."""
+    quantile_fn = "quantile_disc" if scale == "approx" else "quantile_cont"
     decile_cols = ",\n       ".join(
-        f"round(quantile_cont({col}::DOUBLE, {q}), 4) AS p{int(q * 100)}" for q in _DECILES
+        f"round({quantile_fn}({col}::DOUBLE, {q}), 4) AS p{int(q * 100)}" for q in _DECILES
     )
     return f"""
 SELECT COUNT(*) AS n_docs,
