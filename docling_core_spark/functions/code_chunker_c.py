@@ -271,7 +271,7 @@ class CChunker(TreeChunker):
                 kw_i, name_i, end_i = struct_refs[0]
                 spec = self._add_struct_children(node, struct_refs)[0]
                 node.fields["type"] = spec
-            else:
+            elif start_tok + 1 < hi:
                 # leading type tokens after 'typedef'
                 k = start_tok + 1
                 t_start = k
@@ -280,7 +280,7 @@ class CChunker(TreeChunker):
                     or (toks[k].kind == "id" and k == t_start)
                 ):
                     k += 1
-                t_end = max(k - 1, t_start)
+                t_end = min(max(k - 1, t_start), hi - 1)
                 node.fields["type"] = node.add(
                     Node("primitive_type", toks[t_start].start, toks[t_end].end)
                 )

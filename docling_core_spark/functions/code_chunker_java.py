@@ -100,13 +100,17 @@ class JavaChunker(TreeChunker):
     def _skip_annotation(self, i: int) -> int:
         """i at '@': consume @Name(.Dotted)? and optional (...) args."""
         i += 1  # '@'
-        while self._tok_text(i + 1) == "." and self.toks[i].kind == "id":
+        while (
+            i < len(self.toks)
+            and self.toks[i].kind == "id"
+            and self._tok_text(i + 1) == "."
+        ):
             i += 2
-        if self.toks[i].kind == "id":
+        if i < len(self.toks) and self.toks[i].kind == "id":
             i += 1
         if self._tok_text(i) == "(":
             i = skip_balanced(self.toks, i, "(", ")")
-        return i
+        return max(i, 1)
 
     def _parse_members(self, parent: Node, lo: int, hi: int, container: str) -> None:
         toks = self.toks

@@ -48,3 +48,35 @@ def test_truncated_inputs_never_crash(repo, pattern, chunker):
             chunks = list(chunker(cut))
             for c in chunks:
                 assert isinstance(c["text"], str)
+
+
+_GARBAGE = [
+    "class {", "} } }", "((((((", "`${`${`${", "/* unterminated", '"unterminated',
+    "#define", "import", "enum E {", "a\x00b", "@" * 50, "< < < >", "${}",
+    "struct ;;; (", "function (", "export default", "typedef", "#if\n#if\n#endif",
+    "e" * 10000, "{" * 500 + "}" * 499, "@", "typedef ", "#define X(",
+]
+
+
+@pytest.mark.parametrize("chunker", [chunk_java_code, chunk_c_code, chunk_js_code, chunk_ts_code])
+def test_garbage_inputs_never_crash(chunker):
+    for g in _GARBAGE:
+        list(chunker(g))
+
+
+def test_fuzz_random_text_never_crashes():
+    """Hypothesis fuzz: arbitrary printable text must neither crash nor hang
+    any of the four parsers (per-row isolation catches exceptions on the
+    executor, but a parser loop would wedge the whole task)."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.sampled_from(list("abc_ {}()<>[];:=.,*#@/\\'\"`$\n\t0123456789"))
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=120))
+    def run(code):
+        for fn in (chunk_java_code, chunk_c_code, chunk_js_code, chunk_ts_code):
+            for c in fn(code):
+                assert isinstance(c["text"], str)
+
+    run()
