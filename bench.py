@@ -134,6 +134,14 @@ def main() -> None:
     timed("similarity_cosine_topk", lambda: similarity.cosine_topk(emb_tbl).collect())
     timed("similarity_ann_lsh", lambda: similarity.ann_lsh_topk(emb_tbl).collect())
     timed("profile_collection", lambda: profile.collection_stats(docs_tbl).collect())
+    # round-4 operators: multi-language code chunking + SVG overlay rendering
+    # (map-only mapInPandas over synthesized per-doc inputs)
+    from docling_core_spark.operators.doc_synth_ops import code_chunks, visualize_svg_op
+
+    timed("code_chunks_java", lambda: code_chunks(docs_tbl, lang="java").count())
+    timed("code_chunks_c", lambda: code_chunks(docs_tbl, lang="c").count())
+    timed("visualize_svg", lambda: visualize_svg_op(docs_tbl).count())
+
     timed("rel_pricing_summary", lambda: relational.pricing_summary(spark, sf_dir).collect())
     timed("rel_top_customers", lambda: relational.top_customers(spark, sf_dir).collect())
 
