@@ -145,7 +145,8 @@ class CChunker(TreeChunker):
             while True:
                 j = self._parse_items(node, j, hi, in_cond=True)
                 if j >= hi:
-                    node.end = self.src.data and (toks[hi - 1].end if hi else end_byte)
+                    # unterminated conditional: close at the last token
+                    node.end = toks[hi - 1].end if hi else end_byte
                     return j
                 sub_kw = toks[j + 1].text if j + 1 < hi else ""
                 sub_end = self._directive_end(toks[j].start)
