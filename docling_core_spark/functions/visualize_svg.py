@@ -78,7 +78,7 @@ def _tl_tuple(bbox: dict, page_h: float) -> tuple[float, float, float, float]:
 
 def _rect(x0, y0, x1, y1, rgb, fill_alpha, stroke_alpha=255, cls="") -> str:
     r, g, b = rgb
-    attrs = f' class="{cls}"' if cls else ""
+    attrs = f' class="{_escape(cls)}"' if cls else ""
     return (
         f'<rect{attrs} x="{_fmt(min(x0, x1))}" y="{_fmt(min(y0, y1))}"'
         f' width="{_fmt(abs(x1 - x0))}" height="{_fmt(abs(y1 - y0))}"'
@@ -149,7 +149,7 @@ def layout_svg(
                 text = f"{label.upper()} (1.00)"
                 per_page[page_nr].append(
                     f'<text class="label" x="{_fmt(x0)}" y="{_fmt(y0)}"'
-                    f' font-size="12" fill="rgb(0,0,0)">{text}</text>'
+                    f' font-size="12" fill="rgb(0,0,0)">{_escape(text)}</text>'
                 )
     return {
         nr: _svg(pages[nr]["size"]["width"], pages[nr]["size"]["height"], body)
@@ -494,8 +494,13 @@ def key_value_svg(doc: Doc, show_label: bool = True, show_cell_id: bool = False)
 
 
 def _escape(text: str) -> str:
+    # quotes included so escaped strings are safe inside attribute values,
+    # not just element text (untrusted labels must not break out of class="")
     return (
-        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        text.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
     )
 
 
@@ -572,7 +577,7 @@ def _named_rect(poly, name: str, alpha: float, cls: str) -> str:
     r, g, b = _NAMED.get(name, (0, 0, 0))
     pts = " ".join(f"{_fmt(x)},{_fmt(y)}" for x, y in poly)
     return (
-        f'<polygon class="{cls}" points="{pts}" fill="rgb({r},{g},{b})"'
+        f'<polygon class="{_escape(cls)}" points="{pts}" fill="rgb({r},{g},{b})"'
         f' fill-opacity="{_fmt(alpha)}" stroke="rgb({r},{g},{b})"/>'
     )
 

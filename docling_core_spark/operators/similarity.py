@@ -22,6 +22,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from docling_core_spark.operators.canon import canonical_order
+
 
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -167,7 +169,7 @@ def embedding_cosine_dedup(
             F.round(_cosine(F.col("a.v"), F.col("b.v")), 5).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .orderBy("vec_a", "vec_b")
+        .transform(lambda d: canonical_order(d, "vec_a", "vec_b"))
     )
     return pairs
 
@@ -202,10 +204,12 @@ def ivf_topk(
     the query's nprobe nearest lists, and rank candidates by exact cosine.
     At 100x data the per-query scan touches ~nprobe/n_centroids of the
     table instead of all of it, and the build is a single map-only pass."""
-    cents = F.broadcast(ivf_centroids(embeddings, n_centroids))
     # One row: array of (centroid_id, cv) structs — broadcast, crossJoined,
     # then folded per embedding row.  Tie-break matches the oracle: max
-    # cosine first, then min centroid_id.
+    # cosine first, then min centroid_id.  Both the assignment fold and the
+    # probe selection derive from this SAME subplan, so the broadcast
+    # exchange is built once and reused (ReusedExchange) instead of scanning
+    # the embeddings twice for centroids.
     cent_row = F.broadcast(
         ivf_centroids(embeddings, n_centroids).agg(
             F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr")
@@ -242,7 +246,13 @@ def ivf_topk(
     probed = (
         embeddings.filter(F.col("vec_id") == query_vec_id)
         .select(_as_double(F.col("embedding")).alias("qv"))
-        .crossJoin(cents)
+        .crossJoin(cent_row)
+        .select("qv", F.explode("cent_arr").alias("c"))
+        .select(
+            "qv",
+            F.col("c.centroid_id").alias("centroid_id"),
+            F.col("c.cv").alias("cv"),
+        )
         .withColumn("q_sim", _cosine(F.col("qv"), F.col("cv")))
         .orderBy(F.desc("q_sim"), F.asc("centroid_id"))
         .limit(nprobe)

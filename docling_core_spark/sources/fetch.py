@@ -63,6 +63,17 @@ def is_safe_url(url: str) -> bool:
         return False
 
 
+def _header(response_headers: dict[str, str], name: str) -> Optional[str]:
+    """Case-insensitive header lookup: ``dict(res.headers)`` preserves
+    as-sent casing, so a server sending ``content-length`` must not bypass
+    the declared-size pre-check (requests' CaseInsensitiveDict semantics)."""
+    want = name.lower()
+    for k, v in response_headers.items():
+        if k.lower() == want:
+            return v
+    return None
+
+
 def sanitize_filename(filename: str) -> Optional[str]:
     """Basename-safe filename, or None if no usable basename remains."""
     normalized = filename.replace("\\", "/")
@@ -80,7 +91,7 @@ def resolve_remote_filename(
     """Filename for a fetched URL: Content-Disposition filename if present,
     else the URL path basename, else the fallback — always sanitized."""
     raw_fname = None
-    if cont_disp := response_headers.get("Content-Disposition"):
+    if cont_disp := _header(response_headers, "Content-Disposition"):
         for par in cont_disp.strip().split(";"):
             if (split := par.split("=")) and split[0].strip() == "filename":
                 raw_fname = "=".join(split[1:]).strip().strip("'\"") or None
@@ -229,7 +240,7 @@ def _check_declared_size(
 ) -> None:
     if max_file_size is None:
         return
-    content_length = response_headers.get("Content-Length")
+    content_length = _header(response_headers, "Content-Length")
     if content_length is None:
         return
     try:

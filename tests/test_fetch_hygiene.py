@@ -246,3 +246,30 @@ def test_legacy_shims_inert():
         "CCSFileInfoObject", "ExportedCCSDocument",
     ):
         assert isinstance(getattr(legacy, name)(), object)
+
+
+def test_declared_size_check_is_header_case_insensitive():
+    from docling_core_spark.sources.fetch import (
+        FileSizeLimitExceededError,
+        resolve_source_to_stream,
+    )
+
+    def getter(url, headers):
+        return _FakeResponse(headers={"content-length": "1000"})
+
+    with pytest.raises(FileSizeLimitExceededError):
+        resolve_source_to_stream(
+            "https://93.184.216.34/x", max_file_size=100, _get=getter
+        )
+
+
+def test_content_disposition_is_header_case_insensitive():
+    from docling_core_spark.sources.fetch import resolve_remote_filename
+
+    assert (
+        resolve_remote_filename(
+            "https://93.184.216.34/x",
+            {"content-disposition": 'inline; filename="b.pdf"'},
+        )
+        == "b.pdf"
+    )

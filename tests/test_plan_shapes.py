@@ -40,6 +40,23 @@ def test_ivf_build_is_map_side(emb):
     # the assignment path (the TakeOrdered top-k needs no exchange either)
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+    # the probe list derives from the SAME array-of-structs centroid subplan
+    # as the assignment fold (no third centroid scan): embeddings is read
+    # exactly 4x — main scan, query row, and the one shared centroid subplan
+    # referenced from both sides (compiled twice, 16 rows each)
+    assert plan.count("FileScan") == 4
+
+
+def test_embedding_dedup_sort_is_gated(emb, monkeypatch):
+    from docling_core_spark.operators.similarity import embedding_cosine_dedup
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(embedding_cosine_dedup(emb))
+    # the bucket-cap window keeps its local sort; what the gate must drop is
+    # the trailing GLOBAL sort of the pair output (range exchange + sort)
+    assert "Exchange rangepartitioning" not in plan
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "1")
+    assert "Exchange rangepartitioning" in _plan(embedding_cosine_dedup(emb))
 
 
 def test_repetition_scores_partial_aggregation(docs):

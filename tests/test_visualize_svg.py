@@ -180,3 +180,20 @@ def test_render_page_svg():
     )
     svg2 = V.render_page_svg(page2)
     assert svg2.count("<line") == 2
+
+
+def test_crafted_label_cannot_break_out_of_attributes():
+    """An untrusted item label must not inject markup via class attributes
+    or the label <text> body (quotes + angle brackets are escaped)."""
+    d = _doc("2311.18481v1.json")
+    evil = '"><script>alert(1)</script><rect class="'
+    d.texts[1]["label"] = evil
+    svg = V.layout_svg(d)[1]
+    assert "<script" not in svg and evil not in svg
+    # the escaped form is present instead, and the document still parses
+    assert "&quot;&gt;&lt;script&gt;" in svg
+    MD.parseString(svg)
+
+
+def test_escape_covers_quotes():
+    assert V._escape('a"b<c>&') == "a&quot;b&lt;c&gt;&amp;"
