@@ -94,7 +94,10 @@ class RegexTokenizer:
         """Number of coarse tokens in text."""
         n = self._memo.get(text)
         if n is None:
-            n = sum(1 for _ in _TOKEN_RE.finditer(text))
+            # findall runs fully in C; the genexpr-over-finditer form paid a
+            # python frame resume per token (the #1 tottime line in the
+            # doctags+chunk profile)
+            n = len(_TOKEN_RE.findall(text))
             if len(self._memo) >= self._MEMO_MAX:
                 self._memo.clear()
             self._memo[text] = n
@@ -150,7 +153,7 @@ def hierarchical_chunks(
             "origin": doc.origin,
         }
 
-    for item, _level in doc.iterate_items(with_groups=True, traverse_pictures=ser.params.traverse_pictures):
+    for item, _level in doc.iterate_items_cached(with_groups=True, traverse_pictures=ser.params.traverse_pictures):
         sr = item["self_ref"]
         if sr in excluded:
             continue

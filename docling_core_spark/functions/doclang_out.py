@@ -159,6 +159,10 @@ def get_text_direction(text: str) -> str:
     """LTR/RTL heuristic (reference types/doc/utils.py:226-234)."""
     if not text:
         return "ltr"
+    if text.isascii():
+        # no ASCII codepoint has bidirectional class R/AL — exact fast path
+        # for the dominant web-text case (one C call vs one per character)
+        return "ltr"
     rtl = {"R", "AL"}
     n_rtl = sum(unicodedata.bidirectional(c) in rtl for c in text)
     return "rtl" if unicodedata.bidirectional(text[0]) in rtl or n_rtl > len(text) / 2 else "ltr"
@@ -732,7 +736,7 @@ class DocLangSerializer(DocSerializer):
             else:
                 boxes = []
                 page_ctx = None
-                for it, _ in self.doc.iterate_items(root=item):
+                for it, _ in self.doc.iterate_items_cached(root=item):
                     for pr in it.get("prov", ()):
                         page_w, page_h = self._page_size(pr.get("page_no"))
                         boxes.append(self._bbox_tl_tuple(pr["bbox"], page_h))

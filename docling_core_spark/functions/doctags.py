@@ -389,7 +389,7 @@ class DocTagsSerializer(DocSerializer):
             boxes = []
             last_prov = None
             span_items = []
-            for it, _ in self.doc.iterate_items(root=item):
+            for it, _ in self.doc.iterate_items_cached(root=item):
                 for prov in it.get("prov", ()):
                     boxes.append(prov)
                     last_prov = prov

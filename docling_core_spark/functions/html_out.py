@@ -29,6 +29,9 @@ def get_text_direction(text: str) -> str:
     """LTR/RTL detection (reference utils.py:226-234)."""
     if not text:
         return "ltr"
+    if text.isascii():
+        # no ASCII codepoint has bidirectional class R/AL — exact fast path
+        return "ltr"
     rtl = {"R", "AL"}
     rtl_chars = sum(unicodedata.bidirectional(c) in rtl for c in text)
     return "rtl" if unicodedata.bidirectional(text[0]) in rtl or rtl_chars > len(text) / 2 else "ltr"
@@ -654,7 +657,7 @@ class HTMLSerializer(DocSerializer):
                 applicable = sorted(
                     {
                         prov["page_no"]
-                        for it, _ in self.doc.iterate_items(
+                        for it, _ in self.doc.iterate_items_cached(
                             with_groups=True, included_content_layers=self.params.layers
                         )
                         for prov in it.get("prov", ())

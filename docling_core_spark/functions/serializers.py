@@ -153,7 +153,7 @@ class DocSerializer:
             if cached is None:
                 caps: set = set()
                 ftns: set = set()
-                for item, _ in self.doc.iterate_items(
+                for item, _ in self.doc.iterate_items_cached(
                     with_groups=True, traverse_pictures=True, included_content_layers=M.CONTENT_LAYERS
                 ):
                     for cap in item.get("captions", ()):
@@ -204,7 +204,7 @@ class DocSerializer:
     ) -> Iterator[tuple[dict, int]]:
         visited = _visited if _visited is not None else set()
         state = _state if _state is not None else {"prev": None, "i": 0}
-        for item, lvl in self.doc.iterate_items(
+        for item, lvl in self.doc.iterate_items_cached(
             root=node,
             with_groups=True,
             included_content_layers=self.params.layers,

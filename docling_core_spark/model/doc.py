@@ -19,6 +19,7 @@ document.py:3235-3313).
 from __future__ import annotations
 
 import json
+from functools import lru_cache
 from typing import Any, Iterable, Iterator, Optional
 
 CURRENT_VERSION = "1.10.0"  # reference common/constants.py:7
@@ -263,9 +264,12 @@ def ref_of(item: dict) -> str:
     return item["self_ref"]
 
 
+@lru_cache(maxsize=65536)
 def ref_array(cref: str) -> str:
     """Array name of a `#/<array>/<idx>` or `#/<name>` pointer."""
-    # hot path (called per node per traversal): avoid building a full split
+    # hot path (called per node per dispatch, ~1k times per doc across the
+    # serializer stack): refs repeat heavily, so an LRU on the string beats
+    # re-parsing; bounded so a long-lived executor cannot grow it unboundedly
     end = cref.find("/", 2)
     return cref[2:] if end < 0 else cref[2:end]
 
@@ -406,7 +410,7 @@ class Doc:
     # ------------------------------------------------------------------
 
     def _attach(self, array_name: str, item: dict, parent: Optional[dict]) -> dict:
-        self.extra.pop("_cap_ftn_sets", None)  # invalidate serializer memo
+        self._invalidate_memos()
         arr = getattr(self, array_name)
         cref = f"#/{array_name}/{len(arr)}"
         item["self_ref"] = cref
@@ -714,7 +718,7 @@ class Doc:
         ):
             setattr(self, array_name, getattr(rebuilt, array_name))
         self.pages = rebuilt.pages
-        self.extra.pop("_cap_ftn_sets", None)
+        self._invalidate_memos()
 
     def add_table_cell(self, table_item: dict, cell: dict) -> dict:
         """Append a (possibly rich) cell to a table (reference document.py:5494);
@@ -1042,6 +1046,53 @@ class Doc:
             next_depth = depth + 1
             for child in reversed(kids):
                 stack.append((child, next_depth))
+
+    def iterate_items_cached(
+        self,
+        root: Optional[dict] = None,
+        with_groups: bool = False,
+        traverse_pictures: bool = False,
+        included_content_layers: Optional[set[str]] = None,
+    ) -> list[tuple[dict, int]]:
+        """Memoized :meth:`iterate_items` for READ-ONLY consumers.
+
+        The fused extract stage runs five serializers plus two chunkers per
+        row, and every one re-walks the same immutable tree (the hottest
+        profile line after the round-3 iterate_items rewrite).  This caches
+        the traversal list per (root, flags, layers) on ``doc.extra`` so one
+        walk feeds all formats.  Any mutation path invalidates via
+        :meth:`_invalidate_memos` (same contract as ``_cap_ftn_sets``) —
+        callers that mutate while iterating must use :meth:`iterate_items`.
+        """
+        layers = frozenset(
+            included_content_layers if included_content_layers is not None else DEFAULT_CONTENT_LAYERS
+        )
+        key = (
+            root["self_ref"] if root is not None else None,
+            with_groups,
+            traverse_pictures,
+            layers,
+        )
+        memo = self.extra.get("_iter_memo")
+        if memo is None:
+            memo = self.extra["_iter_memo"] = {}
+        out = memo.get(key)
+        if out is None:
+            out = memo[key] = list(
+                self.iterate_items(
+                    root=root,
+                    with_groups=with_groups,
+                    traverse_pictures=traverse_pictures,
+                    included_content_layers=layers,
+                )
+            )
+        return out
+
+    def _invalidate_memos(self) -> None:
+        """Drop every read-path memo (serializer caption/footnote sets and
+        cached traversals) — called by every mutation path."""
+        self.extra.pop("_cap_ftn_sets", None)
+        self.extra.pop("_iter_memo", None)
 
     # ------------------------------------------------------------------
     # (De)serialization

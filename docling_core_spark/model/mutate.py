@@ -21,7 +21,7 @@ def _children(item: dict) -> list:
 
 
 def _invalidate(doc: Doc) -> None:
-    doc.extra.pop("_cap_ftn_sets", None)
+    doc._invalidate_memos()
 
 
 def insert_sibling(doc: Doc, item: dict, array: str, sibling: dict, after: bool = True) -> dict:

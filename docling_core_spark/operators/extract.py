@@ -205,7 +205,12 @@ def extract_pages(
                     # lineage includes them
                     elapsed_us = int((time.perf_counter() - t0) * 1_000_000)
                     out.append(_error_row(url, lang, len(html or b""), err, elapsed_us))
-            yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+            # column-wise construction: pandas' records path re-infers per
+            # cell; building each column directly is measurably cheaper for
+            # wide string-heavy batches
+            yield pd.DataFrame(
+                {f.name: [r[f.name] for r in out] for f in EXTRACT_SCHEMA.fields}
+            )
 
     return pages.select(*cols).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
