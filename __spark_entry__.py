@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunks_java": lambda s, d: _synth_op(s, d, "code:java"),
         "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
         "code_chunks_ts": lambda s, d: _synth_op(s, d, "code:ts"),
+        "code_chunks_js": lambda s, d: _synth_op(s, d, "code:js"),
         # --- SVG visualizer overlays (layout/table/kv/reading-order) over
         # deterministically synthesized geometry; single-process oracle
         "visualize_svg": lambda s, d: _synth_op(s, d, "viz"),

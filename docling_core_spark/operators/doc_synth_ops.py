@@ -160,6 +160,43 @@ export default Handler_{ident};
 """
 
 
+def synth_js_module(doc_id: str, text: str) -> str:
+    """Deterministic small JavaScript file exercising the JS-specific lexer
+    paths golden-tested in chunker_repo/JS: a regex literal in initializer
+    position vs division after an identifier, an aliased named import
+    (``{a as b}`` registers "a"), a documented class with a method, a free
+    function, and an export statement (a "function type" in the reference
+    config, so exported declarations are preamble-only)."""
+    words = _WORD_RE.findall(text.lower())[:8] or ["empty"]
+    ident = re.sub(r"[^a-z0-9]", "_", doc_id.lower()) or "doc"
+    n = len(words)
+    return f"""import {{ format_{ident} as fmt }} from "./format";
+import helpers from "./helpers";
+
+const PATTERN_{ident} = /[a-z]+{{1,{n}}}/g;
+
+/**
+ * Handler for {ident}.
+ */
+class Handler_{ident} {{
+  constructor() {{
+    this.kind = "{words[0]}";
+  }}
+
+  resolve(name) {{
+    return helpers.join(name, this.kind).length / {n};
+  }}
+}}
+
+function load_{ident}(p) {{
+  const ratio = p.length / {n};
+  return fmt(p) + "{words[-1]}" + PATTERN_{ident}.source + ratio;
+}}
+
+export default Handler_{ident};
+"""
+
+
 def _chunker_for(lang: str):
     if lang == "python":
         from docling_core_spark.functions.code_chunker import chunk_python_code
@@ -177,6 +214,10 @@ def _chunker_for(lang: str):
         from docling_core_spark.functions.code_chunker_jsts import chunk_ts_code
 
         return synth_ts_module, chunk_ts_code
+    if lang == "js":
+        from docling_core_spark.functions.code_chunker_jsts import chunk_js_code
+
+        return synth_js_module, chunk_js_code
     raise ValueError(f"unknown code-chunk language: {lang}")
 
 

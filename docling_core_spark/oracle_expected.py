@@ -509,7 +509,7 @@ def _build_synth_ops(sf_dir: str, out: Path) -> None:
          ("sha1_int", _S), ("chunk_text", _S)]
     )
     kv_rows: list[dict] = []
-    for lang in ("python", "java", "c", "ts"):
+    for lang in ("python", "java", "c", "ts", "js"):
         chunk_rows: list[dict] = []
         for r in docs_tbl:
             chunk_rows.extend(code_chunk_rows(str(r["doc_id"]), str(r["text"]), lang))
@@ -548,6 +548,7 @@ EXPECTED_QUERIES = {
     "code_chunks_java": "ORDER BY doc_id, chunk_idx",
     "code_chunks_c": "ORDER BY doc_id, chunk_idx",
     "code_chunks_ts": "ORDER BY doc_id, chunk_idx",
+    "code_chunks_js": "ORDER BY doc_id, chunk_idx",
     "visualize_svg": "ORDER BY doc_id",
     "doclang_field_kv": "ORDER BY doc_id",
     "dedup_minhash_lsh": "ORDER BY doc_a, doc_b",
