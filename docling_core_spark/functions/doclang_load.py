@@ -66,19 +66,80 @@ def _is_el(node: Node) -> bool:
     return isinstance(node, Element)
 
 
-class DocLangDeserializer:
-    """Stateful walker building a Doc from DocLang XML."""
+def _enforce_doclang_dom_budgets(root: Element, max_depth: int, max_elements: int) -> None:
+    """Depth/element-count caps over the parsed DOM (reference
+    transforms/deserializer/doclang.py _enforce_doclang_dom_budgets)."""
+    if max_depth <= 0:
+        raise ValueError(f"max_doclang_xml_depth must be positive, got {max_depth}")
+    if max_elements <= 0:
+        raise ValueError(f"max_doclang_xml_elements must be positive, got {max_elements}")
+    element_count = 0
+    stack: list[tuple[Element, int]] = [(root, 1)]
+    while stack:
+        node, depth = stack.pop()
+        element_count += 1
+        if element_count > max_elements:
+            raise ValueError(f"DocLang XML exceeds element count limit of {max_elements}")
+        if depth > max_depth:
+            raise ValueError(f"DocLang XML exceeds nesting depth limit of {max_depth}")
+        for child in node.childNodes:
+            if _is_el(child):
+                stack.append((child, depth + 1))
 
-    def __init__(self, media_root=None) -> None:
+
+class DocLangDeserializer:
+    """Stateful walker building a Doc from DocLang XML.
+
+    Untrusted-markup budgets (reference deserializer/doclang.py:136-165):
+    size is gated before parse, depth/element count after — all three are
+    env-configurable via ``DOCLINGCORE_MAX_DOCLANG_XML_*`` (model/settings.py)
+    or per-instance overrides.
+    """
+
+    def __init__(
+        self,
+        media_root=None,
+        max_xml_bytes: Optional[int] = None,
+        max_xml_depth: Optional[int] = None,
+        max_xml_elements: Optional[int] = None,
+    ) -> None:
+        from docling_core_spark.model.settings import settings
+
         self._page_no = 1
         self._resolution = DFLT_RESOLUTION
         self._threads: dict[tuple[str, str], dict] = {}
         self._media_root = media_root
+        self._max_xml_bytes = (
+            max_xml_bytes if max_xml_bytes is not None else settings.max_doclang_xml_bytes
+        )
+        self._max_xml_depth = (
+            max_xml_depth if max_xml_depth is not None else settings.max_doclang_xml_depth
+        )
+        self._max_xml_elements = (
+            max_xml_elements if max_xml_elements is not None else settings.max_doclang_xml_elements
+        )
 
     # -- entry ----------------------------------------------------------------
 
-    def deserialize(self, text: str, page_no: int = 1) -> Doc:
+    def _parse_budgeted(self, text: str) -> Element:
+        if self._max_xml_bytes <= 0:
+            raise ValueError(
+                f"max_doclang_xml_bytes must be positive, got {self._max_xml_bytes}"
+            )
+        if len(text.encode("utf-8")) > self._max_xml_bytes:
+            raise ValueError(
+                f"DocLang XML exceeds size limit of {self._max_xml_bytes} bytes"
+            )
         root = parseString(text).documentElement
+        if root is None:
+            raise ValueError("Invalid DocLang XML: missing documentElement")
+        _enforce_doclang_dom_budgets(
+            root, max_depth=self._max_xml_depth, max_elements=self._max_xml_elements
+        )
+        return root
+
+    def deserialize(self, text: str, page_no: int = 1) -> Doc:
+        root = self._parse_budgeted(text)
         if root.tagName != "doclang":
             cands = root.getElementsByTagName("doclang")
             if cands:
