@@ -103,3 +103,36 @@ def test_sample_by_hash_filter_reaches_scan(docs, monkeypatch):
     # and without canonicalization nothing shuffles at all
     assert "Exchange" not in plan
     assert "conv(substring(md5" in plan
+
+
+def test_split_skew_single_scan_single_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.operators.extract import extract_pages, split_skew
+
+    pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as string) AS url",
+        "cast(text as binary) AS html",
+        "lang",
+    )
+    plan = _plan(extract_pages(split_skew(pages)))
+    # the r5 rewrite: skew routing costs ONE scan and ONE exchange — the
+    # old filter+union design read the input twice
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
+
+    # jumbo isolation: a row over the jumbo threshold gets a unique routing
+    # key, so it must not share a partition with any normal row here
+    big = pages.limit(1).withColumn("html", F.expr("repeat(cast('x' as binary), 300000)"))
+    mixed = pages.limit(40).unionByName(big)
+    # explicit wide headroom: 8 normal buckets in 136 partitions — the jumbo
+    # key landing on a normal bucket's partition is a fixed (deterministic)
+    # hash outcome with ~6% a-priori odds; pinned green at these parameters
+    parts = split_skew(
+        mixed, jumbo_bytes=200_000, normal_partitions=8, jumbo_partitions=64
+    ).withColumn("pid", F.spark_partition_id())
+    jumbo_pid = parts.filter(F.length("html") > 200_000).select("pid").first()["pid"]
+    sharing = parts.filter(
+        (F.col("pid") == jumbo_pid) & (F.length("html") <= 200_000)
+    ).count()
+    assert sharing == 0
