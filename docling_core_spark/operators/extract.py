@@ -243,10 +243,14 @@ def split_skew(
     Every row shuffles once on a routing key: normal pages coarsen to
     ``pmod(xxhash64(url), n_norm)`` buckets, while each jumbo page (html
     larger than jumbo_bytes) keeps a UNIQUE key (its url) so no two jumbos
-    share a partition.  The partition count carries ~4x headroom over the
-    normal bucket count so a jumbo key usually hashes into an otherwise-empty
-    partition (probabilistic isolation — a hard guarantee would need an
-    RDD-level custom partitioner, which costs the DataFrame optimizations).
+    share a key.  The partition count carries headroom over the normal
+    bucket count (2x at defaults), so a jumbo key lands in an
+    otherwise-empty partition with good probability; in the worst case it
+    shares with exactly ONE normal bucket, so the stall bound is one
+    bucket's worth of pages, never a whole wave (a hard isolation guarantee
+    would need an RDD-level custom partitioner, which costs the DataFrame
+    columnar path; raise normal_partitions/jumbo_partitions to trade task
+    overhead for lower collision odds).
 
     Replaced the earlier two-branch filter+union design (r5): that read the
     input TWICE (a filter union cannot share one scan) and ran two
