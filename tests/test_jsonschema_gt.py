@@ -131,3 +131,48 @@ def test_spec_ref_pattern_matches_model_refs():
         assert re.match(pattern, ok), ok
     for bad in ("texts/0", "#/texts/x", "#/texts/0/extra"):
         assert not re.match(pattern, bad), bad
+
+
+def test_schema_covers_every_field_in_gt_document_corpus():
+    """Non-circular completeness check: every key observed in the reference's
+    own GT document corpus must be a declared field of the matching schema
+    def(s).  Known exception: 'furnitures' (a pre-1.0 legacy key present in
+    one old fixture, 2106.09680v1.json, ignored as a pydantic extra by the
+    reference and stored as doc.extra here)."""
+    import glob
+
+    from docling_core_spark.model.schema_spec import DEFS, ROOT
+
+    array_to_defs = {
+        "texts": [
+            "TitleItem", "SectionHeaderItem", "ListItem", "CodeItem",
+            "FormulaItem", "FieldHeadingItem", "FieldValueItem", "TextItem",
+        ],
+        "groups": ["GroupItem", "ListGroup", "InlineGroup"],
+        "pictures": ["PictureItem"],
+        "tables": ["TableItem"],
+        "key_value_items": ["KeyValueItem"],
+        "form_items": ["FormItem"],
+        "field_regions": ["FieldRegionItem"],
+        "field_items": ["FieldItem"],
+    }
+    legacy_root_keys = {"furnitures"}
+    n_docs = 0
+    for path in glob.glob("/root/reference/test/data/doc/*.json"):
+        try:
+            d = json.loads(Path(path).read_text())
+        except (ValueError, UnicodeDecodeError):
+            continue
+        if not isinstance(d, dict) or "schema_name" not in d:
+            continue
+        n_docs += 1
+        for k in d:
+            assert k in ROOT["fields"] or k in legacy_root_keys, (path, k)
+        for arr, defnames in array_to_defs.items():
+            fields = set()
+            for dn in defnames:
+                fields |= set(DEFS[dn]["fields"])
+            for item in d.get(arr) or []:
+                for k in item:
+                    assert k in fields, (path, arr, k)
+    assert n_docs >= 30  # the corpus actually loaded
