@@ -129,6 +129,7 @@ def main() -> None:
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_duplicates(docs_tbl).count())
     timed("dedup_simhash", lambda: dedup.simhash_duplicates(docs_tbl).count())
     timed("textstats_quality", lambda: textstats.quality_scores(docs_tbl).count())
+    timed("gopher_filter", lambda: textstats.gopher_quality_filter(docs_tbl).count())
     timed("repetition_scores", lambda: textstats.repetition_scores(docs_tbl).count())
     timed("language_id", lambda: textstats.language_id(docs_tbl).count())
     timed("similarity_cosine_topk", lambda: similarity.cosine_topk(emb_tbl).collect())

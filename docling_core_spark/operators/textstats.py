@@ -316,3 +316,212 @@ FROM {table}
 WHERE ('0x' || substr(md5(doc_id || '{seed}'), 1, 15))::BIGINT < {threshold}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1 — the
+# canonical web-corpus document filter)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_filter(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule evaluation: one boolean per rule, the final
+    ``keep``, and a comma-joined ``reject_reasons`` string.
+
+    Scale shape: map-only Catalyst — every signal is an expression over the
+    text column (split/filter/length HOFs, no UDF, no shuffle besides the
+    canonical sort); filters compose with sample_by_hash/dedup upstream.
+    """
+    text = F.col("text")
+    trimmed = F.trim(text)
+    words = F.split(F.lower(trimmed), r"\s+")
+    n_words = F.when(F.length(trimmed) == 0, 0).otherwise(F.size(words))
+    word_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_word_len = F.round(word_chars / F.greatest(n_words, F.lit(1)), 6)
+    alpha_words = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    )
+    alpha_word_frac = F.round(alpha_words / F.greatest(n_words, F.lit(1)), 6)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+        + F.length(text)
+        - F.length(F.replace(text, F.lit("…")))
+    ).cast("long")
+    symbol_word_ratio = F.round(
+        (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)), 6
+    )
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).startswith("-")
+            | F.trim(x).startswith("*")
+            | F.trim(x).startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).endswith("...") | F.trim(x).endswith("…"),
+        )
+    )
+    bullet_line_frac = F.round(bullet_lines / F.greatest(n_lines, F.lit(1)), 6)
+    ellipsis_line_frac = F.round(ellipsis_lines / F.greatest(n_lines, F.lit(1)), 6)
+    stop_hits = lang_score_expr(text, "en").cast("int")
+
+    rules = [
+        ("word_count", (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)),
+        (
+            "mean_word_len",
+            (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        ),
+        ("symbol_ratio", symbol_word_ratio <= GOPHER_MAX_SYMBOL_WORD_RATIO),
+        ("bullet_lines", bullet_line_frac <= GOPHER_MAX_BULLET_LINE_FRAC),
+        ("ellipsis_lines", ellipsis_line_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC),
+        ("alpha_words", alpha_word_frac >= GOPHER_MIN_ALPHA_WORD_FRAC),
+        ("stopwords", stop_hits >= GOPHER_MIN_STOPWORD_HITS),
+    ]
+    keep = None
+    for _, cond in rules:
+        keep = cond if keep is None else (keep & cond)
+    reject_reasons = F.concat_ws(
+        ",", *[F.when(~cond, F.lit(tag)) for tag, cond in rules]
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        stop_hits.alias("stopword_hits"),
+        keep.alias("keep"),
+        reject_reasons.alias("reject_reasons"),
+    ).transform(lambda d: canonical_order(d, "doc_id"))
+
+
+def gopher_quality_filter_sql(table: str = "documents") -> str:
+    """DuckDB oracle SQL for gopher_quality_filter (same signals, same
+    thresholds, same reject-tag order; concat_ws skips NULLs identically)."""
+    n_words = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE length(regexp_split_to_array(lower(trim(text)), '\\s+')) END"
+    )
+    word_chars = "length(regexp_replace(text, '\\s', '', 'g'))"
+    mean_wl = f"round({word_chars} / greatest({n_words}, 1)::DOUBLE, 6)"
+    alpha_words = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "x -> regexp_matches(x, '[a-z]'))) END"
+    )
+    alpha_frac = f"round({alpha_words} / greatest({n_words}, 1)::DOUBLE, 6)"
+    n_hash = "(length(text) - length(regexp_replace(text, '#', '', 'g')))"
+    n_ell = (
+        "CAST(((length(text) - length(replace(text, '...', ''))) / 3"
+        " + length(text) - length(replace(text, '…', ''))) AS BIGINT)"
+    )
+    sym_ratio = f"round(({n_hash} + {n_ell}) / greatest({n_words}, 1)::DOUBLE, 6)"
+    lines = "list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0)"
+    n_lines = f"len({lines})"
+    bullets = (
+        f"len(list_filter({lines}, x -> starts_with(trim(x), '-')"
+        " OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))"
+    )
+    ells = (
+        f"len(list_filter({lines}, x -> suffix(trim(x), '...')"
+        " OR suffix(trim(x), '…')))"
+    )
+    bullet_frac = f"round({bullets} / greatest({n_lines}, 1)::DOUBLE, 6)"
+    ell_frac = f"round({ells} / greatest({n_lines}, 1)::DOUBLE, 6)"
+    stop_hits = f"CAST({lang_score_sql('text', 'en')} AS INT)"
+    rules = [
+        ("word_count", f"(nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS})"),
+        ("mean_word_len", f"(mwl >= {GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {GOPHER_MAX_MEAN_WORD_LEN})"),
+        ("symbol_ratio", f"(swr <= {GOPHER_MAX_SYMBOL_WORD_RATIO})"),
+        ("bullet_lines", f"(blf <= {GOPHER_MAX_BULLET_LINE_FRAC})"),
+        ("ellipsis_lines", f"(elf <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC})"),
+        ("alpha_words", f"(awf >= {GOPHER_MIN_ALPHA_WORD_FRAC})"),
+        ("stopwords", f"(sh >= {GOPHER_MIN_STOPWORD_HITS})"),
+    ]
+    keep = " AND ".join(cond for _, cond in rules)
+    reasons = ", ".join(
+        f"CASE WHEN NOT {cond} THEN '{tag}' END" for tag, cond in rules
+    )
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST({n_words} AS BIGINT) AS nw,
+         {mean_wl} AS mwl,
+         {alpha_frac} AS awf,
+         {sym_ratio} AS swr,
+         {bullet_frac} AS blf,
+         {ell_frac} AS elf,
+         {stop_hits} AS sh
+  FROM {table}
+)
+SELECT doc_id, nw AS n_words, mwl AS mean_word_len, awf AS alpha_word_frac,
+       swr AS symbol_word_ratio, blf AS bullet_line_frac,
+       elf AS ellipsis_line_frac, sh AS stopword_hits,
+       ({keep}) AS keep,
+       concat_ws(',', {reasons}) AS reject_reasons
+FROM sig
+ORDER BY doc_id
+"""
+
+
+def text_clean(docs: DataFrame) -> DataFrame:
+    """Canonical text cleanup for a training corpus: strip C0/C1 control
+    characters (newline/tab excepted), squash horizontal whitespace runs,
+    collapse 3+ newlines to a paragraph break, trim.  Map-only Catalyst.
+    """
+    text = F.col("text")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+                "[ \\t]+",
+                " ",
+            ),
+            "\\n{3,}",
+            "\n\n",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+        (F.length(text) - F.length(cleaned)).cast("long").alias("removed_chars"),
+    ).transform(lambda d: canonical_order(d, "doc_id"))
+
+
+def text_clean_sql(table: str = "documents") -> str:
+    """DuckDB oracle SQL for text_clean (same regex classes, RE2-compatible)."""
+    cleaned = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(text,"
+        " '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),"
+        " '[ \\t]+', ' ', 'g'),"
+        " '\\n{3,}', chr(10) || chr(10), 'g'))"
+    )
+    return f"""
+SELECT doc_id,
+       {cleaned} AS clean_text,
+       CAST(length({cleaned}) AS BIGINT) AS n_chars_clean,
+       CAST(length(text) - length({cleaned}) AS BIGINT) AS removed_chars
+FROM {table}
+ORDER BY doc_id
+"""

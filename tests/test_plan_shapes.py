@@ -70,8 +70,13 @@ def test_repetition_scores_partial_aggregation(docs):
 def test_canonical_off_drops_sort(docs, monkeypatch):
     from docling_core_spark.operators.textstats import language_id, quality_scores
 
+    from docling_core_spark.operators.textstats import (
+        gopher_quality_filter,
+        text_clean,
+    )
+
     monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
-    for op in (language_id, quality_scores):
+    for op in (language_id, quality_scores, gopher_quality_filter, text_clean):
         plan = _plan(op(docs))
         assert "Sort" not in plan
         assert "Exchange" not in plan  # map-only end to end
