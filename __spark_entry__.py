@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_10pct": lambda s, d: textstats.sample_by_hash(_docs(s, d)),
         "gopher_quality_filter": lambda s, d: textstats.gopher_quality_filter(_docs(s, d)),
         "text_clean": lambda s, d: textstats.text_clean(_docs(s, d)),
+        "corpus_prep_pipeline": lambda s, d: textstats.corpus_prep_pipeline(_docs(s, d)),
         # --- dedup (exact + ngram SQL-checked; minhash/simhash rows-only) ---
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -297,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_10pct": textstats.sample_by_hash_sql(),
         "gopher_quality_filter": textstats.gopher_quality_filter_sql(),
         "text_clean": textstats.text_clean_sql(),
+        "corpus_prep_pipeline": textstats.corpus_prep_pipeline_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_duplicates_sql(),

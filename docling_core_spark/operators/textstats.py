@@ -335,7 +335,13 @@ GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
 
 
-def gopher_quality_filter(docs: DataFrame) -> DataFrame:
+def gopher_quality_filter(
+    docs: DataFrame,
+    canonical=None,
+    passthrough=(),
+    min_stopword_hits: int = GOPHER_MIN_STOPWORD_HITS,
+    min_words: int = GOPHER_MIN_WORDS,
+) -> DataFrame:
     """Per-document Gopher rule evaluation: one boolean per rule, the final
     ``keep``, and a comma-joined ``reject_reasons`` string.
 
@@ -383,7 +389,7 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
     stop_hits = lang_score_expr(text, "en").cast("int")
 
     rules = [
-        ("word_count", (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)),
+        ("word_count", (n_words >= min_words) & (n_words <= GOPHER_MAX_WORDS)),
         (
             "mean_word_len",
             (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
@@ -393,7 +399,7 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
         ("bullet_lines", bullet_line_frac <= GOPHER_MAX_BULLET_LINE_FRAC),
         ("ellipsis_lines", ellipsis_line_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC),
         ("alpha_words", alpha_word_frac >= GOPHER_MIN_ALPHA_WORD_FRAC),
-        ("stopwords", stop_hits >= GOPHER_MIN_STOPWORD_HITS),
+        ("stopwords", stop_hits >= min_stopword_hits),
     ]
     keep = None
     for _, cond in rules:
@@ -403,6 +409,7 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *passthrough,
         n_words.cast("long").alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         alpha_word_frac.alias("alpha_word_frac"),
@@ -412,10 +419,14 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
         stop_hits.alias("stopword_hits"),
         keep.alias("keep"),
         reject_reasons.alias("reject_reasons"),
-    ).transform(lambda d: canonical_order(d, "doc_id"))
+    ).transform(lambda d: canonical_order(d, "doc_id", canonical=canonical))
 
 
-def gopher_quality_filter_sql(table: str = "documents") -> str:
+def gopher_quality_filter_sql(
+    table: str = "documents",
+    min_stopword_hits: int = GOPHER_MIN_STOPWORD_HITS,
+    min_words: int = GOPHER_MIN_WORDS,
+) -> str:
     """DuckDB oracle SQL for gopher_quality_filter (same signals, same
     thresholds, same reject-tag order; concat_ws skips NULLs identically)."""
     n_words = (
@@ -450,13 +461,13 @@ def gopher_quality_filter_sql(table: str = "documents") -> str:
     ell_frac = f"round({ells} / greatest({n_lines}, 1)::DOUBLE, 6)"
     stop_hits = f"CAST({lang_score_sql('text', 'en')} AS INT)"
     rules = [
-        ("word_count", f"(nw >= {GOPHER_MIN_WORDS} AND nw <= {GOPHER_MAX_WORDS})"),
+        ("word_count", f"(nw >= {min_words} AND nw <= {GOPHER_MAX_WORDS})"),
         ("mean_word_len", f"(mwl >= {GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {GOPHER_MAX_MEAN_WORD_LEN})"),
         ("symbol_ratio", f"(swr <= {GOPHER_MAX_SYMBOL_WORD_RATIO})"),
         ("bullet_lines", f"(blf <= {GOPHER_MAX_BULLET_LINE_FRAC})"),
         ("ellipsis_lines", f"(elf <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC})"),
         ("alpha_words", f"(awf >= {GOPHER_MIN_ALPHA_WORD_FRAC})"),
-        ("stopwords", f"(sh >= {GOPHER_MIN_STOPWORD_HITS})"),
+        ("stopwords", f"(sh >= {min_stopword_hits})"),
     ]
     keep = " AND ".join(cond for _, cond in rules)
     reasons = ", ".join(
@@ -484,7 +495,7 @@ ORDER BY doc_id
 """
 
 
-def text_clean(docs: DataFrame) -> DataFrame:
+def text_clean(docs: DataFrame, canonical=None) -> DataFrame:
     """Canonical text cleanup for a training corpus: strip C0/C1 control
     characters (newline/tab excepted), squash horizontal whitespace runs,
     collapse 3+ newlines to a paragraph break, trim.  Map-only Catalyst.
@@ -506,7 +517,7 @@ def text_clean(docs: DataFrame) -> DataFrame:
         cleaned.alias("clean_text"),
         F.length(cleaned).cast("long").alias("n_chars_clean"),
         (F.length(text) - F.length(cleaned)).cast("long").alias("removed_chars"),
-    ).transform(lambda d: canonical_order(d, "doc_id"))
+    ).transform(lambda d: canonical_order(d, "doc_id", canonical=canonical))
 
 
 def text_clean_sql(table: str = "documents") -> str:
@@ -523,5 +534,102 @@ SELECT doc_id,
        CAST(length({cleaned}) AS BIGINT) AS n_chars_clean,
        CAST(length(text) - length({cleaned}) AS BIGINT) AS removed_chars
 FROM {table}
+ORDER BY doc_id
+"""
+
+
+def corpus_prep_pipeline(
+    docs: DataFrame,
+    sample_rate: float = 0.5,
+    seed: str = "s42",
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """The composed training-corpus prep chain as ONE Catalyst plan:
+    deterministic hash sampling -> text cleanup -> Gopher quality filter ->
+    exact-dup representative selection (keep the min doc_id per cleaned-text
+    fingerprint).  Demonstrates that the pipeline operators compose without
+    materialization barriers: the only shuffle is the final fingerprint
+    aggregation; everything upstream stays map-side, and the sampling
+    predicate pushes to the scan.
+
+    Returns (doc_id, n_words, n_chars_clean, fingerprint) for the surviving
+    documents — what a 100 TB job would write as its curated corpus manifest.
+
+    min_stopword_hits defaults to 1 here (vs Gopher's 2): the synthetic test
+    corpus is keyword salad, not natural prose, and the canonical threshold
+    keeps zero of it — a vacuous driver check.  Real deployments pass 2.
+    """
+    threshold = int(sample_rate * _HASH60_MAX)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = docs.filter(bucket < F.lit(threshold))
+    # intermediate stages run canonical=False: composition keeps exactly one
+    # deterministic sort, at the very end
+    cleaned = text_clean(sampled, canonical=False)
+    # the gopher keep is evaluated over the CLEANED text; clean_text and
+    # n_chars_clean ride through as passthrough columns so the chain stays
+    # ONE linear plan (a join back to `cleaned` would re-scan the input)
+    quality = gopher_quality_filter(
+        cleaned.select(
+            "doc_id", F.col("clean_text").alias("text"), "n_chars_clean"
+        ),
+        canonical=False,
+        passthrough=("text", "n_chars_clean"),
+        min_stopword_hits=min_stopword_hits,
+    ).filter(F.col("keep"))
+    fingered = quality.withColumn(
+        "fingerprint",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")),
+    )
+    # min-doc_id representative per fingerprint via row_number, NOT a
+    # groupBy+self-join: the self-join form recomputes the whole upstream
+    # subtree for each reference (4 scans); the window form is one scan and
+    # one fingerprint shuffle
+    from pyspark.sql import Window
+
+    keep_w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fingered.withColumn("_rn", F.row_number().over(keep_w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_words", "n_chars_clean", "fingerprint")
+        .transform(lambda d: canonical_order(d, "doc_id"))
+    )
+
+
+def corpus_prep_pipeline_sql(
+    table: str = "documents",
+    sample_rate: float = 0.5,
+    seed: str = "s42",
+    min_stopword_hits: int = 1,
+) -> str:
+    """DuckDB oracle for corpus_prep_pipeline — the same chain as CTEs."""
+    threshold = int(sample_rate * _HASH60_MAX)
+    clean_sql = text_clean_sql(table)
+    gopher_sql = gopher_quality_filter_sql("cleaned_as_text", min_stopword_hits=min_stopword_hits)
+    # strip the trailing ORDER BY of the fragments when nesting
+    clean_body = clean_sql.strip().rsplit("ORDER BY", 1)[0]
+    gopher_body = gopher_sql.strip().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH sampled AS (
+  SELECT * FROM {table}
+  WHERE ('0x' || substr(md5(doc_id || '{seed}'), 1, 15))::BIGINT < {threshold}
+),
+cleaned AS ({clean_body.replace(f'FROM {table}', 'FROM sampled')}),
+cleaned_as_text AS (
+  SELECT doc_id, clean_text AS text, n_chars_clean FROM cleaned
+),
+quality AS ({gopher_body}),
+survivors AS (
+  SELECT q.doc_id, q.n_words, c.n_chars_clean,
+         md5(regexp_replace(lower(c.text), '[^a-z0-9]', '', 'g')) AS fingerprint
+  FROM quality q JOIN cleaned_as_text c USING (doc_id)
+  WHERE q.keep
+)
+SELECT doc_id, n_words, n_chars_clean, fingerprint
+FROM survivors s
+WHERE doc_id = (SELECT min(doc_id) FROM survivors s2 WHERE s2.fingerprint = s.fingerprint)
 ORDER BY doc_id
 """

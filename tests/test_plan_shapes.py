@@ -68,10 +68,10 @@ def test_repetition_scores_partial_aggregation(docs):
 
 
 def test_canonical_off_drops_sort(docs, monkeypatch):
-    from docling_core_spark.operators.textstats import language_id, quality_scores
-
     from docling_core_spark.operators.textstats import (
         gopher_quality_filter,
+        language_id,
+        quality_scores,
         text_clean,
     )
 
@@ -141,3 +141,16 @@ def test_split_skew_single_scan_single_exchange(spark):
         (F.col("pid") == jumbo_pid) & (F.length("html") <= 200_000)
     ).count()
     assert sharing == 0
+
+
+def test_corpus_prep_pipeline_is_one_scan_one_shuffle(docs, monkeypatch):
+    from docling_core_spark.operators.textstats import corpus_prep_pipeline
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(corpus_prep_pipeline(docs))
+    # composition stays linear: sampling predicate at the scan, cleanup +
+    # quality filter map-side, and the ONLY shuffle is the fingerprint
+    # window for representative selection
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
+    assert "conv(substring(md5" in plan  # sampling filter present at scan
