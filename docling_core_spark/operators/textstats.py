@@ -633,3 +633,111 @@ FROM survivors s
 WHERE doc_id = (SELECT min(doc_id) FROM survivors s2 WHERE s2.fingerprint = s.fingerprint)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleanup (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning" §2.2 — the line filters behind the C4 corpus)
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 3
+C4_POLICY_MARKERS = ["javascript", "cookie", "privacy policy", "terms of use"]
+
+
+def c4_line_filter(docs: DataFrame, canonical=None) -> DataFrame:
+    """C4 line rules, re-expressed as array HOFs over the line list:
+
+    - keep only lines ending in terminal punctuation (. ! ? ")
+    - drop lines under C4_MIN_LINE_WORDS words
+    - drop lines mentioning javascript/cookie/policy boilerplate
+    - drop the whole document if "lorem ipsum" or a curly brace appears
+
+    Map-only Catalyst; returns the filtered text plus kept/dropped counts so
+    a pipeline can threshold on retention.  (The original also dedups
+    three-sentence spans corpus-wide — that global step lives in the
+    MinHash/SimHash operators here.)
+    """
+    text = F.col("text")
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0)
+
+    def line_ok(x):
+        t = F.trim(x)
+        low = F.lower(t)
+        ends_ok = (
+            t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
+        )
+        long_enough = F.size(F.split(t, r"\s+")) >= C4_MIN_LINE_WORDS
+        clean = None
+        for marker in C4_POLICY_MARKERS:
+            c = ~low.contains(marker)
+            clean = c if clean is None else (clean & c)
+        return ends_ok & long_enough & clean
+
+    kept = F.filter(lines, line_ok)
+    doc_ok = ~F.lower(text).contains("lorem ipsum") & ~text.contains("{")
+    kept_text = F.when(doc_ok, F.array_join(kept, "\n")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        kept_text.alias("filtered_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(doc_ok, F.size(kept)).otherwise(0).cast("long").alias("n_kept_lines"),
+        doc_ok.alias("doc_ok"),
+    ).transform(lambda d: canonical_order(d, "doc_id", canonical=canonical))
+
+
+def c4_demo_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic line-structured variant of the documents table for
+    exercising the C4 rules: the synthetic corpus is single-line word salad
+    (zero lines end in punctuation), which would make the filter vacuous.
+    ``' value '`` occurrences become sentence breaks, every 7th doc gains a
+    javascript boilerplate line, every 13th a curly-brace tail — all
+    expressible identically in Spark and DuckDB (replace/concat/CASE)."""
+    base = F.replace(F.col("text"), F.lit(" value "), F.lit(".\n"))
+    with_marker = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("enable javascript in your browser\n"), base),
+    ).otherwise(base)
+    with_brace = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(with_marker, F.lit(" { var x = 1; }"))
+    ).otherwise(with_marker)
+    return docs.select("doc_id", with_brace.alias("text"))
+
+
+def c4_demo_docs_sql(table: str = "documents") -> str:
+    """The c4_demo_docs transformation as a DuckDB CTE body."""
+    return f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN base || ' {{ var x = 1; }}' ELSE base END AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'enable javascript in your browser' || chr(10) || b
+                ELSE b END AS base
+    FROM (SELECT doc_id, replace(text, ' value ', '.' || chr(10)) AS b FROM {table})
+  )
+"""
+
+
+def c4_line_filter_sql(table: str = "documents") -> str:
+    """DuckDB oracle SQL for c4_line_filter (same rules, same join)."""
+    lines = "list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0)"
+    markers = " AND ".join(
+        f"NOT contains(lower(trim(x)), '{m}')" for m in C4_POLICY_MARKERS
+    )
+    line_ok = (
+        "(suffix(trim(x), '.') OR suffix(trim(x), '!') OR suffix(trim(x), '?')"
+        " OR suffix(trim(x), '\"'))"
+        f" AND len(regexp_split_to_array(trim(x), '\\s+')) >= {C4_MIN_LINE_WORDS}"
+        f" AND {markers}"
+    )
+    kept = f"list_filter({lines}, x -> {line_ok})"
+    doc_ok = "(NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{'))"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {doc_ok} THEN coalesce(array_to_string({kept}, chr(10)), '') ELSE '' END AS filtered_text,
+       CAST(len({lines}) AS BIGINT) AS n_lines,
+       CAST(CASE WHEN {doc_ok} THEN len({kept}) ELSE 0 END AS BIGINT) AS n_kept_lines,
+       {doc_ok} AS doc_ok
+FROM {table}
+ORDER BY doc_id
+"""
