@@ -46,13 +46,21 @@ def main() -> None:
     def timed(name: str, fn, repeats: int = 2) -> None:
         # best-of-N for every query (noisy-host guard): a single window can
         # catch a neighbor's burst — r3 observed a 3.5x swing on one query
-        # between two same-code runs minutes apart
+        # between two same-code runs minutes apart; r5 observed 10-17x on
+        # sub-second queries during a sustained neighbor phase, so cheap
+        # (sub-second) queries get an extra escape attempt when the first
+        # two disagree wildly
         best = None
-        for _ in range(repeats):
+        for attempt in range(repeats + 2):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # after the budgeted repeats, take up to 2 extra attempts only
+            # for cheap queries whose last sample still disagrees >2.5x with
+            # the best (a neighbor burst mid-window)
+            if attempt >= repeats - 1 and not (best <= 2.0 and dt > best * 2.5):
+                break
         timings[name] = round(best, 3)
 
     # The flagship measures what a production job does: scan a crawl table
@@ -154,6 +162,7 @@ def main() -> None:
         extra["scaling_efficiency_n_vs_4n"] = sc.get("scaling_efficiency_n2_vs_n8")
         extra["scaling_gate_passed"] = sc.get("passed")
 
+    extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
