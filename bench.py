@@ -27,7 +27,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from docling_core_spark.operators import dedup, profile, relational, similarity, textstats
-    from docling_core_spark.operators.extract import explode_chunks, extract_pages, split_skew
+    from docling_core_spark.operators.extract import extract_pages, split_skew
     from docling_core_spark.sources.web_pages import web_pages_df
 
     # The sf parquet is a single small file = one input split, which would run

@@ -1,0 +1,127 @@
+"""Cross-engine parity for the filter family on adversarial text.
+
+The driver oracle checks run on the synthetic documents table, whose text
+is ASCII word salad — it cannot catch Spark-vs-DuckDB dialect divergence on
+unicode, regex metacharacters, quotes, or degenerate whitespace.  This test
+feeds a hand-built adversarial corpus through the Spark operators AND their
+DuckDB oracle SQL side by side and requires identical rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "\n\n\n",
+    "\t\t",
+    "a",
+    "word",
+    "the and of to in is",  # all six en stopwords
+    "The quick brown fox jumps over the lazy dog. " * 20,
+    "ALL CAPS SHOUTING WITHOUT STOPWORDS " * 10,
+    "digits 123 456 789 0 and #hashtags #more ...",
+    "ellipsis… unicode … and ascii ... mixed",
+    "- bullet one\n- bullet two\n- bullet three\nplain line.",
+    "* star bullet\n• unicode bullet\n- dash\n",
+    "line ends with ...\nanother ends with …\nclean line.",
+    "símbolos acentuados: café naïve façade über",
+    "ελληνικά κείμενο με λέξεις",
+    "מימין לשמאל עברית",
+    "日本語のテキストです。単語の境界がありません。",
+    "emoji 😀 in 🎉 text 🚀 with words the and of",
+    'quotes "double" \'single\' `backtick` and regex chars .*+?[](){}|^$\\',
+    "curly {brace} document",
+    "Lorem Ipsum dolor sit amet",
+    "enable javascript and cookies to continue.",
+    "privacy policy terms of use cookie notice.",
+    "a non breaking space line.",
+    "zero​width​space words.",
+    "control \x07 bell and \x1f unit sep.",
+    "tab\tseparated\twords\there.",
+    "newline at end\n",
+    "\nnewline at start",
+    "repeated repeated repeated repeated repeated repeated. " * 5,
+    "one-word-lines\nx\ny\nz\nw.",
+    "Very long line " + "x" * 5000 + " end.",
+    "mixed. Ending! Question? Quote\" lines\nno-end line\nshort.",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_parquet(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("xeng") / "adversarial.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(ADVERSARIAL))),
+            "text": ADVERSARIAL,
+        }
+    )
+    pq.write_table(tbl, path)
+    return path
+
+
+def _compare(spark, parquet_path, op, sql):
+    sdf = op(spark.read.parquet(parquet_path))
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW adversarial AS SELECT * FROM read_parquet('{parquet_path}')"
+    )
+    duck_rows = con.execute(sql).fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    mism = [
+        (a, b)
+        for a, b in zip(spark_rows, duck_rows)
+        if tuple(a) != tuple(b)
+    ]
+    assert not mism, f"first mismatches: {mism[:3]}"
+
+
+def test_gopher_filter_cross_engine_adversarial(spark, adversarial_parquet):
+    from docling_core_spark.operators.textstats import (
+        gopher_quality_filter,
+        gopher_quality_filter_sql,
+    )
+
+    _compare(
+        spark,
+        adversarial_parquet,
+        gopher_quality_filter,
+        gopher_quality_filter_sql("adversarial"),
+    )
+
+
+def test_text_clean_cross_engine_adversarial(spark, adversarial_parquet):
+    from docling_core_spark.operators.textstats import text_clean, text_clean_sql
+
+    _compare(spark, adversarial_parquet, text_clean, text_clean_sql("adversarial"))
+
+
+def test_c4_filter_cross_engine_adversarial(spark, adversarial_parquet):
+    from docling_core_spark.operators.textstats import (
+        c4_line_filter,
+        c4_line_filter_sql,
+    )
+
+    _compare(
+        spark, adversarial_parquet, c4_line_filter, c4_line_filter_sql("adversarial")
+    )
+
+
+def test_quality_scores_cross_engine_adversarial(spark, adversarial_parquet):
+    from docling_core_spark.operators.textstats import (
+        quality_scores,
+        quality_scores_sql,
+    )
+
+    _compare(
+        spark, adversarial_parquet, quality_scores, quality_scores_sql("adversarial")
+    )
