@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": lambda s, d: textstats.text_clean(_docs(s, d)),
         "corpus_prep_pipeline": lambda s, d: textstats.corpus_prep_pipeline(_docs(s, d)),
         "c4_line_filter": lambda s, d: textstats.c4_line_filter(textstats.c4_demo_docs(_docs(s, d))),
+        "url_normalized": lambda s, d: textstats.url_normalized(_docs(s, d)),
         # --- dedup (exact + ngram SQL-checked; minhash/simhash rows-only) ---
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "text_clean": textstats.text_clean_sql(),
         "corpus_prep_pipeline": textstats.corpus_prep_pipeline_sql(),
         "c4_line_filter": "WITH c4_demo AS (" + textstats.c4_demo_docs_sql() + ") " + textstats.c4_line_filter_sql("c4_demo"),
+        "url_normalized": textstats.url_normalized_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_duplicates_sql(),

@@ -741,3 +741,126 @@ SELECT doc_id,
 FROM {table}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# URL normalization (crawl-curation staple: canonical form for URL-level
+# dedup and host statistics)
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def url_normalize_expr(url):
+    """Canonical URL form as a pure Catalyst expression:
+
+    - scheme + host lowercased; default ports (:80 http, :443 https) dropped
+    - fragment dropped
+    - tracking query params (utm_*, fbclid, gclid, msclkid, ref) dropped,
+      remaining params kept in original order; '?' dropped if none survive
+    - trailing '/' dropped from non-root paths
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""), r"#.*$", ""
+    )
+    host_lower = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host_lower, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host_lower, r":443$", ""))
+        .otherwise(host_lower)
+    )
+    path_and_query = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(path_and_query, r"^([^?]*)", 1)
+    path = F.when(F.length(path) > 1, F.regexp_replace(path, r"/$", "")).otherwise(path)
+    query = F.regexp_extract(path_and_query, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qjoined = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(qjoined) > 0, F.concat(F.lit("?"), qjoined)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_demo_expr(doc_id):
+    """Deterministic messy URL derived from doc_id (both engines express the
+    same concat/CASE): mixed-case scheme+host, default and explicit ports,
+    trailing slashes, tracking + real query params, fragments."""
+    sid = doc_id.cast("string")
+    base = F.when(
+        doc_id % 5 == 0,
+        F.concat(F.lit("http://MIRROR.Example.ORG:80/m/"), sid),
+    ).otherwise(F.concat(F.lit("HTTPS://Example.COM:443/docs/"), sid))
+    with_slash = F.when(doc_id % 3 == 0, F.concat(base, F.lit("/"))).otherwise(base)
+    q = F.concat(
+        F.lit("?utm_source=feed&id="),
+        sid,
+        F.when(doc_id % 2 == 0, F.lit("&fbclid=track")).otherwise(F.lit("&page=2")),
+    )
+    return F.concat(with_slash, q, F.lit("#sec"), sid)
+
+
+def url_normalized(docs: DataFrame, canonical=None) -> DataFrame:
+    """URL canonicalization over the demo URLs: (doc_id, url, norm_url, host).
+    Map-only Catalyst; at crawl scale norm_url is the URL-dedup key and host
+    feeds per-domain stats/blocklists."""
+    url = url_demo_expr(F.col("doc_id"))
+    norm = url_normalize_expr(url)
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        norm.alias("norm_url"),
+        F.regexp_extract(norm, r"^[a-z0-9+.-]+://([^/?]+)", 1).alias("host"),
+    ).transform(lambda d: canonical_order(d, "doc_id", canonical=canonical))
+
+
+def url_normalized_sql(table: str = "documents") -> str:
+    """DuckDB oracle for url_normalized (same demo synthesis, same rules)."""
+    url = (
+        "(CASE WHEN doc_id % 5 = 0 THEN 'http://MIRROR.Example.ORG:80/m/' || doc_id"
+        " ELSE 'HTTPS://Example.COM:443/docs/' || doc_id END"
+        " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+        " || '?utm_source=feed&id=' || doc_id"
+        " || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=track' ELSE '&page=2' END"
+        " || '#sec' || doc_id)"
+    )
+    return f"""
+WITH u AS (SELECT doc_id, {url} AS url FROM {table}),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+  FROM u
+),
+hp AS (
+  SELECT *, lower(regexp_extract(rest, '^([^/?]+)', 1)) AS host_lower,
+         regexp_replace(rest, '^[^/?]+', '') AS pq
+  FROM parts
+),
+np AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(host_lower, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host_lower, ':443$', '')
+              ELSE host_lower END AS host,
+         CASE WHEN length(regexp_extract(pq, '^([^?]*)', 1)) > 1
+              THEN regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/$', '')
+              ELSE regexp_extract(pq, '^([^?]*)', 1) END AS path,
+         coalesce(array_to_string(list_filter(string_split(regexp_extract(pq, '\\?(.*)$', 1), '&'),
+             x -> length(x) > 0 AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)=')), '&'), '') AS qj
+  FROM hp
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path ||
+         CASE WHEN length(qj) > 0 THEN '?' || qj ELSE '' END AS norm_url,
+       host
+FROM np
+ORDER BY doc_id
+"""

@@ -73,10 +73,11 @@ def test_canonical_off_drops_sort(docs, monkeypatch):
         language_id,
         quality_scores,
         text_clean,
+        url_normalized,
     )
 
     monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
-    for op in (language_id, quality_scores, gopher_quality_filter, text_clean):
+    for op in (language_id, quality_scores, gopher_quality_filter, text_clean, url_normalized):
         plan = _plan(op(docs))
         assert "Sort" not in plan
         assert "Exchange" not in plan  # map-only end to end
