@@ -38,3 +38,25 @@ def validate_datetime(v: Any, handler: Optional[Callable[[Any], Any]] = None) ->
     if type(v) is datetime or (type(v) is str and not v.isnumeric()):
         return handler(v) if handler is not None else v
     raise ValueError("Value type must be a datetime or a non-numeric string")
+
+
+def parse_strict_datetime(v: Any) -> datetime:
+    """StrictDateTime validation+coercion (reference types/base.py:35-40:
+    WrapValidator(validate_datetime) around pydantic's datetime parsing):
+    accept a datetime, or a non-numeric ISO-8601 string (offset, 'Z', naive,
+    or date-only); reject numbers, numeric strings, and time-only strings."""
+    v = validate_datetime(v)
+    if isinstance(v, datetime):
+        return v
+    try:
+        return datetime.fromisoformat(v)
+    except ValueError as err:
+        raise ValueError(f"Invalid datetime string: {v!r}") from err
+
+
+def serialize_strict_datetime(dt: datetime) -> str:
+    """StrictDateTime serializer: UTC-normalized isoformat (reference
+    types/base.py PlainSerializer)."""
+    from datetime import timezone
+
+    return dt.astimezone(tz=timezone.utc).isoformat()
