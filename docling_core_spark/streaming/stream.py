@@ -137,3 +137,22 @@ def rate_test_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFra
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
+
+
+def quality_filter_stream(
+    docs_stream: DataFrame,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Streaming corpus curation: the Gopher quality filter applied to a
+    stream of (doc_id, text) rows.
+
+    The filter is STATELESS (pure per-row expressions), so the exact batch
+    operator runs unchanged under Structured Streaming — no watermark, no
+    state store; kept rows flow through with their signals, rejects carry
+    reject_reasons for a side-output audit sink.
+    """
+    from docling_core_spark.operators.textstats import gopher_quality_filter
+
+    return gopher_quality_filter(
+        docs_stream, canonical=False, min_stopword_hits=min_stopword_hits
+    )

@@ -136,3 +136,35 @@ def test_streaming_ingest_metrics(spark, tmp_path):
     # append mode only emits closed windows; the aggregation itself ran —
     # assert the query executed and produced a valid (possibly empty) table
     assert spark.table("ingest_metrics").columns == ["start", "end", "lang", "n_pages", "html_bytes"]
+
+
+def test_streaming_quality_filter(spark, tmp_path):
+    from docling_core_spark.streaming.stream import quality_filter_stream
+
+    src = str(tmp_path / "docs_src")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60).select(
+        "doc_id", "text"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    filtered = quality_filter_stream(stream)
+    q = (
+        filtered.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quality_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("quality_stream")
+    assert out.count() == 60  # stateless: every row flows through with signals
+    # batch/stream parity: the same operator over the same rows agrees
+    from docling_core_spark.operators.textstats import gopher_quality_filter
+
+    batch = gopher_quality_filter(
+        spark.read.parquet(src), canonical=False, min_stopword_hits=1
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
