@@ -133,6 +133,11 @@ def _safe_extract(
     with zipfile.ZipFile(archive) as zf:
         for info in zf.infolist():
             name = info.filename
+            if "\\" in name:
+                # reference validate_archive_relative_path rejects backslashed
+                # member names outright (Windows-created zips can smuggle
+                # ".." inside a backslash path that posix splitting misses)
+                raise ValueError(f"Unsafe archive member path: {name!r}")
             norm = posixpath.normpath(name)
             if norm.startswith(("/", "../")) or ".." in norm.split("/"):
                 raise ValueError(f"Unsafe archive member path: {name!r}")

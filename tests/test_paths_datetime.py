@@ -107,3 +107,16 @@ def test_strict_datetime_rejections():
 def test_strict_datetime_serializer_utc_normalizes():
     dt = parse_strict_datetime("2022-12-01T06:49:20.724435+03:00")
     assert serialize_strict_datetime(dt) == "2022-12-01T03:49:20.724435+00:00"
+
+
+def test_archive_rejects_backslash_member(tmp_path):
+    import zipfile
+
+    from docling_core_spark.sources.doclang_archive import _safe_extract
+
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("ok.txt", "fine")
+        zf.writestr("a\\..\\..\\escape.txt", "bad")
+    with pytest.raises(ValueError, match="Unsafe archive member"):
+        _safe_extract(evil, tmp_path / "out", 1 << 20, 1 << 22)
