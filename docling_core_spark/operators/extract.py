@@ -171,11 +171,17 @@ def extract_pages(
     emit_html: bool = False,
     emit_doctags: bool = False,
     emit_doclang: bool = False,
+    _fault_url_substr: Optional[str] = None,
 ) -> DataFrame:
     """Fused parse+serialize+chunk stage over a web_pages DataFrame.
 
     Only `url, html, lang` are consumed — column pruning drops the fat
     pre-extracted `text` column at the scan.
+
+    ``_fault_url_substr`` is a chaos-testing hook: rows whose url contains
+    the substring raise inside the batch, which MUST surface as error rows,
+    never failed tasks — the html parser is total on garbage (fuzz-tested),
+    so without injection the per-row isolation path is unreachable in tests.
     """
     cols = ["url", "html", "lang"]
 
@@ -187,6 +193,8 @@ def extract_pages(
             for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 t0 = time.perf_counter()
                 try:
+                    if _fault_url_substr and _fault_url_substr in url:
+                        raise RuntimeError("injected fault (chaos test)")
                     out.append(
                         extract_row(
                             url,

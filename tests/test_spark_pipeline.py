@@ -87,3 +87,33 @@ def test_mega_page_generated():
     big = synth_html(101 * 2, "word " * 50, "en")  # doc_id 202: 202%101==0 mega
     small = synth_html(3, "word " * 50, "en")
     assert len(big) > 20 * len(small)
+
+
+def test_error_rows_isolate_poisoned_rows(spark):
+    """A failing row becomes an error row with real timing and lineage —
+    never a failed task (exercised via the chaos-injection hook, since the
+    fuzz-proven-total parser gives the isolation path no natural trigger)."""
+    from docling_core_spark.operators.extract import lineage_metrics
+
+    pages = web_pages_df(spark, SF_DIR).limit(40).cache()
+    n = pages.count()
+    out = extract_pages(pages, _fault_url_substr="/en/1").cache()
+    errs = out.filter("error is not null")
+    oks = out.filter("error is null")
+    n_err = errs.count()
+    assert 0 < n_err < n  # some poisoned, some healthy
+    assert oks.count() == n - n_err
+    row = errs.first()
+    assert "injected fault" in row["error"]
+    assert row["markdown"] is None and row["chunks"] == []
+    assert row["html_bytes"] > 0 and row["parse_us"] >= 0
+    # healthy rows are byte-identical to an uninjected run
+    clean = extract_pages(pages).filter("error is null")
+    a = {r["url"]: r["markdown"] for r in oks.select("url", "markdown").collect()}
+    b = {r["url"]: r["markdown"] for r in clean.select("url", "markdown").collect()}
+    assert all(b[u] == md for u, md in a.items())
+    # lineage counts the failures
+    m = lineage_metrics(out).collect()
+    assert sum(r["n_errors"] for r in m) == n_err
+    pages.unpersist()
+    out.unpersist()
