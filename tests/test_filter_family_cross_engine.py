@@ -125,3 +125,27 @@ def test_quality_scores_cross_engine_adversarial(spark, adversarial_parquet):
     _compare(
         spark, adversarial_parquet, quality_scores, quality_scores_sql("adversarial")
     )
+
+
+def test_url_normalize_idempotent(spark):
+    """norm(norm(x)) == norm(x): normalized URLs are a fixpoint, which is
+    what makes norm_url usable as a dedup key across re-crawls."""
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.operators.textstats import url_normalize_expr
+
+    cases = [
+        "HTTPS://Example.COM:443/Path/Sub/?utm_source=x&id=7&fbclid=zz#frag",
+        "http://HOST.org:80/",
+        "https://a.b/c?ref=spam",
+        "https://a.b/c?id=1&utm_campaign=x&q=2",
+        "http://plain.net/deep/path/",
+        "https://keep.port.io:8443/x?y=1&utm_x=1",
+        "https://host.io/?utm_source=only",
+        "http://h/p?a=1&a=2&utm_medium=m&b=%20c",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["url"])
+    once = df.select(url_normalize_expr(F.col("url")).alias("n1"))
+    twice = once.select("n1", url_normalize_expr(F.col("n1")).alias("n2"))
+    for r in twice.collect():
+        assert r["n1"] == r["n2"], r

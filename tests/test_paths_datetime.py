@@ -120,3 +120,28 @@ def test_archive_rejects_backslash_member(tmp_path):
         zf.writestr("a\\..\\..\\escape.txt", "bad")
     with pytest.raises(ValueError, match="Unsafe archive member"):
         _safe_extract(evil, tmp_path / "out", 1 << 20, 1 << 22)
+
+
+def test_relative_path_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    seg = st.text(alphabet="abcxyz09", min_size=1, max_size=5)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(seg, max_size=5), st.lists(seg, max_size=5))
+    def inner(src_parts, tgt_parts):
+        src = Path("/base", *src_parts)
+        tgt = Path("/base", *tgt_parts)
+        rel = relative_path(src, tgt)
+        # walking rel from src lands exactly on target
+        resolved = Path(*src.parts, *rel.parts)
+        # normalize ".." segments
+        out = []
+        for p in resolved.parts:
+            if p == "..":
+                out.pop()
+            else:
+                out.append(p)
+        assert Path(*out) == tgt
+
+    inner()
