@@ -22,6 +22,13 @@ LANG_STOPWORDS = {
 
 _PUNCT_CLASS = r"[.,;:!?]"
 
+# Explicit ASCII whitespace class, used verbatim on BOTH engines.  Java's \s
+# is exactly [ \t\n\x0B\f\r] but RE2's \s lacks vertical tab \x0B, so a bare
+# \s in a Spark regex paired with \s in the DuckDB oracle silently diverges
+# on text containing \x0B.  Spelling the class out keeps Spark behavior
+# bit-identical to \s while making the oracle match it.
+WS = r"[ \t\n\x0B\f\r]"
+
 
 def _padded(col):
     return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
@@ -93,7 +100,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     """Per-document quality features: length, punctuation/stopword/digit ratios."""
     text = F.col("text")
     n_chars = F.length(text)
-    words = F.split(F.trim(text), r"\s+")
+    words = F.split(F.trim(text), WS + "+")
     n_words = F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(words))
     n_punct = F.length(text) - F.length(F.regexp_replace(text, _PUNCT_CLASS, ""))
     n_digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
@@ -115,14 +122,14 @@ def quality_scores_sql(table: str = "documents") -> str:
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+       ELSE length(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS n_words,
   round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
         / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
         / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio,
   CAST({lang_score_sql('text', 'en')} AS INT) AS en_stopword_hits,
   round(length(text) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE length(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE, 4) AS avg_word_len
+        ELSE length(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END, 1)::DOUBLE, 4) AS avg_word_len
 FROM {table}
 ORDER BY doc_id
 """
@@ -131,8 +138,8 @@ ORDER BY doc_id
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens and a BPE-ish subword proxy count (word-chars/4 heuristic)."""
     text = F.col("text")
-    ws_tokens = F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(F.split(F.trim(text), r"\s+")))
-    word_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    ws_tokens = F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(F.split(F.trim(text), WS + "+")))
+    word_chars = F.length(F.regexp_replace(text, WS, ""))
     return docs.select(
         "doc_id",
         ws_tokens.cast("long").alias("ws_tokens"),
@@ -145,8 +152,8 @@ def token_counts_sql(table: str = "documents") -> str:
     return f"""
 SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
-  CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT) AS bpe_tokens_est
+       ELSE length(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) AS ws_tokens,
+  CAST(ceil(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) / 4.0) AS BIGINT) AS bpe_tokens_est
 FROM {table}
 ORDER BY doc_id
 """
@@ -195,7 +202,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         F.max("cnt").cast("long").alias("max_line_occurrences"),
     )
 
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    words = F.split(F.lower(F.trim(text)), WS + "+")
     with_words = docs.filter(F.length(F.trim(text)) > 0).select(
         "doc_id", words.alias("ws")
     )
@@ -251,7 +258,7 @@ line_agg AS (
   FROM per_line GROUP BY doc_id
 ),
 words AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
   FROM {table} WHERE length(trim(text)) > 0
 ),
 bigrams AS (
@@ -351,9 +358,9 @@ def gopher_quality_filter(
     """
     text = F.col("text")
     trimmed = F.trim(text)
-    words = F.split(F.lower(trimmed), r"\s+")
+    words = F.split(F.lower(trimmed), WS + "+")
     n_words = F.when(F.length(trimmed) == 0, 0).otherwise(F.size(words))
-    word_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    word_chars = F.length(F.regexp_replace(text, WS, ""))
     mean_word_len = F.round(word_chars / F.greatest(n_words, F.lit(1)), 6)
     alpha_words = F.when(F.length(trimmed) == 0, 0).otherwise(
         F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
@@ -431,13 +438,13 @@ def gopher_quality_filter_sql(
     thresholds, same reject-tag order; concat_ws skips NULLs identically)."""
     n_words = (
         "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE length(regexp_split_to_array(lower(trim(text)), '\\s+')) END"
+        "ELSE length(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) END"
     )
-    word_chars = "length(regexp_replace(text, '\\s', '', 'g'))"
+    word_chars = "length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))"
     mean_wl = f"round({word_chars} / greatest({n_words}, 1)::DOUBLE, 6)"
     alpha_words = (
         "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
-        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), "
         "x -> regexp_matches(x, '[a-z]'))) END"
     )
     alpha_frac = f"round({alpha_words} / greatest({n_words}, 1)::DOUBLE, 6)"
@@ -584,17 +591,23 @@ def corpus_prep_pipeline(
         "fingerprint",
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")),
     )
-    # min-doc_id representative per fingerprint via row_number, NOT a
-    # groupBy+self-join: the self-join form recomputes the whole upstream
-    # subtree for each reference (4 scans); the window form is one scan and
-    # one fingerprint shuffle
-    from pyspark.sql import Window
-
-    keep_w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    # min-doc_id representative per fingerprint via min_by hash-agg — one
+    # scan, one fingerprint shuffle, AND map-side partial aggregation, so a
+    # mass-boilerplate fingerprint (hundreds of millions of rows at crawl
+    # scale) combines locally instead of sorting its whole group in one task
+    # (the row_number-window form it replaces did exactly that).  A
+    # groupBy+self-join stays rejected: it recomputes the upstream subtree
+    # per reference (4 scans).
+    rep = F.min_by(F.struct("doc_id", "n_words", "n_chars_clean"), "doc_id")
     return (
-        fingered.withColumn("_rn", F.row_number().over(keep_w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "n_words", "n_chars_clean", "fingerprint")
+        fingered.groupBy("fingerprint")
+        .agg(rep.alias("rep"))
+        .select(
+            F.col("rep.doc_id").alias("doc_id"),
+            F.col("rep.n_words").alias("n_words"),
+            F.col("rep.n_chars_clean").alias("n_chars_clean"),
+            "fingerprint",
+        )
         .transform(lambda d: canonical_order(d, "doc_id"))
     )
 
@@ -628,9 +641,12 @@ survivors AS (
   FROM quality q JOIN cleaned_as_text c USING (doc_id)
   WHERE q.keep
 )
-SELECT doc_id, n_words, n_chars_clean, fingerprint
-FROM survivors s
-WHERE doc_id = (SELECT min(doc_id) FROM survivors s2 WHERE s2.fingerprint = s.fingerprint)
+SELECT min(doc_id) AS doc_id,
+       arg_min(n_words, doc_id) AS n_words,
+       arg_min(n_chars_clean, doc_id) AS n_chars_clean,
+       fingerprint
+FROM survivors
+GROUP BY fingerprint
 ORDER BY doc_id
 """
 
@@ -666,7 +682,7 @@ def c4_line_filter(docs: DataFrame, canonical=None) -> DataFrame:
         ends_ok = (
             t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
         )
-        long_enough = F.size(F.split(t, r"\s+")) >= C4_MIN_LINE_WORDS
+        long_enough = F.size(F.split(t, WS + "+")) >= C4_MIN_LINE_WORDS
         clean = None
         for marker in C4_POLICY_MARKERS:
             c = ~low.contains(marker)
@@ -727,7 +743,7 @@ def c4_line_filter_sql(table: str = "documents") -> str:
     line_ok = (
         "(suffix(trim(x), '.') OR suffix(trim(x), '!') OR suffix(trim(x), '?')"
         " OR suffix(trim(x), '\"'))"
-        f" AND len(regexp_split_to_array(trim(x), '\\s+')) >= {C4_MIN_LINE_WORDS}"
+        f" AND len(regexp_split_to_array(trim(x), '[ \\t\\n\\x0B\\f\\r]+')) >= {C4_MIN_LINE_WORDS}"
         f" AND {markers}"
     )
     kept = f"list_filter({lines}, x -> {line_ok})"
@@ -779,7 +795,7 @@ def url_normalize_expr(url):
         lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
     )
     qjoined = F.array_join(kept, "&")
-    return F.concat(
+    rebuilt = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -788,6 +804,10 @@ def url_normalize_expr(url):
             F.lit("")
         ),
     )
+    # scheme-less input (no "://") passes through unchanged rather than
+    # gaining a malformed "://host" prefix; the demo/oracle path only ever
+    # sees schemed URLs, so the SQL oracle needs no matching branch
+    return F.when(scheme != "", rebuilt).otherwise(url)
 
 
 def url_demo_expr(doc_id):

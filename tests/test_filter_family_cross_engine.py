@@ -42,6 +42,7 @@ ADVERSARIAL = [
     "a non breaking space line.",
     "zero​width​space words.",
     "control \x07 bell and \x1f unit sep.",
+    "vertical\x0Btab\x0Bseparated words.",  # Java \s vs RE2 \s divergence probe
     "tab\tseparated\twords\there.",
     "newline at end\n",
     "\nnewline at start",
@@ -143,6 +144,11 @@ def test_url_normalize_idempotent(spark):
         "https://keep.port.io:8443/x?y=1&utm_x=1",
         "https://host.io/?utm_source=only",
         "http://h/p?a=1&a=2&utm_medium=m&b=%20c",
+        # scheme-less inputs are fixpoints by passthrough (no '://' injected)
+        "example.com/path?utm_source=x",
+        "not a url at all",
+        "",
+        "//protocol-relative.net/x",
     ]
     df = spark.createDataFrame([(c,) for c in cases], ["url"])
     once = df.select(url_normalize_expr(F.col("url")).alias("n1"))

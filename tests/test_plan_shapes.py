@@ -151,7 +151,12 @@ def test_corpus_prep_pipeline_is_one_scan_one_shuffle(docs, monkeypatch):
     plan = _plan(corpus_prep_pipeline(docs))
     # composition stays linear: sampling predicate at the scan, cleanup +
     # quality filter map-side, and the ONLY shuffle is the fingerprint
-    # window for representative selection
+    # aggregation for representative selection
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") == 1
     assert "conv(substring(md5" in plan  # sampling filter present at scan
+    # the representative selection is a min_by hash-agg WITH map-side
+    # partial aggregation (a hot boilerplate fingerprint combines locally),
+    # not a row_number window (which sorts the whole group in one task)
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
