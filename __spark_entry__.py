@@ -206,7 +206,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": lambda s, d: textstats.c4_line_filter(textstats.c4_demo_docs(_docs(s, d))),
         "url_normalized": lambda s, d: textstats.url_normalized(_docs(s, d)),
         # --- dedup (exact + ngram SQL-checked; minhash/simhash rows-only) ---
-        "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
+        # exact dedup runs over a duplicate-BEARING input (corpus + re-keyed
+        # 10% clone subset, same in the oracle) so the positive paths —
+        # group assembly, id cap, "|"-join — are value-hashed, not vacuous
+        "dedup_exact": lambda s, d: dedup.exact_duplicates(
+            dedup.with_synthetic_duplicates(_docs(s, d))
+        ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_duplicates(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_duplicates(_docs(s, d)),
@@ -215,7 +220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         "similarity_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
-        "embedding_cosine_dedup": lambda s, d: similarity.embedding_cosine_dedup(_emb(s, d)),
+        # near-dup pairs over cosine-1.0 clone-bearing vectors (the raw
+        # synthetic vectors have no pairs above threshold: vacuous green)
+        "embedding_cosine_dedup": lambda s, d: similarity.embedding_cosine_dedup(
+            similarity.with_synthetic_duplicate_vectors(_emb(s, d))
+        ),
         # --- code chunking (C8: Python/Java/C/TS) + field-kv DocLang (S5)
         # over deterministically synthesized inputs; single-process-expected
         # oracle (JS shares the TS chunker, reference
@@ -303,7 +312,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_pipeline": textstats.corpus_prep_pipeline_sql(),
         "c4_line_filter": "WITH c4_demo AS (" + textstats.c4_demo_docs_sql() + ") " + textstats.c4_line_filter_sql("c4_demo"),
         "url_normalized": textstats.url_normalized_sql(),
-        "dedup_exact": dedup.exact_duplicates_sql(),
+        "dedup_exact": "WITH dup_docs AS ("
+        + dedup.with_synthetic_duplicates_sql()
+        + ") "
+        + dedup.exact_duplicates_sql("dup_docs"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_duplicates_sql(),
         "similarity_cosine_topk": similarity.cosine_topk_sql(),

@@ -27,6 +27,55 @@ from docling_core_spark.operators.canon import canonical_order
 NORM = lambda c: F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")  # noqa: E731
 
 
+_HASH60_MAX = 1 << 60
+
+
+def with_synthetic_duplicates(
+    docs: DataFrame,
+    rate: float = 0.1,
+    seed: str = "dup42",
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Union the corpus with a re-keyed deterministic subset — a
+    duplicate-bearing input for exercising the POSITIVE dedup paths.
+
+    The synthetic test corpus contains no natural exact duplicates, so a
+    dedup query run on it alone is green-but-vacuous (0 rows: group assembly,
+    id caps, and pair emission never execute).  Cloning a deterministic
+    md5-sampled ``rate`` of documents under ``doc_id + id_offset`` gives
+    every engine the same known duplicate groups.  Map-only; both branches
+    read one scan each (the clone branch's sampling predicate pushes down).
+    """
+    threshold = int(rate * _HASH60_MAX)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    clones = docs.filter(bucket < F.lit(threshold)).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(clones)
+
+
+def with_synthetic_duplicates_sql(
+    table: str = "documents",
+    rate: float = 0.1,
+    seed: str = "dup42",
+    id_offset: int = 1_000_000,
+) -> str:
+    """The with_synthetic_duplicates transformation as a DuckDB CTE body."""
+    threshold = int(rate * _HASH60_MAX)
+    return f"""
+  SELECT doc_id, text FROM {table}
+  UNION ALL
+  SELECT doc_id + {id_offset} AS doc_id, text FROM {table}
+  WHERE ('0x' || substr(md5(doc_id || '{seed}'), 1, 15))::BIGINT < {threshold}
+"""
+
+
 def exact_duplicates(docs: DataFrame, max_group_ids: int = 256) -> DataFrame:
     """Groups of documents with identical normalized content.
 

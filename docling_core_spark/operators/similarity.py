@@ -139,6 +139,36 @@ def ann_lsh_topk(
     )
 
 
+_HASH60_MAX = 1 << 60
+
+
+def with_synthetic_duplicate_vectors(
+    embeddings: DataFrame,
+    rate: float = 0.1,
+    seed: str = "dupv7",
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Union the embeddings with a re-keyed deterministic subset (cosine 1.0
+    clones) so the near-dup pair-emission path actually executes: the
+    synthetic vectors contain no natural pairs above the dedup threshold, so
+    ``embedding_cosine_dedup`` on them alone is green-but-vacuous (0 rows).
+    Same md5-sampling rule as dedup.with_synthetic_duplicates; mirrored in
+    the single-process expected oracle (oracle_expected._build_similarity).
+    """
+    threshold = int(rate * _HASH60_MAX)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(seed))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    clones = embeddings.filter(bucket < F.lit(threshold)).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"), "label", "embedding"
+    )
+    return embeddings.select("vec_id", "label", "embedding").unionByName(clones)
+
+
 def embedding_cosine_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,

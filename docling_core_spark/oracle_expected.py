@@ -432,7 +432,21 @@ def _build_similarity(sf_dir: str, out: Path) -> None:
         pa.schema([("vec_id", _I64), ("label", _I32), ("cos_sim", _F64)]),
     )
 
-    # embedding_cosine_dedup: n_planes=4, seed=7, threshold=0.95, cap 1024
+    # embedding_cosine_dedup runs over the duplicate-bearing input
+    # (with_synthetic_duplicate_vectors: clone a deterministic 10% md5 sample
+    # under vec_id + 1_000_000) so the pair-emission path is value-checked —
+    # the raw vectors have no pairs above threshold (vacuous 0-row green)
+    dup_rate, dup_seed, dup_offset = 0.1, "dupv7", 1_000_000
+    dup_threshold = int(dup_rate * (1 << 60))
+    for vid in sorted(vecs):
+        h60 = int(
+            hashlib.md5(f"{vid}{dup_seed}".encode()).hexdigest()[:15], 16
+        )
+        if h60 < dup_threshold:
+            vecs[vid + dup_offset] = vecs[vid]
+            labels[vid + dup_offset] = labels[vid]
+
+    # n_planes=4, seed=7, threshold=0.95, cap 1024
     w4 = _srp_weights(4, dim, 7)
     groups: dict[int, list[int]] = {}
     for vid, v in vecs.items():
