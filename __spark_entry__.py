@@ -189,7 +189,14 @@ def _synth_op(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + pipeline ops."""
-    from docling_core_spark.operators import dedup, profile, relational, similarity, textstats
+    from docling_core_spark.operators import (
+        decontam,
+        dedup,
+        profile,
+        relational,
+        similarity,
+        textstats,
+    )
     from docling_core_spark.operators.extract import explode_chunks
 
     return {
@@ -205,6 +212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_pipeline": lambda s, d: textstats.corpus_prep_pipeline(_docs(s, d)),
         "c4_line_filter": lambda s, d: textstats.c4_line_filter(textstats.c4_demo_docs(_docs(s, d))),
         "url_normalized": lambda s, d: textstats.url_normalized(_docs(s, d)),
+        # benchmark decontamination: every 50th doc plays the eval set; the
+        # overlap counts + keep flag are value-hashed against DuckDB
+        "decontaminate": lambda s, d: decontam.decontaminate(
+            _docs(s, d), decontam.eval_subset(_docs(s, d))
+        ),
         # --- dedup (exact + ngram SQL-checked; minhash/simhash rows-only) ---
         # exact dedup runs over a duplicate-BEARING input (corpus + re-keyed
         # 10% clone subset, same in the oracle) so the positive paths —
@@ -293,7 +305,14 @@ def oracle_sql() -> dict[str, str]:
       materialized to parquet and read back via read_parquet — verifying
       distributed == single-process per url, the north-rule invariant.
     """
-    from docling_core_spark.operators import dedup, profile, relational, similarity, textstats
+    from docling_core_spark.operators import (
+        decontam,
+        dedup,
+        profile,
+        relational,
+        similarity,
+        textstats,
+    )
     from docling_core_spark.oracle_expected import ensure_expected
 
     oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
@@ -312,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_pipeline": textstats.corpus_prep_pipeline_sql(),
         "c4_line_filter": "WITH c4_demo AS (" + textstats.c4_demo_docs_sql() + ") " + textstats.c4_line_filter_sql("c4_demo"),
         "url_normalized": textstats.url_normalized_sql(),
+        "decontaminate": decontam.decontaminate_sql(),
         "dedup_exact": "WITH dup_docs AS ("
         + dedup.with_synthetic_duplicates_sql()
         + ") "
