@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark.operators import (
         decontam,
         dedup,
+        pii,
         profile,
         relational,
         similarity,
@@ -217,6 +218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda s, d: decontam.decontaminate(
             _docs(s, d), decontam.eval_subset(_docs(s, d))
         ),
+        # PII scrub over a deterministically PII-bearing demo corpus (the
+        # raw synthetic text has no PII — vacuous otherwise)
+        "pii_redact": lambda s, d: pii.pii_redact(pii.pii_demo_docs(_docs(s, d))),
         # --- dedup (exact + ngram SQL-checked; minhash/simhash rows-only) ---
         # exact dedup runs over a duplicate-BEARING input (corpus + re-keyed
         # 10% clone subset, same in the oracle) so the positive paths —
@@ -308,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_core_spark.operators import (
         decontam,
         dedup,
+        pii,
         profile,
         relational,
         similarity,
@@ -332,6 +337,10 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": "WITH c4_demo AS (" + textstats.c4_demo_docs_sql() + ") " + textstats.c4_line_filter_sql("c4_demo"),
         "url_normalized": textstats.url_normalized_sql(),
         "decontaminate": decontam.decontaminate_sql(),
+        "pii_redact": "WITH pii_demo AS ("
+        + pii.pii_demo_docs_sql()
+        + ") "
+        + pii.pii_redact_sql("pii_demo"),
         "dedup_exact": "WITH dup_docs AS ("
         + dedup.with_synthetic_duplicates_sql()
         + ") "

@@ -128,6 +128,39 @@ def test_quality_scores_cross_engine_adversarial(spark, adversarial_parquet):
     )
 
 
+PII_ADVERSARIAL = [
+    "plain text with no pii at all.",
+    "mail me at first.last+tag@sub.example.co.uk today",
+    "two mails a@b.io and c_d%x@y-z.org in one line",
+    "not-an-email @missing.local and user@nodot",
+    "server 10.0.0.1 and 255.255.255.255 but not 1.2.3 or 1.2.3.4.5",
+    "ip inside word x1.2.3.4 and after punct:127.0.0.1!",
+    "call 555-123-4567 or +1 555-123-4567 or (555) 123-4567",
+    "phone-ish 12-34 and 5551234567 should not match",
+    "mixed: admin@example.com at 93.184.216.34 call 555-987-6543 now",
+    "unicode café naïve with user@exämple.com partial",  # non-ASCII domain
+    'regex chars .*+?[](){}|^$\\ near 8.8.8.8 and "x@y.zw"',
+    "מימין user@rtl.example לשמאל 1.1.1.1",
+    "trailing dot user@example.com. and comma 4.4.4.4,",
+]
+
+
+def test_pii_redact_cross_engine_adversarial(spark, tmp_path_factory):
+    """PII patterns live in the Java-regex/RE2 common subset; this pins it
+    on emails/IPs/phones embedded in unicode, RTL, and metachar text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.operators.pii import pii_redact, pii_redact_sql
+
+    path = str(tmp_path_factory.mktemp("pii") / "pii.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(PII_ADVERSARIAL))), "text": PII_ADVERSARIAL}),
+        path,
+    )
+    _compare(spark, path, pii_redact, pii_redact_sql("adversarial"))
+
+
 def test_url_normalize_idempotent(spark):
     """norm(norm(x)) == norm(x): normalized URLs are a fixpoint, which is
     what makes norm_url usable as a dedup key across re-crawls."""

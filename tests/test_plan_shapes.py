@@ -68,6 +68,7 @@ def test_repetition_scores_partial_aggregation(docs):
 
 
 def test_canonical_off_drops_sort(docs, monkeypatch):
+    from docling_core_spark.operators.pii import pii_redact
     from docling_core_spark.operators.textstats import (
         gopher_quality_filter,
         language_id,
@@ -77,7 +78,7 @@ def test_canonical_off_drops_sort(docs, monkeypatch):
     )
 
     monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
-    for op in (language_id, quality_scores, gopher_quality_filter, text_clean, url_normalized):
+    for op in (language_id, quality_scores, gopher_quality_filter, text_clean, url_normalized, pii_redact):
         plan = _plan(op(docs))
         assert "Sort" not in plan
         assert "Exchange" not in plan  # map-only end to end
