@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark.operators import (
         decontam,
         dedup,
+        packing,
         pii,
         profile,
         relational,
@@ -284,6 +285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .withColumn("doc_item_refs", F.to_json("doc_item_refs"))
         .orderBy("url", "chunk_idx"),
         "extract_doc_profile": lambda s, d: profile.extracted_doc_profile(_extracted(s, d)),
+        # chunk -> training-sequence packing (greedy next-fit per url);
+        # single-process-expected oracle via the shared pure-python core
+        "pack_sequences": lambda s, d: packing.pack_sequences(
+            explode_chunks(_extracted(s, d))
+        ),
         # --- multimodal plumbing (stubbed decode, deterministic; rows-only) ---
         "media_image_metadata": lambda s, d: _media(s, "meta"),
         "media_image_features": lambda s, d: _media(s, "features"),

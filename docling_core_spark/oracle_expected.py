@@ -220,6 +220,26 @@ def _build_extraction(sf_dir: str, out: Path) -> None:
              ("headings", _S), ("doc_item_refs", _S), ("n_tokens", _I32)]
         ),
     )
+    # pack_sequences expected: the SAME pure-python greedy next-fit the Spark
+    # applyInPandas runs, over the same chunk rows in the same per-url order
+    from docling_core_spark.operators.packing import pack_doc_chunks
+
+    by_url: dict[str, list[tuple[int, int]]] = {}
+    for c in chunk_rows:
+        by_url.setdefault(c["url"], []).append((c["chunk_idx"], c["n_tokens"]))
+    pack_rows: list[dict] = []
+    for url in sorted(by_url):
+        pack_rows.extend(pack_doc_chunks(url, sorted(by_url[url])))
+    _write(
+        out / "pack_sequences.parquet",
+        pack_rows,
+        pa.schema(
+            [("url", _S), ("seq_idx", _I32), ("seq_id", _S), ("chunk_idxs", _S),
+             ("n_chunks", _I64), ("total_tokens", _I64), ("fill_frac", _F64),
+             ("oversize", pa.bool_())]
+        ),
+    )
+
     _write(
         out / "extract_doc_profile.parquet",
         prof_rows,
@@ -575,6 +595,7 @@ EXPECTED_QUERIES = {
     "extract_doctags": "ORDER BY url",
     "extract_doclang": "ORDER BY url",
     "extract_chunks": "ORDER BY url, chunk_idx",
+    "pack_sequences": "ORDER BY url, seq_idx",
     "extract_doc_profile": "ORDER BY url",
     "extract_collection_profile": "",
     "doc_page_chunks": "ORDER BY url, page_no",
