@@ -17,9 +17,45 @@ import sys
 import time
 
 
+def wait_for_quiet_host(
+    threshold: float = 2.0, max_wait_s: int = 900, poll_s: int = 30
+) -> dict:
+    """Refuse to start timing on a contended host: sleep-retry until the
+    1-min loadavg drops under `threshold` (or the wait budget runs out).
+
+    The round-5 bench was recorded at loadavg 19.7 and its regressions were
+    all noise (the repo's own finding: benches are only valid quiet) — this
+    gate makes the committed artifact self-certifying instead of relying on
+    a README caveat.  Records the decision either way; set
+    SPARK_GRAFT_BENCH_NO_WAIT=1 to skip (e.g. for smoke runs).
+    """
+    decision = {"quiet_gate_threshold": threshold, "quiet_gate_waited_s": 0}
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT") == "1":
+        decision["quiet_gate"] = "skipped (SPARK_GRAFT_BENCH_NO_WAIT)"
+        return decision
+    waited = 0
+    load = os.getloadavg()[0]
+    while load > threshold and waited < max_wait_s:
+        print(
+            f"[bench] host busy (loadavg {load:.1f} > {threshold}); "
+            f"waiting {poll_s}s ({waited}/{max_wait_s}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+        waited += poll_s
+        load = os.getloadavg()[0]
+    decision["quiet_gate_waited_s"] = waited
+    decision["quiet_gate"] = (
+        "quiet" if load <= threshold else f"gave up contended (loadavg {load:.1f})"
+    )
+    return decision
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    quiet = wait_for_quiet_host()
 
     from docling_core_spark.session import get_spark
 
@@ -42,6 +78,7 @@ def main() -> None:
     extra: dict[str, float] = {"n_docs": n_docs, "cpus": cpus}
     # shared-host noise diagnostic: interpret absolute numbers in context
     extra["loadavg_start"] = round(os.getloadavg()[0], 2)
+    extra.update(quiet)
 
     def timed(name: str, fn, repeats: int = 2) -> None:
         # best-of-N for every query (noisy-host guard): a single window can
@@ -140,6 +177,14 @@ def main() -> None:
     timed("gopher_filter", lambda: textstats.gopher_quality_filter(docs_tbl).count())
     timed("repetition_scores", lambda: textstats.repetition_scores(docs_tbl).count())
     timed("language_id", lambda: textstats.language_id(docs_tbl).count())
+    # round-6 operators: PII scrub + benchmark decontamination
+    from docling_core_spark.operators import decontam, pii
+
+    timed("pii_redact", lambda: pii.pii_redact(pii.pii_demo_docs(docs_tbl)).count())
+    timed(
+        "decontaminate",
+        lambda: decontam.decontaminate(docs_tbl, decontam.eval_subset(docs_tbl)).count(),
+    )
     timed("similarity_cosine_topk", lambda: similarity.cosine_topk(emb_tbl).collect())
     timed("similarity_ann_lsh", lambda: similarity.ann_lsh_topk(emb_tbl).collect())
     timed("profile_collection", lambda: profile.collection_stats(docs_tbl).collect())
