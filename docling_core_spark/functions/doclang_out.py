@@ -137,6 +137,18 @@ class DocLangParams(MarkdownParams):
     page_break_placeholder: Optional[str] = field(default="<page_break/>")
 
 
+def _pretty(compact: str, indent: str) -> str:
+    """Pretty-print the emitter's compact XML: fast direct printer
+    (functions/xml_pretty.py, byte-equal by test) with the original minidom
+    round trip as the fallback for anything outside its subset."""
+    try:
+        from docling_core_spark.functions.xml_pretty import pretty_xml
+
+        return pretty_xml(compact, indent)
+    except Exception:  # noqa: BLE001 — any parse surprise: exact slow path
+        return parseString(compact).documentElement.toprettyxml(indent=indent)
+
+
 def _wrap(text: str, tag: str) -> str:
     return f"<{tag}>{text}</{tag}>"
 
@@ -1102,8 +1114,7 @@ class DocLangSerializer(DocSerializer):
             text = self._filter_out_all_content(text)
 
         if p.pretty_indentation is not None:
-            root = parseString(text).documentElement
-            text = root.toprettyxml(indent=p.pretty_indentation)
+            text = _pretty(text, p.pretty_indentation)
             lines = text.split("\n")
             filtered = []
             inside_content = False
@@ -1151,9 +1162,7 @@ def export_to_doclang(doc: Doc, **overrides: Any) -> str:
         minimized = inner.serialize().text
         filtered = DocLangSerializer._filter_out_all_content(minimized)
         if ser.params.pretty_indentation is not None:
-            out = parseString(filtered).documentElement.toprettyxml(
-                indent=ser.params.pretty_indentation
-            )
+            out = _pretty(filtered, ser.params.pretty_indentation)
             out = "\n".join(line for line in out.split("\n") if line.strip())
             if ser.params.preserve_empty_non_selfclosing:
                 for tok in sorted(_ALL_TOKENS - _SELF_CLOSING):

@@ -223,7 +223,6 @@ class _DocHTMLParser(HTMLParser):
             if tag not in _VOID_TAGS:
                 self.drop_depth = 1
             return
-        amap = dict(attrs)
         if tag in _FURNITURE_TAGS:
             self._flush_block()
             self.furniture_depth += 1
@@ -295,6 +294,7 @@ class _DocHTMLParser(HTMLParser):
                     self.table_rows.append(self.cur_row)
                 cell = _Cell()
                 cell.is_header = tag == "th"
+                amap = dict(attrs)
                 try:
                     cell.rowspan = max(1, int(amap.get("rowspan", 1)))
                 except (TypeError, ValueError):
@@ -321,6 +321,7 @@ class _DocHTMLParser(HTMLParser):
         if tag == "img":
             if self.main_content_only and self.furniture_depth > 0:
                 return
+            amap = dict(attrs)
             if self.cur_cell is not None:
                 alt = _norm(amap.get("alt") or "")
                 if alt:
@@ -333,7 +334,7 @@ class _DocHTMLParser(HTMLParser):
                 self._emit_picture(pic, caption=None)
             return
         if tag == "a":
-            href = amap.get("href")
+            href = dict(attrs).get("href")
             if not self.block_text and not self.li_text:
                 self.block_started_with_link = True
                 self.block_link = href

@@ -171,9 +171,28 @@ class DocSerializer:
         return self._footnotes_of
 
     def get_excluded_refs(self) -> set:
-        """Refs excluded by label/layer/page/index-slice allowlists."""
+        """Refs excluded by label/layer/page/index-slice allowlists.
+
+        Params-keyed memo on the Doc: the fused extract stage builds five+
+        serializers per row whose exclusion params collapse to ~2 distinct
+        signatures (body-layer vs all-layer defaults), so the label/layer
+        sweep runs once per signature instead of once per serializer.
+        Invalidated with the other read-path memos (Doc._invalidate_memos).
+        """
         if self._excluded is None:
             p = self.params
+            key = (
+                frozenset(p.labels),
+                frozenset(p.layers),
+                tuple(sorted(p.pages)) if p.pages is not None else None,
+                p.start_idx,
+                p.stop_idx,
+            )
+            memo = self.doc.extra.setdefault("_excluded_memo", {})
+            cached = memo.get(key)
+            if cached is not None:
+                self._excluded = cached
+                return cached
             refs = set()
             for ix, (item, _) in enumerate(
                 self._iter_pb(node=None, traverse_pictures=True, add_page_breaks=False)
@@ -189,6 +208,7 @@ class DocSerializer:
                             bad = True
                 if bad:
                     refs.add(item["self_ref"])
+            memo[key] = refs
             self._excluded = refs
         return self._excluded
 
@@ -202,6 +222,16 @@ class DocSerializer:
         _visited: Optional[set] = None,
         _state: Optional[dict] = None,
     ) -> Iterator[tuple[dict, int]]:
+        if not add_page_breaks and _visited is None and _state is None:
+            # no page-break interleaving: skip the wrapper generator's
+            # per-item branch entirely (generator resumptions are hot)
+            yield from self.doc.iterate_items_cached(
+                root=node,
+                with_groups=True,
+                included_content_layers=self.params.layers,
+                traverse_pictures=traverse_pictures,
+            )
+            return
         visited = _visited if _visited is not None else set()
         state = _state if _state is not None else {"prev": None, "i": 0}
         for item, lvl in self.doc.iterate_items_cached(
@@ -878,11 +908,14 @@ class DocSerializer:
                 part = _res()
         else:
             part = self._serialize_fallback(my_item, my_visited)
+
+        if meta_part is None:
+            # single-part fast path: `part` already carries deduped spans and
+            # its own pb_node — re-wrapping through _res would only copy them
+            return part
+
         parts.append(part)
-
-        if meta_part is not None:
-            parts.append(meta_part)
-
+        parts.append(meta_part)
         out = _res(delim.join(p.text for p in parts if p.text), parts)
         out.pb_node = part.pb_node
         return out

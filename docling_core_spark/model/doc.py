@@ -1093,6 +1093,7 @@ class Doc:
         cached traversals) — called by every mutation path."""
         self.extra.pop("_cap_ftn_sets", None)
         self.extra.pop("_iter_memo", None)
+        self.extra.pop("_excluded_memo", None)
 
     # ------------------------------------------------------------------
     # (De)serialization
