@@ -214,6 +214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_pipeline": lambda s, d: textstats.corpus_prep_pipeline(_docs(s, d)),
         "c4_line_filter": lambda s, d: textstats.c4_line_filter(textstats.c4_demo_docs(_docs(s, d))),
         "url_normalized": lambda s, d: textstats.url_normalized(_docs(s, d)),
+        # per-host keep-rate rollup + blocklist flag over demo hosts
+        "host_quality_stats": lambda s, d: textstats.host_quality_stats(
+            textstats.host_demo_docs(_docs(s, d))
+        ),
         # benchmark decontamination: every 50th doc plays the eval set; the
         # overlap counts + keep flag are value-hashed against DuckDB
         "decontaminate": lambda s, d: decontam.decontaminate(
@@ -342,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_pipeline": textstats.corpus_prep_pipeline_sql(),
         "c4_line_filter": "WITH c4_demo AS (" + textstats.c4_demo_docs_sql() + ") " + textstats.c4_line_filter_sql("c4_demo"),
         "url_normalized": textstats.url_normalized_sql(),
+        "host_quality_stats": textstats.host_quality_stats_sql(),
         "decontaminate": decontam.decontaminate_sql(),
         "pii_redact": "WITH pii_demo AS ("
         + pii.pii_demo_docs_sql()

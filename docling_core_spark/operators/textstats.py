@@ -760,6 +760,101 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Host-level quality aggregation (crawl-curation staple: domain keep-rates
+# drive blocklists — a host whose documents mostly fail quality is dropped
+# wholesale before per-document processing spends anything on it)
+# ---------------------------------------------------------------------------
+
+HOST_BLOCK_THRESHOLD = 0.2
+
+
+def host_demo_docs(docs: DataFrame, modulus: int = 17) -> DataFrame:
+    """Deterministic (host, doc_id, text) demo input: doc_id % modulus picks
+    the host (both engines express the same concat).  Real deployments pass
+    the crawl table's own host column (url_normalize_expr's host part)."""
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % modulus).cast("string"), F.lit(".example.com")
+    )
+    return docs.select("doc_id", host.alias("host"), "text")
+
+
+def host_quality_stats(
+    docs_with_host: DataFrame,
+    min_stopword_hits: int = 1,
+    block_threshold: float = HOST_BLOCK_THRESHOLD,
+) -> DataFrame:
+    """Per-host curation rollup: (host, n_docs, n_keep, keep_frac,
+    total_words, avg_words, blocked).
+
+    Scale shape: ONE linear plan — the Gopher signals evaluate map-side per
+    document, the host column rides along, and the only shuffle is the
+    host aggregation (count/sum partials combine map-side, so a mega-host
+    never concentrates rows in one task).  All aggregated quantities are
+    integer sums, so the rollup is bit-deterministic under any partitioning
+    — the floating-point columns derive from exact integers post-agg.
+    ``blocked`` marks hosts whose keep-rate falls under ``block_threshold``.
+    """
+    quality = gopher_quality_filter(
+        docs_with_host,
+        canonical=False,
+        passthrough=("host",),
+        min_stopword_hits=min_stopword_hits,
+    )
+    agg = quality.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+    keep_frac = F.round(F.col("n_keep") / F.greatest(F.col("n_docs"), F.lit(1)), 6)
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_keep",
+        keep_frac.alias("keep_frac"),
+        "total_words",
+        F.round(F.col("total_words") / F.greatest(F.col("n_docs"), F.lit(1)), 6).alias(
+            "avg_words"
+        ),
+        (keep_frac < block_threshold).alias("blocked"),
+    ).transform(lambda d: canonical_order(d, "host"))
+
+
+def host_quality_stats_sql(
+    table: str = "documents",
+    modulus: int = 17,
+    min_stopword_hits: int = 1,
+    block_threshold: float = HOST_BLOCK_THRESHOLD,
+) -> str:
+    """DuckDB oracle for host_quality_stats(host_demo_docs(docs))."""
+    gopher_sql = gopher_quality_filter_sql("hosted", min_stopword_hits=min_stopword_hits)
+    gopher_body = gopher_sql.strip().rsplit("ORDER BY", 1)[0]
+    # ride the host through the gopher CTE by re-joining on doc_id (exact,
+    # since doc_id is the key); the Spark side carries it as a passthrough
+    return f"""
+WITH hosted AS (
+  SELECT doc_id, 'site' || (doc_id % {modulus}) || '.example.com' AS host, text
+  FROM {table}
+),
+quality AS ({gopher_body}),
+agg AS (
+  SELECT h.host,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(sum(q.n_words) AS BIGINT) AS total_words
+  FROM quality q JOIN hosted h USING (doc_id)
+  GROUP BY h.host
+)
+SELECT host, n_docs, n_keep,
+       round(n_keep / greatest(n_docs, 1)::DOUBLE, 6) AS keep_frac,
+       total_words,
+       round(total_words / greatest(n_docs, 1)::DOUBLE, 6) AS avg_words,
+       (round(n_keep / greatest(n_docs, 1)::DOUBLE, 6) < {block_threshold}) AS blocked
+FROM agg
+ORDER BY host
+"""
+
+
+# ---------------------------------------------------------------------------
 # URL normalization (crawl-curation staple: canonical form for URL-level
 # dedup and host statistics)
 # ---------------------------------------------------------------------------

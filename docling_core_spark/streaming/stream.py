@@ -156,3 +156,16 @@ def quality_filter_stream(
     return gopher_quality_filter(
         docs_stream, canonical=False, min_stopword_hits=min_stopword_hits
     )
+
+
+def pii_redact_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming PII scrub: the map-only regexp chain (operators/pii.py)
+    applied to a stream of (doc_id, text) rows.
+
+    Stateless like the quality filter — the batch operator runs unchanged
+    under Structured Streaming; counts ride along so a sink can alert on
+    PII-rate spikes per micro-batch.
+    """
+    from docling_core_spark.operators.pii import pii_redact
+
+    return pii_redact(docs_stream, canonical=False)

@@ -168,3 +168,32 @@ def test_streaming_quality_filter(spark, tmp_path):
         spark.read.parquet(src), canonical=False, min_stopword_hits=1
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_pii_redact(spark, tmp_path):
+    from docling_core_spark.operators.pii import pii_demo_docs, pii_redact
+    from docling_core_spark.streaming.stream import pii_redact_stream
+
+    src = str(tmp_path / "pii_src")
+    pii_demo_docs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        pii_redact_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pii_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("pii_stream")
+    assert out.count() == 60
+    assert out.filter("any_pii").count() > 0  # demo input is PII-bearing
+    batch = pii_redact(spark.read.parquet(src), canonical=False)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))

@@ -128,6 +128,38 @@ def test_quality_scores_cross_engine_adversarial(spark, adversarial_parquet):
     )
 
 
+def test_decontaminate_cross_engine_adversarial(spark, adversarial_parquet):
+    """Shingle normalization + 60-bit gram hashing must agree across engines
+    on unicode/RTL/metachar text (doc 0 plays the eval set)."""
+    from docling_core_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_sql,
+        eval_subset,
+    )
+
+    _compare(
+        spark,
+        adversarial_parquet,
+        lambda df: decontaminate(df, eval_subset(df)),
+        decontaminate_sql("adversarial"),
+    )
+
+
+def test_host_quality_stats_cross_engine_adversarial(spark, adversarial_parquet):
+    from docling_core_spark.operators.textstats import (
+        host_demo_docs,
+        host_quality_stats,
+        host_quality_stats_sql,
+    )
+
+    _compare(
+        spark,
+        adversarial_parquet,
+        lambda df: host_quality_stats(host_demo_docs(df)),
+        host_quality_stats_sql("adversarial"),
+    )
+
+
 PII_ADVERSARIAL = [
     "plain text with no pii at all.",
     "mail me at first.last+tag@sub.example.co.uk today",

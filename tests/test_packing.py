@@ -2,6 +2,39 @@
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=900), max_size=60),
+    max_tokens=st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_properties(tokens, max_tokens):
+    from docling_core_spark.operators.packing import pack_doc_chunks
+
+    chunks = list(enumerate(tokens))
+    seqs = pack_doc_chunks("u", chunks, max_tokens)
+    # every chunk appears exactly once, in order
+    flat = [int(i) for s in seqs for i in (s["chunk_idxs"].split("|") if s["chunk_idxs"] else [])]
+    assert flat == [i for i, _ in chunks]
+    # token totals conserved
+    assert sum(s["total_tokens"] for s in seqs) == sum(tokens)
+    for k, s in enumerate(seqs):
+        assert s["seq_idx"] == k and s["seq_id"] == f"u#{k}"
+        # a sequence only exceeds the budget when flagged oversize, which by
+        # greedy next-fit implies it is a single jumbo chunk
+        if s["total_tokens"] > max_tokens:
+            assert s["oversize"] and s["n_chunks"] == 1
+        else:
+            assert not s["oversize"]
+    # greedy tightness: no sequence could have absorbed its successor's
+    # first chunk (except after an oversize singleton, which closes cur)
+    for a, b in zip(seqs, seqs[1:]):
+        first_next = int(b["chunk_idxs"].split("|")[0])
+        assert a["total_tokens"] + tokens[first_next] > max_tokens or a["oversize"]
+
 
 def test_pack_doc_chunks_greedy_next_fit():
     from docling_core_spark.operators.packing import pack_doc_chunks
