@@ -23,15 +23,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from docling_core_spark.operators.canon import canonical_order
-from docling_core_spark.operators.dedup import _shingles, _token_hash60
+from docling_core_spark.operators.dedup import _token_hash60, norm_words, shingle_grams
 
 DECONTAM_NGRAM = 13  # GPT-3-style eval-overlap n-gram size
 
 
-def _hashed_grams(col, n: int):
-    """Distinct hashed word n-grams of normalized text (array<bigint>)."""
-    return F.transform(
-        F.array_distinct(_shingles(col, n)), lambda g: _token_hash60(g)
+def _hashed_gram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — distinct hashed word n-grams, built
+    over a materializing words projection (see dedup.norm_words)."""
+    return docs.select("doc_id", norm_words(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingle_grams(F.col("w"), n)), lambda g: _token_hash60(g)
+        ).alias("hs"),
     )
 
 
@@ -39,7 +43,8 @@ def benchmark_ngram_set(bench_docs: DataFrame, n: int = DECONTAM_NGRAM) -> DataF
     """Distinct hashed n-grams of the benchmark/eval documents — the small
     side of the broadcast join (one column ``g``)."""
     return (
-        bench_docs.select(F.explode(_hashed_grams(F.col("text"), n)).alias("g"))
+        _hashed_gram_rows(bench_docs, n)
+        .select(F.explode("hs").alias("g"))
         .distinct()
     )
 
@@ -62,9 +67,7 @@ def decontaminate(
     bench = F.broadcast(
         benchmark_ngram_set(bench_docs, n).withColumn("_hit", F.lit(1))
     )
-    exploded = docs.select(
-        "doc_id", _hashed_grams(F.col("text"), n).alias("hs")
-    ).select(
+    exploded = _hashed_gram_rows(docs, n).select(
         "doc_id",
         F.size("hs").alias("n_ngrams"),
         F.explode_outer("hs").alias("g"),

@@ -124,25 +124,74 @@ ORDER BY fingerprint
 """
 
 
-def _shingles(col, n: int = 3):
-    """Word n-gram shingles of normalized text.
+def norm_words(col):
+    """Normalized word array (lowercase, [a-z0-9 ] only, whitespace split).
 
-    Built as an n-fold zip_with of shifted arrays — O(words) and ~8x faster
-    than transform+slice (O(words^2)) and ~20x faster than dynamic-index
-    element_at (interpreted per element), both measured at sf0.1.
+    ALWAYS materialize this into its own projection
+    (``df.select(..., norm_words(col).alias("w")).select(... grams ...)``)
+    before building shingles from it: interpreted HOF expressions get NO
+    common-subexpression elimination, so every reference to a non-attribute
+    words expression re-runs the regex+split per row — materialization
+    measured 7-8x faster at sf0.1 (round 6)."""
+    return F.split(F.trim(NORM(col)), r"\s+")
+
+
+def shingle_grams(words, n: int = 3):
+    """Word n-gram shingles from a MATERIALIZED words-array column.
+
+    Built by LOGARITHMIC DOUBLING of zip_with stages: width-2^k gram arrays
+    combine pairwise (g4[i] = g2[i] + " " + g2[i+2]), then the binary
+    decomposition of n composes the final width — ceil(log2 n) +
+    popcount(n) - 1 zip_with stages instead of n-1.  The doubling doubles
+    the number of references to ``words`` per level, which is why the input
+    must be an attribute (see norm_words): on a raw expression the
+    re-evaluation swamps the stage savings.  transform+slice (column start
+    index, interpreted per element) and element_at are 8-20x slower —
+    rejected by measurement in rounds 2 and 6.
     """
-    words = F.split(F.trim(NORM(col)), r"\s+")
     sz = F.size(words)
-    acc = words
-    for k in range(1, n):
-        shifted = F.slice(words, k + 1, F.greatest(sz - k, F.lit(0)))
-        acc = F.zip_with(
-            acc,
-            shifted,
-            lambda a, b: F.when(a.isNull() | b.isNull(), None).otherwise(F.concat_ws(" ", a, b)),
+
+    def shift(arr, k: int):
+        return F.slice(arr, k + 1, F.greatest(sz - k, F.lit(0)))
+
+    def combine(a, b):
+        # zip_with pads the shorter (shifted) side with nulls; nulls mark
+        # grams that would run off the end and propagate to the final filter
+        return F.zip_with(
+            a,
+            b,
+            lambda x, y: F.when(x.isNull() | y.isNull(), None).otherwise(
+                F.concat_ws(" ", x, y)
+            ),
         )
+
+    # power-of-two gram widths: powers[k] has width 2^k, anchored at i
+    powers = [words]
+    width = 1
+    while width * 2 <= n:
+        powers.append(combine(powers[-1], shift(powers[-1], width)))
+        width *= 2
+    # binary decomposition of n, widest first; each part shifts by the
+    # width accumulated so far
+    acc = None
+    acc_w = 0
+    for k in range(len(powers) - 1, -1, -1):
+        w = 1 << k
+        if acc_w + w <= n:
+            part = powers[k]
+            acc = part if acc is None else combine(acc, shift(part, acc_w))
+            acc_w += w
+        if acc_w == n:
+            break
     grams = F.filter(acc, lambda x: x.isNotNull())
     return F.when(sz < n, F.array(F.concat_ws(" ", words))).otherwise(grams)
+
+
+def _shingles(col, n: int = 3):
+    """Shingles straight from a text column — convenience for single-use
+    contexts; operators on the hot path use norm_words + shingle_grams with
+    a materializing projection instead."""
+    return shingle_grams(norm_words(col), n)
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
@@ -150,7 +199,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 
     Hash family: xxhash64(shingle, seed=i) — JVM-side, vectorized, no UDF.
     """
-    sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles(F.col("text"), shingle_n))).alias("shingle"))
+    sh = docs.select("doc_id", norm_words(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_grams(F.col("w"), shingle_n))).alias("shingle"),
+    )
     mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
@@ -206,7 +258,9 @@ def minhash_lsh_duplicates(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", F.array_distinct(_shingles(F.col("text"), shingle_n)).alias("sh"))
+    sh = docs.select("doc_id", norm_words(F.col("text")).alias("w")).select(
+        "doc_id", F.array_distinct(shingle_grams(F.col("w"), shingle_n)).alias("sh")
+    )
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -326,7 +380,9 @@ def ngram_jaccard_pairs(
     scale path is minhash_lsh_duplicates.
     """
     sub = docs.filter(F.col("doc_id") < max_doc_id)
-    sh = sub.select("doc_id", F.array_distinct(_shingles(F.col("text"), shingle_n)).alias("sh"))
+    sh = sub.select("doc_id", norm_words(F.col("text")).alias("w")).select(
+        "doc_id", F.array_distinct(shingle_grams(F.col("w"), shingle_n)).alias("sh")
+    )
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
