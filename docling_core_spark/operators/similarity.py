@@ -104,8 +104,14 @@ def srp_buckets(embeddings: DataFrame, n_planes: int = 6, seed: int = 42) -> Dat
     At scale: compute once, persist (or write partitioned by `bucket`), and
     serve every query from the pruned bucket — 1/2^n_planes of the data.
     """
-    return embeddings.withColumn(
-        "bucket", srp_bucket_expr(_as_double(F.col("embedding")), n_planes, seed)
+    # materialize the double-cast vector once: interpreted HOF expressions
+    # get no subexpression elimination, so a non-attribute vector would be
+    # re-cast per plane (see dedup.norm_words, round-6 finding)
+    cols = embeddings.columns
+    return (
+        embeddings.withColumn("_v", _as_double(F.col("embedding")))
+        .select(*cols, "_v")
+        .select(*cols, srp_bucket_expr(F.col("_v"), n_planes, seed).alias("bucket"))
     )
 
 
@@ -181,10 +187,8 @@ def embedding_cosine_dedup(
     so a degenerate all-similar corpus cannot trigger a quadratic bucket join.
     """
     wb = embeddings.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("v"),
-        srp_bucket_expr(_as_double(F.col("embedding")), n_planes, seed=7).alias("bucket"),
-    )
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", srp_bucket_expr(F.col("v"), n_planes, seed=7).alias("bucket"))
     cap_w = Window.partitionBy("bucket").orderBy("vec_id")
     wb = wb.withColumn("_rn", F.row_number().over(cap_w)).filter(
         F.col("_rn") <= max_bucket_size
