@@ -213,6 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": lambda s, d: textstats.text_clean(_docs(s, d)),
         "corpus_prep_pipeline": lambda s, d: textstats.corpus_prep_pipeline(_docs(s, d)),
         "c4_line_filter": lambda s, d: textstats.c4_line_filter(textstats.c4_demo_docs(_docs(s, d))),
+        # corpus-wide duplicate-span removal (C4's global step) over a
+        # line-structured AND duplicate-bearing input: clones of the c4 demo
+        # docs lose all their spans to the original's first occurrence
+        "c4_span_dedup": lambda s, d: textstats.c4_span_dedup(
+            dedup.with_synthetic_duplicates(textstats.c4_demo_docs(_docs(s, d)))
+        ),
         "url_normalized": lambda s, d: textstats.url_normalized(_docs(s, d)),
         # per-host keep-rate rollup + blocklist flag over demo hosts
         "host_quality_stats": lambda s, d: textstats.host_quality_stats(
@@ -345,6 +351,14 @@ def oracle_sql() -> dict[str, str]:
         "text_clean": textstats.text_clean_sql(),
         "corpus_prep_pipeline": textstats.corpus_prep_pipeline_sql(),
         "c4_line_filter": "WITH c4_demo AS (" + textstats.c4_demo_docs_sql() + ") " + textstats.c4_line_filter_sql("c4_demo"),
+        # the span-dedup SQL opens its own WITH; splice the demo/dup CTEs
+        # into its CTE list
+        "c4_span_dedup": "WITH c4_demo AS ("
+        + textstats.c4_demo_docs_sql()
+        + "), dup_docs AS ("
+        + dedup.with_synthetic_duplicates_sql("c4_demo")
+        + "), "
+        + textstats.c4_span_dedup_sql("dup_docs").strip()[len("WITH ") :],
         "url_normalized": textstats.url_normalized_sql(),
         "host_quality_stats": textstats.host_quality_stats_sql(),
         "decontaminate": decontam.decontaminate_sql(),

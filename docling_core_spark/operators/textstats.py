@@ -759,6 +759,118 @@ ORDER BY doc_id
 """
 
 
+def c4_span_dedup(docs: DataFrame, span_lines: int = 3) -> DataFrame:
+    """Corpus-WIDE duplicate-span removal — the global step of C4 (Raffel
+    et al. 2020 §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once"), over line-structured text with
+    non-overlapping ``span_lines``-line windows as the span unit.
+
+    Returns (doc_id, kept_text, n_spans, n_removed_spans): a span survives
+    only in its first occurrence (lexicographically smallest
+    (doc_id, win_idx)); every other occurrence corpus-wide is dropped and
+    the document text is rebuilt from its surviving spans in order.
+
+    Scale shape: explode windows (map-side; the line array is materialized
+    into an attribute first — no-CSE rule), ONE fingerprint aggregation
+    with map-side partials (a mass-boilerplate span combines locally, the
+    same skew posture as corpus_prep), a keyed fp join (AQE handles skew),
+    and a doc_id rollup.  No window functions, no driver loops.
+    """
+    text = F.col("text")
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    base = docs.select("doc_id", lines.alias("ls"))
+    n_wins = F.ceil(F.size("ls") / F.lit(span_lines)).cast("int")
+    spans = F.when(
+        F.size("ls") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda i: F.array_join(F.slice(F.col("ls"), i * span_lines + 1, span_lines), "\n"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = base.select("doc_id", F.posexplode(spans).alias("win_idx", "span")).withColumn(
+        "fp", F.md5("span")
+    )
+    keepers = wins.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "win_idx")).alias("keep")
+    )
+    survivors = (
+        wins.join(keepers, "fp")
+        .filter(
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("win_idx") == F.col("keep.win_idx"))
+        )
+        .select("doc_id", "win_idx", "span")
+    )
+    rebuilt = survivors.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("win_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = wins.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_spans"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            (F.coalesce("n_spans", F.lit(0)) - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed_spans"
+            ),
+        )
+        .transform(lambda d: canonical_order(d, "doc_id"))
+    )
+
+
+def c4_span_dedup_sql(table: str = "documents", span_lines: int = 3) -> str:
+    """DuckDB oracle for c4_span_dedup (row_number keeper selection — a
+    window is fine at oracle scale; the Spark side uses the min_by agg)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS ls
+  FROM {table}
+),
+wins AS (
+  SELECT doc_id, CAST(r.i AS INT) AS win_idx,
+         array_to_string(list_slice(ls, r.i * {span_lines} + 1, r.i * {span_lines} + {span_lines}), chr(10)) AS span
+  FROM base, unnest(range(CAST(ceil(len(ls) / {span_lines}.0) AS BIGINT))) AS r(i)
+  WHERE len(ls) > 0
+),
+fp AS (SELECT doc_id, win_idx, span, md5(span) AS f FROM wins),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id, win_idx) AS rn
+  FROM fp
+),
+survivors AS (SELECT doc_id, win_idx, span FROM ranked WHERE rn = 1),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_sort(list(struct_pack(win_idx := win_idx, span := span))),
+           s -> s.span), chr(10)) AS kept_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM survivors GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM fp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(kept_text, '') AS kept_text,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(n_spans, 0) - coalesce(n_kept, 0) AS n_removed_spans
+FROM {table} d
+LEFT JOIN totals USING (doc_id)
+LEFT JOIN rebuilt USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Host-level quality aggregation (crawl-curation staple: domain keep-rates
 # drive blocklists — a host whose documents mostly fail quality is dropped
