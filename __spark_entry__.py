@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_stats": lambda s, d: textstats.host_quality_stats(
             textstats.host_demo_docs(_docs(s, d))
         ),
+        # weighted corpus mixing to a token budget (Pile/Dolma-style)
+        "mix_corpora": lambda s, d: textstats.mix_corpora(_docs(s, d)),
         # benchmark decontamination: every 50th doc plays the eval set; the
         # overlap counts + keep flag are value-hashed against DuckDB
         "decontaminate": lambda s, d: decontam.decontaminate(
@@ -243,6 +245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_duplicates(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_duplicates(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.duplicate_clusters(_docs(s, d)),
+        # incremental dedup vs a simulated previous crawl (every 4th doc)
+        "dedup_against": lambda s, d: dedup.dedup_against(
+            _docs(s, d), _docs(s, d).filter("doc_id % 4 = 0")
+        ),
+        # end-to-end near-dup removal: pairs -> components -> survivors
+        "near_dedup_corpus": lambda s, d: dedup.near_dedup_corpus(_docs(s, d)),
         # --- similarity search ---
         "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
@@ -361,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         + textstats.c4_span_dedup_sql("dup_docs").strip()[len("WITH ") :],
         "url_normalized": textstats.url_normalized_sql(),
         "host_quality_stats": textstats.host_quality_stats_sql(),
+        "mix_corpora": textstats.mix_corpora_sql(),
         "decontaminate": decontam.decontaminate_sql(),
         "pii_redact": "WITH pii_demo AS ("
         + pii.pii_demo_docs_sql()
@@ -371,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         + ") "
         + dedup.exact_duplicates_sql("dup_docs"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "dedup_against": dedup.dedup_against_sql(),
         "dedup_simhash": dedup.simhash_duplicates_sql(),
         "similarity_cosine_topk": similarity.cosine_topk_sql(),
         "similarity_ivf_topk": similarity.ivf_topk_sql(),

@@ -371,6 +371,66 @@ def duplicate_clusters(
     )
 
 
+def dedup_against(docs: DataFrame, known: DataFrame) -> DataFrame:
+    """Incremental exact dedup: keep only documents whose normalized-content
+    fingerprint does NOT appear in ``known`` (e.g. the previous crawl's
+    corpus) — the standard new-batch-vs-history step of a rolling pipeline.
+
+    Scale shape: one left_anti join keyed on the 32-byte fingerprint (both
+    sides reduce to (key) columns before the shuffle; Spark's runtime Bloom
+    filter prunes the probe side when the history is selective).  Returns
+    (doc_id, fingerprint) for the surviving new documents.
+    """
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", ""))
+    new_fp = docs.select("doc_id", fp.alias("fingerprint"))
+    known_fp = known.select(fp.alias("fingerprint")).distinct()
+    return (
+        new_fp.join(known_fp, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+        .transform(lambda d: canonical_order(d, "doc_id"))
+    )
+
+
+def dedup_against_sql(
+    table: str = "documents", known_modulus: int = 4
+) -> str:
+    """DuckDB oracle for dedup_against(docs, docs where doc_id % m == 0)."""
+    fp = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+    return f"""
+SELECT doc_id, {fp} AS fingerprint
+FROM {table}
+WHERE {fp} NOT IN (
+  SELECT DISTINCT {fp} FROM {table} WHERE doc_id % {known_modulus} = 0
+)
+ORDER BY doc_id
+"""
+
+
+def near_dedup_corpus(docs: DataFrame, pairs: Optional[DataFrame] = None) -> DataFrame:
+    """End-to-end near-duplicate removal: LSH pairs -> connected components
+    -> keep one representative (the min doc_id) per cluster -> surviving
+    document ids.  The single-call form of the standard curation chain.
+
+    Scale shape: inherits minhash_lsh_duplicates + duplicate_clusters
+    (banded join, iterative min-label propagation); the final step is one
+    left_anti join of ids against the non-representative cluster members.
+    Returns (doc_id, is_cluster_rep): every surviving id, flagged when it
+    represents a removed near-dup cluster.
+    """
+    clusters = duplicate_clusters(docs, pairs=pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", F.lit(True).alias("is_cluster_rep")
+    )
+    return (
+        docs.select("doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .join(reps, "doc_id", "left")
+        .select("doc_id", F.coalesce("is_cluster_rep", F.lit(False)).alias("is_cluster_rep"))
+        .transform(lambda d: canonical_order(d, "doc_id"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, shingle_n: int = 3, threshold: float = 0.5, max_doc_id: int = 500
 ) -> DataFrame:

@@ -759,6 +759,98 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted corpus mixing (training-data staple: hit a token budget with a
+# target source distribution — the Pile/Dolma-style mixture step)
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"en": 0.5, "fr": 0.15, "de": 0.15, "es": 0.1, "zh": 0.1}
+
+
+def mix_corpora(
+    docs: DataFrame,
+    weights: dict | None = None,
+    token_budget: int = 10_000,
+    seed: str = "mix42",
+) -> DataFrame:
+    """Deterministic weighted mixing: sample each source (the ``lang``
+    column here; any source key works) at the rate that fills its share of
+    a global token budget: rate_s = min(1, budget * w_s / tokens_s).
+
+    Scale shape: one tiny groupBy(source) aggregate for token totals,
+    broadcast-joined back; selection is the usual 60-bit md5 threshold —
+    map-side, reproducible on any cluster size, composable with re-runs
+    and other hash-keyed samplers.  NO driver-side rate computation: the
+    rates live in the plan, so the operator works unmodified when the
+    source list is not known up front.
+    Returns (doc_id, lang, ws_tokens, rate) for the selected documents.
+    """
+    weights = weights if weights is not None else MIX_WEIGHTS
+    text = F.col("text")
+    ws_tokens = (
+        F.when(F.length(F.trim(text)) == 0, 0)
+        .otherwise(F.size(F.split(F.trim(text), WS + "+")))
+        .cast("long")
+    )
+    with_tok = docs.select("doc_id", "lang", ws_tokens.alias("ws_tokens"))
+    totals = with_tok.groupBy("lang").agg(F.sum("ws_tokens").alias("tot"))
+    weight = F.lit(0.0)
+    for k, w in sorted(weights.items()):
+        weight = F.when(F.col("lang") == k, F.lit(float(w))).otherwise(weight)
+    rates = totals.select(
+        "lang",
+        F.least(F.lit(1.0), F.lit(float(token_budget)) * weight / F.col("tot")).alias(
+            "rate"
+        ),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        with_tok.join(F.broadcast(rates), "lang")
+        .filter(bucket.cast("double") < F.col("rate") * F.lit(float(_HASH60_MAX)))
+        .select("doc_id", "lang", "ws_tokens", F.round("rate", 9).alias("rate"))
+        .transform(lambda d: canonical_order(d, "doc_id"))
+    )
+
+
+def mix_corpora_sql(
+    table: str = "documents",
+    weights: dict | None = None,
+    token_budget: int = 10_000,
+    seed: str = "mix42",
+) -> str:
+    """DuckDB oracle for mix_corpora (same totals, rates, and hash gate)."""
+    weights = weights if weights is not None else MIX_WEIGHTS
+    wcase = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {float(w)}" for k, w in sorted(weights.items())
+    ) + " ELSE 0.0 END"
+    ws = r"[ \t\n\x0B\f\r]"
+    n_tok = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        f"ELSE length(regexp_split_to_array(trim(text), '{ws}+')) END AS BIGINT)"
+    )
+    return f"""
+WITH with_tok AS (
+  SELECT doc_id, lang, {n_tok} AS ws_tokens FROM {table}
+),
+totals AS (
+  SELECT lang, sum(ws_tokens) AS tot FROM with_tok GROUP BY lang
+),
+rates AS (
+  SELECT lang, least(1.0, {float(token_budget)} * ({wcase}) / tot) AS rate
+  FROM totals
+)
+SELECT w.doc_id, w.lang, w.ws_tokens, round(r.rate, 9) AS rate
+FROM with_tok w JOIN rates r USING (lang)
+WHERE (('0x' || substr(md5(w.doc_id || '{seed}'), 1, 15))::BIGINT)::DOUBLE
+      < r.rate * {float(_HASH60_MAX)}
+ORDER BY w.doc_id
+"""
+
+
 def c4_span_dedup(docs: DataFrame, span_lines: int = 3) -> DataFrame:
     """Corpus-WIDE duplicate-span removal — the global step of C4 (Raffel
     et al. 2020 §2.2: "we discarded all but one of any three-sentence span

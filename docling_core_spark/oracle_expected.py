@@ -386,6 +386,21 @@ def _build_minhash(sf_dir: str, out: Path) -> None:
         pa.schema([("doc_id", _I64), ("cluster_id", _I64), ("cluster_size", _I64)]),
     )
 
+    # near_dedup_corpus expected: drop non-representative cluster members,
+    # flag the representatives
+    losers = {r["doc_id"] for r in cluster_rows if r["doc_id"] != r["cluster_id"]}
+    reps = {r["doc_id"] for r in cluster_rows if r["doc_id"] == r["cluster_id"]}
+    survivor_rows = [
+        {"doc_id": r["doc_id"], "is_cluster_rep": r["doc_id"] in reps}
+        for r in sorted(docs, key=lambda r: r["doc_id"])
+        if r["doc_id"] not in losers
+    ]
+    _write(
+        out / "near_dedup_corpus.parquet",
+        survivor_rows,
+        pa.schema([("doc_id", _I64), ("is_cluster_rep", pa.bool_())]),
+    )
+
 
 def _srp_weights(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     from docling_core_spark.functions.xxhash import spark_xxhash64
@@ -587,6 +602,7 @@ EXPECTED_QUERIES = {
     "doclang_field_kv": "ORDER BY doc_id",
     "dedup_minhash_lsh": "ORDER BY doc_a, doc_b",
     "dedup_clusters": "ORDER BY doc_id",
+    "near_dedup_corpus": "ORDER BY doc_id",
     "similarity_ann_lsh": "ORDER BY cos_sim DESC, vec_id ASC",
     "embedding_cosine_dedup": "ORDER BY vec_a, vec_b",
     "extract_markdown": "ORDER BY url",

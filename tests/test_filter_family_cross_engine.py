@@ -128,6 +128,12 @@ def test_quality_scores_cross_engine_adversarial(spark, adversarial_parquet):
     )
 
 
+def test_c4_span_dedup_cross_engine_adversarial(spark, adversarial_parquet):
+    from docling_core_spark.operators.textstats import c4_span_dedup, c4_span_dedup_sql
+
+    _compare(spark, adversarial_parquet, c4_span_dedup, c4_span_dedup_sql("adversarial"))
+
+
 def test_decontaminate_cross_engine_adversarial(spark, adversarial_parquet):
     """Shingle normalization + 60-bit gram hashing must agree across engines
     on unicode/RTL/metachar text (doc 0 plays the eval set)."""
