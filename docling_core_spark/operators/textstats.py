@@ -759,6 +759,125 @@ ORDER BY doc_id
 """
 
 
+def curation_report(docs: DataFrame, min_stopword_hits: int = 1) -> DataFrame:
+    """One-row corpus curation report — the run-level metrics side table a
+    100 TB job emits next to its output: document count, token mass,
+    Gopher keep rate, C4 document-rule pass rate, PII incidence, and the
+    language mix.
+
+    Scale shape: ONE scan — every signal is a map-side expression chained
+    after the Gopher filter (text rides through as a passthrough column),
+    rolled up by a single global aggregate with map-side partials.  All
+    aggregated quantities are integer sums, so the report is
+    bit-deterministic under any partitioning.
+    """
+    from docling_core_spark.operators.pii import EMAIL_RE, IP_RE, PHONE_RE
+
+    quality = gopher_quality_filter(
+        docs, canonical=False, passthrough=("text",), min_stopword_hits=min_stopword_hits
+    )
+    text = F.col("text")
+    any_pii = (
+        (F.regexp_count(text, F.lit(EMAIL_RE)) > 0)
+        | (F.regexp_count(text, F.lit(IP_RE)) > 0)
+        | (F.regexp_count(text, F.lit(PHONE_RE)) > 0)
+    )
+    c4_doc_ok = ~F.lower(text).contains("lorem ipsum") & ~text.contains("{")
+    langs = list(LANG_STOPWORDS)
+    guess = F.lit("und")
+    best = F.lit(0)
+    for lang in langs:
+        score = lang_score_expr(text, lang)
+        cond = score > best
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+        best = F.when(cond, score).otherwise(best)
+    sig = quality.select(
+        "n_words",
+        F.col("keep").cast("int").alias("keep_i"),
+        any_pii.cast("int").alias("pii_i"),
+        c4_doc_ok.cast("int").alias("c4_i"),
+        guess.alias("lang_guess"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("keep_i").cast("long").alias("n_keep"),
+        F.sum("pii_i").cast("long").alias("n_pii_docs"),
+        F.sum("c4_i").cast("long").alias("n_c4_ok"),
+    ] + [
+        F.sum(F.when(F.col("lang_guess") == lang, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{lang}")
+        for lang in langs + ["und"]
+    ]
+    agg = sig.agg(*aggs)
+    nd = F.greatest(F.col("n_docs"), F.lit(1))
+    return agg.select(
+        "n_docs",
+        "total_words",
+        F.round(F.col("n_keep") / nd, 6).alias("gopher_keep_frac"),
+        F.round(F.col("n_pii_docs") / nd, 6).alias("pii_doc_frac"),
+        F.round(F.col("n_c4_ok") / nd, 6).alias("c4_doc_ok_frac"),
+        *[F.round(F.col(f"n_{lang}") / nd, 6).alias(f"{lang}_frac") for lang in langs + ["und"]],
+    )
+
+
+def curation_report_sql(table: str = "documents", min_stopword_hits: int = 1) -> str:
+    """DuckDB oracle for curation_report (same signals, same rollup)."""
+    from docling_core_spark.operators.pii import _sql_quote, EMAIL_RE, IP_RE, PHONE_RE
+
+    gopher_sql = gopher_quality_filter_sql(table, min_stopword_hits=min_stopword_hits)
+    gopher_body = gopher_sql.strip().rsplit("ORDER BY", 1)[0]
+    email, ip, phone = _sql_quote(EMAIL_RE), _sql_quote(IP_RE), _sql_quote(PHONE_RE)
+    any_pii = (
+        f"(len(regexp_extract_all(text, '{email}')) > 0"
+        f" OR len(regexp_extract_all(text, '{ip}')) > 0"
+        f" OR len(regexp_extract_all(text, '{phone}')) > 0)"
+    )
+    c4_ok = "(NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{'))"
+    langs = list(LANG_STOPWORDS)
+    guess = "'und'"
+    best = "0"
+    for lang in langs:
+        s = lang_score_sql("text", lang)
+        guess = f"(CASE WHEN {s} > {best} THEN '{lang}' ELSE {guess} END)"
+        best = f"(CASE WHEN {s} > {best} THEN {s} ELSE {best} END)"
+    lang_sums = ", ".join(
+        f"CAST(sum(CASE WHEN lang_guess = '{lang}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lang}"
+        for lang in langs + ["und"]
+    )
+    lang_fracs = ", ".join(
+        f"round(n_{lang} / greatest(n_docs, 1)::DOUBLE, 6) AS {lang}_frac"
+        for lang in langs + ["und"]
+    )
+    return f"""
+WITH quality AS ({gopher_body}),
+sig AS (
+  SELECT q.n_words,
+         CASE WHEN q.keep THEN 1 ELSE 0 END AS keep_i,
+         CASE WHEN {any_pii} THEN 1 ELSE 0 END AS pii_i,
+         CASE WHEN {c4_ok} THEN 1 ELSE 0 END AS c4_i,
+         {guess} AS lang_guess
+  FROM quality q JOIN {table} t USING (doc_id)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum(keep_i) AS BIGINT) AS n_keep,
+         CAST(sum(pii_i) AS BIGINT) AS n_pii_docs,
+         CAST(sum(c4_i) AS BIGINT) AS n_c4_ok,
+         {lang_sums}
+  FROM sig
+)
+SELECT n_docs, total_words,
+       round(n_keep / greatest(n_docs, 1)::DOUBLE, 6) AS gopher_keep_frac,
+       round(n_pii_docs / greatest(n_docs, 1)::DOUBLE, 6) AS pii_doc_frac,
+       round(n_c4_ok / greatest(n_docs, 1)::DOUBLE, 6) AS c4_doc_ok_frac,
+       {lang_fracs}
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Weighted corpus mixing (training-data staple: hit a token budget with a
 # target source distribution — the Pile/Dolma-style mixture step)

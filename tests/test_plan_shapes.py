@@ -112,6 +112,19 @@ def test_sample_by_hash_filter_reaches_scan(docs, monkeypatch):
     assert "conv(substring(md5" in plan
 
 
+def test_curation_report_one_scan_one_agg(docs, monkeypatch):
+    from docling_core_spark.operators.textstats import curation_report
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(curation_report(docs))
+    # every signal is map-side; the single global aggregate combines with
+    # map-side partials (one exchange carries one row per partition)
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Window" not in plan
+
+
 def test_split_skew_single_scan_single_exchange(spark):
     from pyspark.sql import functions as F
 
