@@ -42,6 +42,54 @@ def test_edge_cases_match_minidom(case):
         assert pretty_xml(case, indent) == _minidom(case, indent), case
 
 
+def _random_tree_strategy():
+    from hypothesis import strategies as st
+
+    tag = st.sampled_from(["a", "b", "cc", "text", "content", "ldiv"])
+    attr_val = st.text(
+        alphabet="ab &<>\"'\t\n;xé0", min_size=0, max_size=8
+    ).map(lambda v: v.replace("&", "&amp;").replace('"', "&quot;").replace("<", "&lt;"))
+    attrs = st.dictionaries(
+        st.sampled_from(["x", "y", "loc"]), attr_val, max_size=2
+    ).map(lambda d: list(d.items()))
+    plain_text = st.text(alphabet="ab ;xé0\n.", min_size=1, max_size=10)
+    cdata = st.text(alphabet="ab<>&\"' xé\n", min_size=0, max_size=10).filter(
+        lambda s: "]]>" not in s
+    )
+
+    inner = st.recursive(
+        st.one_of(st.tuples(st.just("t"), plain_text), st.tuples(st.just("c"), cdata)),
+        lambda ch: st.tuples(st.just("e"), st.tuples(tag, attrs, st.lists(ch, max_size=3))),
+        max_leaves=12,
+    )
+
+    def render(t):
+        kind, payload = t
+        if kind == "t":
+            return payload
+        if kind == "c":
+            return f"<![CDATA[{payload}]]>"
+        tg, ats, kids = payload
+        a = "".join(f' {k}="{v}"' for k, v in ats)
+        body = "".join(render(k) for k in kids)
+        return f"<{tg}{a}>{body}</{tg}>" if kids else f"<{tg}{a}/>"
+
+    return st.tuples(tag, attrs, st.lists(inner, max_size=4)).map(
+        lambda root: render(("e", root))
+    )
+
+
+def test_fuzz_random_trees_match_minidom():
+    from hypothesis import given, settings
+
+    @given(_random_tree_strategy())
+    @settings(max_examples=300, deadline=None)
+    def check(compact):
+        assert pretty_xml(compact, "  ") == _minidom(compact, "  "), compact
+
+    check()
+
+
 def test_unsupported_inputs_raise():
     for bad in ("<a><!-- c --></a>", "<a><?pi x?></a>", "<a>", "text", "<a></b>"):
         with pytest.raises(ValueError):
