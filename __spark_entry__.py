@@ -228,6 +228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": lambda s, d: textstats.mix_corpora(_docs(s, d)),
         # one-row run-level metrics side table (one scan, one global agg)
         "curation_report": lambda s, d: textstats.curation_report(_docs(s, d)),
+        # newest fetch per url over a multi-crawl demo (max-struct agg)
+        "latest_crawl": lambda s, d: textstats.latest_crawl(
+            textstats.recrawl_demo_docs(_docs(s, d))
+        ),
         # benchmark decontamination: every 50th doc plays the eval set; the
         # overlap counts + keep flag are value-hashed against DuckDB
         "decontaminate": lambda s, d: decontam.decontaminate(
@@ -373,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quality_stats": textstats.host_quality_stats_sql(),
         "mix_corpora": textstats.mix_corpora_sql(),
         "curation_report": textstats.curation_report_sql(),
+        "latest_crawl": textstats.latest_crawl_sql(),
         "decontaminate": decontam.decontaminate_sql(),
         "pii_redact": "WITH pii_demo AS ("
         + pii.pii_demo_docs_sql()

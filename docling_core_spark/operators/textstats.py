@@ -759,6 +759,69 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Recrawl resolution (crawl staple: a Common-Crawl-style table carries many
+# fetches of the same page over time; training corpora keep the newest)
+# ---------------------------------------------------------------------------
+
+
+def recrawl_demo_docs(docs: DataFrame, pages_mod: int = 100) -> DataFrame:
+    """Deterministic multi-crawl demo: doc_id % pages_mod picks the page, so
+    every url is fetched ~n_docs/pages_mod times; the crawl epoch grows with
+    doc_id.  Both engines express the same concat/arithmetic.  Real
+    deployments pass (url, warc_ts-as-epoch, doc_id) from the crawl table."""
+    url = F.concat(
+        F.lit("https://example.com/page/"), (F.col("doc_id") % pages_mod).cast("string")
+    )
+    epoch = (F.lit(1_700_000_000) + F.col("doc_id") * 3600).cast("long")
+    return docs.select("doc_id", url.alias("url"), epoch.alias("crawl_epoch"))
+
+
+def latest_crawl(crawls: DataFrame) -> DataFrame:
+    """Newest fetch per url: (url, doc_id, crawl_epoch, n_crawls).
+
+    One hash aggregation keyed on url with a max-struct representative
+    (lexicographic (crawl_epoch, doc_id): newest wins, max doc_id breaks
+    exact-timestamp ties deterministically) — MAP-SIDE PARTIAL aggregation,
+    so a hot url (a page recrawled millions of times) combines locally
+    instead of window-sorting one task, the same skew posture as
+    corpus_prep_pipeline's representative selection.
+    """
+    rep = F.max(F.struct("crawl_epoch", "doc_id"))
+    return (
+        crawls.groupBy("url")
+        .agg(rep.alias("rep"), F.count("*").cast("long").alias("n_crawls"))
+        .select(
+            "url",
+            F.col("rep.doc_id").alias("doc_id"),
+            F.col("rep.crawl_epoch").alias("crawl_epoch"),
+            "n_crawls",
+        )
+        .transform(lambda d: canonical_order(d, "url"))
+    )
+
+
+def latest_crawl_sql(table: str = "documents", pages_mod: int = 100) -> str:
+    """DuckDB oracle for latest_crawl(recrawl_demo_docs(docs))."""
+    return f"""
+WITH crawls AS (
+  SELECT doc_id,
+         'https://example.com/page/' || (doc_id % {pages_mod}) AS url,
+         CAST(1700000000 + doc_id * 3600 AS BIGINT) AS crawl_epoch
+  FROM {table}
+),
+agg AS (
+  SELECT url,
+         max(struct_pack(crawl_epoch := crawl_epoch, doc_id := doc_id)) AS rep,
+         CAST(count(*) AS BIGINT) AS n_crawls
+  FROM crawls GROUP BY url
+)
+SELECT url, (rep).doc_id AS doc_id, (rep).crawl_epoch AS crawl_epoch, n_crawls
+FROM agg
+ORDER BY url
+"""
+
+
 def curation_report(docs: DataFrame, min_stopword_hits: int = 1) -> DataFrame:
     """One-row corpus curation report — the run-level metrics side table a
     100 TB job emits next to its output: document count, token mass,

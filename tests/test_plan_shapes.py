@@ -125,6 +125,18 @@ def test_curation_report_one_scan_one_agg(docs, monkeypatch):
     assert "Window" not in plan
 
 
+def test_latest_crawl_partial_max_no_window(docs, monkeypatch):
+    from docling_core_spark.operators.textstats import latest_crawl, recrawl_demo_docs
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(latest_crawl(recrawl_demo_docs(docs)))
+    # newest-fetch selection is a max-struct agg with map-side partials —
+    # a hot url combines locally, never a window sort in one task
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_split_skew_single_scan_single_exchange(spark):
     from pyspark.sql import functions as F
 
