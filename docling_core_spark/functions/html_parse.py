@@ -85,6 +85,13 @@ class _Cell:
 class _DocHTMLParser(HTMLParser):
     """Streaming DOM walk building a Doc in document order."""
 
+    def updatepos(self, i: int, j: int) -> int:
+        # ParserBase tracks (lineno, offset) by scanning every consumed
+        # segment for newlines — ~13% of parse time at sf0.1 — purely to
+        # serve getpos(), which this parser never reads.  Token consumption
+        # only needs the new index back.
+        return j
+
     def __init__(self, doc: Doc, main_content_only: bool = True):
         super().__init__(convert_charrefs=True)
         self.doc = doc
