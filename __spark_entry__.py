@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": lambda s, d: textstats.quality_scores(_docs(s, d)),
         "token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
         "fingerprints": lambda s, d: textstats.fingerprints(_docs(s, d)),
+        # rolling-hash winnowing fingerprints (Schleimer 2003 / MOSS)
+        "winnowing_fingerprints": lambda s, d: textstats.winnowing_fingerprints(_docs(s, d)),
         "repetition_scores": lambda s, d: textstats.repetition_scores(_docs(s, d)),
         "sample_hash_10pct": lambda s, d: textstats.sample_by_hash(_docs(s, d)),
         "gopher_quality_filter": lambda s, d: textstats.gopher_quality_filter(_docs(s, d)),
@@ -359,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textstats.quality_scores_sql(),
         "token_counts": textstats.token_counts_sql(),
         "fingerprints": textstats.fingerprints_sql(),
+        "winnowing_fingerprints": textstats.winnowing_fingerprints_sql(),
         "repetition_scores": textstats.repetition_scores_sql(),
         "sample_hash_10pct": textstats.sample_by_hash_sql(),
         "gopher_quality_filter": textstats.gopher_quality_filter_sql(),

@@ -760,6 +760,113 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting — Schleimer,
+# Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+# Fingerprinting"; the MOSS scheme)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # char k-gram size
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a print)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowed rolling-hash fingerprints per document:
+    (doc_id, n_kgrams, n_selected, fp_digest).
+
+    Char k-grams of the normalized text are hashed (60-bit md5 prefix,
+    cross-engine reproducible); each window of w consecutive hashes selects
+    its MINIMUM (leftmost on ties — our documented variant of the paper's
+    rightmost rule; both carry the winnowing guarantee), and the distinct
+    selected hashes form the fingerprint set.  fp_digest collapses the set
+    to one value for exact-set comparison at the driver boundary; a dedup
+    pipeline explodes the set instead and bucket-joins like MinHash.
+
+    Scale shape: map-only — normalization is materialized once (no-CSE
+    rule), the k-gram/window construction is per-row array work bounded by
+    document length, and no shuffle exists beyond the canonical sort.
+    Window minima use transform+slice+array_min: at char scale the per-
+    element slice is ~w longs, so the log-doubling construction that
+    shingle_grams needs for word n-grams is not worth its plan complexity
+    here.
+    """
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
+    base = docs.select("doc_id", norm.alias("t"))
+    n_grams = F.greatest(F.length("t") - (k - 1), F.lit(0))
+    hashes = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substr(F.col("t"), i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    hashed = base.select("doc_id", F.length("t").alias("n_chars"), hashes.alias("h"))
+    n_wins = F.greatest(F.size("h") - (w - 1), F.lit(0))
+    selected = F.when(
+        n_wins > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda i: F.array_min(F.slice(F.col("h"), i, w)),
+            )
+        ),
+    ).otherwise(F.array_distinct(F.col("h")))  # short docs: every hash prints
+    out = hashed.select(
+        "doc_id",
+        F.size("h").cast("long").alias("n_kgrams"),
+        selected.alias("sel"),
+    )
+    digest = F.md5(
+        F.array_join(
+            F.transform(F.array_sort(F.col("sel")), lambda x: x.cast("string")), "|"
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("sel").cast("long").alias("n_selected"),
+        digest.alias("fp_digest"),
+    ).transform(lambda d: canonical_order(d, "doc_id"))
+
+
+def winnowing_fingerprints_sql(
+    table: str = "documents", k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    """DuckDB oracle for winnowing_fingerprints (same hash, window rule)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM {table}
+),
+hashed AS (
+  SELECT doc_id, length(t) AS n_chars,
+         CASE WHEN length(t) >= {k}
+              THEN [('0x' || substr(md5(substr(t, CAST(i AS INT), {k})), 1, 15))::BIGINT
+                    for i in range(1, length(t) - {k} + 2)]
+              ELSE [] END AS h
+  FROM base
+),
+sel AS (
+  SELECT doc_id, len(h) AS n_kgrams,
+         CASE WHEN len(h) >= {w}
+              THEN list_distinct([list_min(h[CAST(i AS INT):CAST(i AS INT) + {w} - 1])
+                                  for i in range(1, len(h) - {w} + 2)])
+              ELSE list_distinct(h) END AS s
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(n_kgrams AS BIGINT) AS n_kgrams,
+       CAST(len(s) AS BIGINT) AS n_selected,
+       md5(array_to_string(list_transform(list_sort(s), x -> CAST(x AS VARCHAR)), '|')) AS fp_digest
+FROM sel
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Recrawl resolution (crawl staple: a Common-Crawl-style table carries many
 # fetches of the same page over time; training corpora keep the newest)
 # ---------------------------------------------------------------------------
