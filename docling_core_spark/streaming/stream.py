@@ -158,6 +158,38 @@ def quality_filter_stream(
     )
 
 
+def decontaminate_stream(
+    docs_stream: DataFrame,
+    bench_docs: DataFrame,
+    output: str,
+    checkpoint: str,
+    trigger_seconds: int = 10,
+):
+    """Streaming benchmark decontamination via foreachBatch: the batch
+    operator (map-side gram explode -> broadcast eval-set hit-test ->
+    per-doc rollup) runs unchanged per micro-batch against the STATIC
+    bench frame, which Spark re-plans per batch — an updated eval set is
+    picked up on the next trigger without restarting the query.
+
+    foreachBatch, not a continuous stream-side aggregation: the per-doc
+    rollup keyed on doc_id would otherwise accrete unbounded state (each
+    doc appears in exactly one batch, so per-batch aggregation is both
+    correct and state-free).
+    """
+    from docling_core_spark.operators.decontam import decontaminate
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = decontaminate(batch_df, bench_docs)
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def pii_redact_stream(docs_stream: DataFrame) -> DataFrame:
     """Streaming PII scrub: the map-only regexp chain (operators/pii.py)
     applied to a stream of (doc_id, text) rows.

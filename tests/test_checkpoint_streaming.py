@@ -170,6 +170,34 @@ def test_streaming_quality_filter(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_streaming_decontaminate(spark, tmp_path):
+    from docling_core_spark.operators.decontam import decontaminate, eval_subset
+    from docling_core_spark.streaming.stream import decontaminate_stream
+
+    src = str(tmp_path / "dc_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60).select(
+        "doc_id", "text"
+    )
+    docs.write.parquet(src)
+    bench = eval_subset(spark.read.parquet(src), modulus=10)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "dc_out")
+    q = decontaminate_stream(stream, bench, out_dir, str(tmp_path / "ckpt5"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 60
+    assert out.filter("NOT keep").count() >= 6  # the eval docs flag themselves
+    # batch/stream parity
+    batch = decontaminate(spark.read.parquet(src), bench)
+    got = sorted(map(tuple, out.drop("_batch_id").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+
 def test_streaming_pii_redact(spark, tmp_path):
     from docling_core_spark.operators.pii import pii_demo_docs, pii_redact
     from docling_core_spark.streaming.stream import pii_redact_stream

@@ -77,8 +77,10 @@ def test_canonical_off_drops_sort(docs, monkeypatch):
         url_normalized,
     )
 
+    from docling_core_spark.operators.textstats import winnowing_fingerprints
+
     monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
-    for op in (language_id, quality_scores, gopher_quality_filter, text_clean, url_normalized, pii_redact):
+    for op in (language_id, quality_scores, gopher_quality_filter, text_clean, url_normalized, pii_redact, winnowing_fingerprints):
         plan = _plan(op(docs))
         assert "Sort" not in plan
         assert "Exchange" not in plan  # map-only end to end
@@ -122,6 +124,18 @@ def test_curation_report_one_scan_one_agg(docs, monkeypatch):
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan and "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_mix_corpora_broadcasts_rates(docs, monkeypatch):
+    from docling_core_spark.operators.textstats import mix_corpora
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(mix_corpora(docs))
+    # the per-source rates come back via a broadcast join, never a
+    # sort-merge shuffle of the corpus on lang; no window anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "Window" not in plan
 
 
