@@ -177,13 +177,28 @@ def main() -> None:
     timed("gopher_filter", lambda: textstats.gopher_quality_filter(docs_tbl).count())
     timed("repetition_scores", lambda: textstats.repetition_scores(docs_tbl).count())
     timed("language_id", lambda: textstats.language_id(docs_tbl).count())
-    # round-6 operators: PII scrub + benchmark decontamination
+    # round-6 operators: PII scrub, benchmark decontamination, global span
+    # dedup, winnowing fingerprints, host rollup
     from docling_core_spark.operators import decontam, pii
 
     timed("pii_redact", lambda: pii.pii_redact(pii.pii_demo_docs(docs_tbl)).count())
     timed(
         "decontaminate",
         lambda: decontam.decontaminate(docs_tbl, decontam.eval_subset(docs_tbl)).count(),
+    )
+    timed(
+        "c4_span_dedup",
+        lambda: textstats.c4_span_dedup(
+            dedup.with_synthetic_duplicates(textstats.c4_demo_docs(docs_tbl))
+        ).count(),
+    )
+    timed(
+        "winnowing_fingerprints",
+        lambda: textstats.winnowing_fingerprints(docs_tbl).count(),
+    )
+    timed(
+        "host_quality_stats",
+        lambda: textstats.host_quality_stats(textstats.host_demo_docs(docs_tbl)).count(),
     )
     timed("similarity_cosine_topk", lambda: similarity.cosine_topk(emb_tbl).collect())
     timed("similarity_ann_lsh", lambda: similarity.ann_lsh_topk(emb_tbl).collect())
