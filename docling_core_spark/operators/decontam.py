@@ -28,22 +28,35 @@ from docling_core_spark.operators.dedup import _token_hash60, norm_words, shingl
 DECONTAM_NGRAM = 13  # GPT-3-style eval-overlap n-gram size
 
 
-def _hashed_gram_rows(docs: DataFrame, n: int) -> DataFrame:
+def _gram_hash(gram, hash_fn: str):
+    if hash_fn == "xxhash64":
+        return F.xxhash64(gram)
+    return _token_hash60(gram)
+
+
+def _hashed_gram_rows(docs: DataFrame, n: int, hash_fn: str = "md5_60") -> DataFrame:
     """(doc_id, hs: array<bigint>) — distinct hashed word n-grams, built
-    over a materializing words projection (see dedup.norm_words)."""
+    over a materializing words projection (see dedup.norm_words).
+
+    hash_fn: "md5_60" (default; reproducible in DuckDB, the oracle path) or
+    "xxhash64" (JVM-native, ~cheaper — the pure-scale path; contamination
+    DECISIONS are identical since both gates are exact set membership)."""
     return docs.select("doc_id", norm_words(F.col("text")).alias("w")).select(
         "doc_id",
         F.transform(
-            F.array_distinct(shingle_grams(F.col("w"), n)), lambda g: _token_hash60(g)
+            F.array_distinct(shingle_grams(F.col("w"), n)),
+            lambda g: _gram_hash(g, hash_fn),
         ).alias("hs"),
     )
 
 
-def benchmark_ngram_set(bench_docs: DataFrame, n: int = DECONTAM_NGRAM) -> DataFrame:
+def benchmark_ngram_set(
+    bench_docs: DataFrame, n: int = DECONTAM_NGRAM, hash_fn: str = "md5_60"
+) -> DataFrame:
     """Distinct hashed n-grams of the benchmark/eval documents — the small
     side of the broadcast join (one column ``g``)."""
     return (
-        _hashed_gram_rows(bench_docs, n)
+        _hashed_gram_rows(bench_docs, n, hash_fn)
         .select(F.explode("hs").alias("g"))
         .distinct()
     )
@@ -54,6 +67,7 @@ def decontaminate(
     bench_docs: DataFrame,
     n: int = DECONTAM_NGRAM,
     max_contaminated_frac: float = 0.0,
+    hash_fn: str = "md5_60",
 ) -> DataFrame:
     """Per-document benchmark-overlap report:
     (doc_id, n_ngrams, n_contaminated, contaminated_frac, keep).
@@ -65,9 +79,9 @@ def decontaminate(
     copies of benchmark items are still caught.
     """
     bench = F.broadcast(
-        benchmark_ngram_set(bench_docs, n).withColumn("_hit", F.lit(1))
+        benchmark_ngram_set(bench_docs, n, hash_fn).withColumn("_hit", F.lit(1))
     )
-    exploded = _hashed_gram_rows(docs, n).select(
+    exploded = _hashed_gram_rows(docs, n, hash_fn).select(
         "doc_id",
         F.size("hs").alias("n_ngrams"),
         F.explode_outer("hs").alias("g"),
