@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         "similarity_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
+        # trained-index variant: Lloyd-refined centroids (iterative k-means
+        # with exact quantized-integer arithmetic — hash-checkable)
+        "similarity_ivf_kmeans": lambda s, d: similarity.ivf_kmeans_topk(_emb(s, d)),
         # near-dup pairs over cosine-1.0 clone-bearing vectors (the raw
         # synthetic vectors have no pairs above threshold: vacuous green)
         "embedding_cosine_dedup": lambda s, d: similarity.embedding_cosine_dedup(

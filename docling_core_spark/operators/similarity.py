@@ -223,6 +223,175 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+_QUANT = 1_000_000.0  # component quantization grid for exact-parity k-means
+
+
+def _quantized(col):
+    """Vector components rounded to the 1e-6 grid as longs: centroid means
+    become ratios of EXACT integer sums, so the iterative refinement is
+    bit-deterministic under any partitioning / summation order — the
+    property that makes a distributed k-means value-hash-oracle-checkable
+    against a single-process mirror."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * _QUANT, 0).cast("long"))
+
+
+def kmeans_refined_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, iterations: int = 2
+) -> DataFrame:
+    """Lloyd's-iteration refinement of the deterministic IVF coarse
+    quantizer: repeat (map-side nearest-centroid assignment via the ONE-row
+    broadcast fold) -> (exact integer-sum centroid recompute).
+
+    Scale shape per iteration: assignment is the ivf_topk fold — broadcast,
+    no shuffle; recompute is posexplode to (centroid, dim) keyed sums with
+    map-side partials (rows = n_vectors x dim, combine collapses them), then
+    a per-centroid gather of ~dim rows.  The driver loop holds only the
+    iteration counter; every step is distributed.  Empty clusters keep their
+    previous centroid (deterministic).  Returns (centroid_id, cv).
+    """
+    qvecs = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qv")
+    ).select(
+        "vec_id",
+        "qv",
+        F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev"),
+    )
+    cents = (
+        qvecs.select(F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv"))
+        .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
+        .limit(n_centroids)
+    )
+    for _ in range(iterations):
+        cent_row = F.broadcast(
+            cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
+        )
+
+        def _argmax_fold(acc, c):
+            sim = _cosine(F.col("ev"), c["cv"])
+            better = (sim > acc["best_sim"]) | (
+                (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
+            )
+            return F.when(
+                better,
+                F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
+            ).otherwise(acc)
+
+        assigned = (
+            qvecs.crossJoin(cent_row)
+            .withColumn(
+                "centroid_id",
+                F.aggregate(
+                    F.col("cent_arr"),
+                    F.struct(
+                        F.lit(-2.0).alias("best_sim"),
+                        F.lit(None).cast("long").alias("best_id"),
+                    ),
+                    _argmax_fold,
+                )["best_id"],
+            )
+            .select("centroid_id", F.posexplode("qv").alias("pos", "val"))
+        )
+        means = (
+            assigned.groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos", (F.col("s") / F.col("n")).alias("m")
+                            )
+                        )
+                    ),
+                    lambda st: st["m"],
+                ).alias("cv")
+            )
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.select("centroid_id", F.col("cv").alias("old_cv"))
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("cv", "old_cv").alias("cv")
+            )
+        )
+    return cents
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF-flat top-k over k-means-REFINED centroids (the trained-index
+    variant of ivf_topk): same map-side assignment fold, same probe, but the
+    coarse quantizer is Lloyd-refined, giving tighter lists at scale.
+    Exactly mirrored by the single-process expected oracle thanks to the
+    quantized-integer centroid arithmetic."""
+    cents = kmeans_refined_centroids(embeddings, n_centroids, iterations)
+    cent_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
+    )
+    qvecs = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(
+            _quantized(F.col("embedding")), lambda v: v.cast("double")
+        ).alias("ev"),
+    )
+
+    def _argmax_fold(acc, c):
+        sim = _cosine(F.col("ev"), c["cv"])
+        better = (sim > acc["best_sim"]) | (
+            (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
+        )
+        return F.when(
+            better,
+            F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
+        ).otherwise(acc)
+
+    assignments = qvecs.crossJoin(cent_row).withColumn(
+        "centroid_id",
+        F.aggregate(
+            F.col("cent_arr"),
+            F.struct(
+                F.lit(-2.0).alias("best_sim"),
+                F.lit(None).cast("long").alias("best_id"),
+            ),
+            _argmax_fold,
+        )["best_id"],
+    ).select("vec_id", "label", "ev", "centroid_id")
+
+    probed = (
+        qvecs.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("ev").alias("qv"))
+        .crossJoin(cent_row)
+        .select("qv", F.explode("cent_arr").alias("c"))
+        .select("qv", F.col("c.centroid_id").alias("centroid_id"), F.col("c.cv").alias("cv"))
+        .withColumn("q_sim", _cosine(F.col("qv"), F.col("cv")))
+        .orderBy(F.desc("q_sim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id", "qv")
+    )
+
+    return (
+        assignments.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probed), "centroid_id")
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            F.round(_cosine(F.col("ev"), F.col("qv")), 5).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,

@@ -467,6 +467,71 @@ def _build_similarity(sf_dir: str, out: Path) -> None:
         pa.schema([("vec_id", _I64), ("label", _I32), ("cos_sim", _F64)]),
     )
 
+    # ivf_kmeans_topk expected: the same quantized-integer Lloyd refinement
+    # (exact integer sums -> identical centroid means on any engine), same
+    # assignment/probe/tie-break/rounding as the Spark operator
+    n_centroids, nprobe, iterations, topk = 16, 4, 2, 10
+    qvecs = {
+        vid: [int(_round_half_up(float(x) * 1_000_000.0, 0)) for x in v]
+        for vid, v in vecs.items()
+    }
+    evecs = {vid: [float(q) for q in qv] for vid, qv in qvecs.items()}
+    init_ids = sorted(
+        evecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:n_centroids]
+    cents = {cid: evecs[cid] for cid in init_ids}
+
+    def _assign(ev):
+        best_sim, best_id = -2.0, None
+        for cid in cents:
+            sim = _cosine(ev, cents[cid])
+            if sim > best_sim or (sim == best_sim and (best_id is None or cid < best_id)):
+                best_sim, best_id = sim, cid
+        return best_id
+
+    for _ in range(iterations):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for vid, ev in evecs.items():
+            cid = _assign(ev)
+            qv = qvecs[vid]
+            if cid not in sums:
+                sums[cid] = [0] * len(qv)
+                counts[cid] = 0
+            for p, val in enumerate(qv):
+                sums[cid][p] += val
+            counts[cid] += 1
+        cents = {
+            cid: (
+                [s / counts[cid] for s in sums[cid]] if cid in sums else cents[cid]
+            )
+            for cid in cents
+        }
+    qv0 = evecs[0]
+    probe_order = sorted(
+        cents, key=lambda cid: (-_cosine(qv0, cents[cid]), cid)
+    )[:nprobe]
+    probe_set = set(probe_order)
+    cand = [
+        {
+            "vec_id": vid,
+            "label": labels[vid],
+            "centroid_id": _assign(ev),
+            "cos_sim": _round_half_up(_cosine(ev, qv0), 5),
+        }
+        for vid, ev in evecs.items()
+        if vid != 0
+    ]
+    cand = [c for c in cand if c["centroid_id"] in probe_set]
+    cand.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
+    _write(
+        out / "similarity_ivf_kmeans.parquet",
+        cand[:topk],
+        pa.schema(
+            [("vec_id", _I64), ("label", _I32), ("centroid_id", _I64), ("cos_sim", _F64)]
+        ),
+    )
+
     # embedding_cosine_dedup runs over the duplicate-bearing input
     # (with_synthetic_duplicate_vectors: clone a deterministic 10% md5 sample
     # under vec_id + 1_000_000) so the pair-emission path is value-checked —
@@ -604,6 +669,7 @@ EXPECTED_QUERIES = {
     "dedup_clusters": "ORDER BY doc_id",
     "near_dedup_corpus": "ORDER BY doc_id",
     "similarity_ann_lsh": "ORDER BY cos_sim DESC, vec_id ASC",
+    "similarity_ivf_kmeans": "ORDER BY cos_sim DESC, vec_id ASC",
     "embedding_cosine_dedup": "ORDER BY vec_a, vec_b",
     "extract_markdown": "ORDER BY url",
     "extract_plain_text": "ORDER BY url",

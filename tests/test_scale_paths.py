@@ -62,3 +62,43 @@ def test_duplicate_clusters_two_components(spark):
         "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
         "x": ("x", 2), "y": ("x", 2),
     }
+
+
+def test_kmeans_refined_centroids_deterministic_and_partial(spark, monkeypatch):
+    """Lloyd refinement (round 6): identical centroids on re-run (exact
+    quantized-integer sums), map-side partial aggregation in the recompute,
+    and no window anywhere."""
+    from docling_core_spark.operators.similarity import kmeans_refined_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r.centroid_id: r.cv for r in kmeans_refined_centroids(emb).collect()}
+    b = {
+        r.centroid_id: r.cv
+        for r in kmeans_refined_centroids(emb.repartition(7)).collect()
+    }
+    assert a == b  # bit-identical under different partitioning
+    plan = (
+        kmeans_refined_centroids(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_ivf_kmeans_refines_toward_members(spark):
+    """After refinement a centroid is the mean of its members, so the
+    within-cluster cosine to the centroid must not degrade vs the raw
+    sampled-centroid quantizer on average."""
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.operators.similarity import ivf_kmeans_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    refined = ivf_kmeans_topk(emb).collect()
+    raw = ivf_topk(emb).collect()
+    assert len(refined) == len(raw) == 10
+    # both return valid ranked candidates; the refined index's top result is
+    # at least as close as the raw index's (better lists, never worse top-1)
+    assert refined[0].cos_sim >= raw[0].cos_sim - 1e-9
