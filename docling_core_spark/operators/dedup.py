@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from docling_core_spark.operators.canon import canonical_order
 
@@ -194,6 +194,38 @@ def _shingles(col, n: int = 3):
     return shingle_grams(norm_words(col), n)
 
 
+def cap_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> DataFrame:
+    """Skew-safe LSH bucket cap: two-phase count + broadcast + hash gate.
+
+    Phase 1 counts bucket sizes with an ordinary hash-aggregate (map-side
+    partials absorb hot keys locally) and keeps only the OVERSIZED bucket
+    keys — a tiny frame at any scale (a 100 TB crawl has few mass-boilerplate
+    buckets, by definition of "oversized").  Phase 2 broadcasts that key set
+    and thins members of oversized buckets with a deterministic per-row gate:
+    keep iff ``hash60(doc_id:*keys) % bucket_count < max_bucket_size`` —
+    expected ``max_bucket_size`` survivors per hot bucket, every row decided
+    independently map-side.  No window, no per-bucket sort, no single task
+    ever holds a whole hot bucket (the row_number cap this replaces sorted
+    the ENTIRE bucket in one task — the exact skew it was defending against).
+
+    The gate hash is the cross-engine md5-60 (see _token_hash60) so the
+    DuckDB / pure-python oracles replicate the surviving set exactly.
+    """
+    counts = (
+        banded.groupBy(*keys).count().filter(F.col("count") > max_bucket_size)
+    )
+    gate_src = F.concat_ws(":", F.col("doc_id"), *[F.col(k) for k in keys])
+    gate = F.conv(F.substring(F.md5(gate_src), 1, 15), 16, 10).cast("long")
+    return (
+        banded.join(F.broadcast(counts), list(keys), "left")
+        .filter(
+            F.col("count").isNull()
+            | (F.pmod(gate, F.col("count")) < F.lit(max_bucket_size))
+        )
+        .drop("count")
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures.
 
@@ -222,11 +254,13 @@ def minhash_lsh_duplicates(
     3. self-join within buckets (candidates only), 4. verify candidates by
     exact Jaccard on distinct shingle sets.
 
-    Degenerate-content skew guard: a bucket is capped at max_bucket_size
-    members (row_number over the bucket, deterministic by doc_id) so one
-    boilerplate bucket can never go quadratic at 100x data.  Identical docs
-    beyond the cap are still caught by exact_duplicates; near-identical mass
-    duplicates keep >= max_bucket_size representatives per band.
+    Degenerate-content skew guard: oversized buckets are thinned to an
+    expected max_bucket_size members by the two-phase count + broadcast +
+    deterministic hash gate (cap_hot_buckets — no window, no per-bucket
+    sort) so one boilerplate bucket can never go quadratic at 100x data.
+    Identical docs beyond the cap are still caught by exact_duplicates;
+    near-identical mass duplicates keep ~max_bucket_size representatives
+    per band.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_n)
@@ -245,12 +279,7 @@ def minhash_lsh_duplicates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    cap_w = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    banded = (
-        banded.withColumn("_rn", F.row_number().over(cap_w))
-        .filter(F.col("_rn") <= max_bucket_size)
-        .drop("_rn")
-    )
+    banded = cap_hot_buckets(banded, ("band", "bucket"), max_bucket_size)
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -502,18 +531,30 @@ def _token_hash60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, bits: int = SIMHASH_BITS, hash_fn: str = "md5_60"
+) -> DataFrame:
     """SimHash per document via token-hash bit voting (no UDF).
 
     Each distinct token votes +1/-1 per bit of its 60-bit hash; the signature
     sign-thresholds the votes.  One hash-aggregate shuffle on doc_id; the 60
     conditional sums are Catalyst-native whole-stage-codegen expressions.
     Tokens weighted by frequency are a trivial extension (drop array_distinct).
+
+    hash_fn "md5_60" (default) is reproducible in DuckDB — the oracle path;
+    "xxhash64" is the pure-scale path: JVM-native, no md5+conv string work,
+    masked to the low 60 bits so band extraction is unchanged.
     """
     tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.trim(NORM(F.col("text"))), r"\s+"))).alias("tok")
     )
-    h = tokens.withColumn("h", _token_hash60(F.col("tok")))
+    if hash_fn == "xxhash64":
+        tok_hash = F.xxhash64(F.col("tok")).bitwiseAND(
+            F.shiftleft(F.lit(1).cast("long"), SIMHASH_BITS) - 1
+        )
+    else:
+        tok_hash = _token_hash60(F.col("tok"))
+    h = tokens.withColumn("h", tok_hash)
     one = F.lit(1).cast("long")
     votes = [
         F.sum(
@@ -529,20 +570,26 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def simhash_duplicates(
-    docs: DataFrame, max_hamming: int = 3, max_bucket_size: int = 256
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+    hash_fn: str = "md5_60",
 ) -> DataFrame:
     """Near-duplicate pairs at SimHash Hamming distance <= max_hamming.
 
     Banded LSH on the signature: 4 x 15-bit band keys; by pigeonhole any pair
     within Hamming 3 collides on at least one band.  Candidates come from the
-    (band, band_value) equi-join — never an all-pairs stage — and are verified
-    with popcount(xor).  Buckets are capped at max_bucket_size members
-    (deterministic by doc_id, mirrored in the oracle SQL) so a mass-boilerplate
-    corpus cannot go quadratic.  Returns (doc_a, doc_b, hamming).
+    (band, band_value) equi-join — never an all-pairs stage — and oversized
+    buckets are thinned via the skew-safe two-phase hash gate
+    (cap_hot_buckets, mirrored exactly in the oracle SQL) so a
+    mass-boilerplate corpus cannot go quadratic.  Verified with
+    popcount(xor).  hash_fn: "md5_60" (cross-engine, the oracle path) or
+    "xxhash64" (JVM-native, cheaper — the pure-scale path; same plan shape).
+    Returns (doc_a, doc_b, hamming).
     """
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_bits) - 1
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs, hash_fn=hash_fn)
     band_structs = [
         F.struct(
             F.lit(k).alias("band"),
@@ -553,12 +600,7 @@ def simhash_duplicates(
     bands = sig.select(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "simhash", "bb.band", "bb.bval")
-    cap_w = Window.partitionBy("band", "bval").orderBy("doc_id")
-    bands = (
-        bands.withColumn("_rn", F.row_number().over(cap_w))
-        .filter(F.col("_rn") <= max_bucket_size)
-        .drop("_rn")
-    )
+    bands = cap_hot_buckets(bands, ("band", "bval"), max_bucket_size)
     pairs = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bval"])
@@ -601,18 +643,25 @@ sig AS (
          SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)::BIGINT AS simhash
   FROM votes GROUP BY doc_id
 ),
-bands_raw AS (
+bands_all AS (
   SELECT doc_id, simhash, CAST(t.b AS INT) AS band,
-         (simhash >> (CAST(t.b AS INT) * {band_bits})) & {mask} AS bval,
-         ROW_NUMBER() OVER (
-           PARTITION BY CAST(t.b AS INT),
-                        (simhash >> (CAST(t.b AS INT) * {band_bits})) & {mask}
-           ORDER BY doc_id
-         ) AS rn
+         (simhash >> (CAST(t.b AS INT) * {band_bits})) & {mask} AS bval
   FROM sig CROSS JOIN range({SIMHASH_BANDS}) t(b)
 ),
+-- skew-safe cap mirror (cap_hot_buckets): only oversized buckets thin
+-- members via the deterministic md5-60 gate
+bucket_counts AS (
+  SELECT band, bval, COUNT(*) AS cnt FROM bands_all
+  GROUP BY band, bval HAVING COUNT(*) > {max_bucket_size}
+),
 bands AS (
-  SELECT doc_id, simhash, band, bval FROM bands_raw WHERE rn <= {max_bucket_size}
+  SELECT a.doc_id, a.simhash, a.band, a.bval
+  FROM bands_all a LEFT JOIN bucket_counts c
+    ON a.band = c.band AND a.bval = c.bval
+  WHERE c.cnt IS NULL
+     OR (('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || ':' ||
+            CAST(a.band AS VARCHAR) || ':' || CAST(a.bval AS VARCHAR)), 1, 15)
+         )::BIGINT % c.cnt) < {max_bucket_size}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -340,8 +340,21 @@ def _build_minhash(sf_dir: str, out: Path) -> None:
             buckets.setdefault((b, spark_xxhash64(key)), []).append(r["doc_id"])
 
     cand: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        members = sorted(members)[:cap]
+    for (band, bval), members in buckets.items():
+        # skew-safe cap mirror (dedup.cap_hot_buckets): oversized buckets
+        # thin members via the deterministic md5-60 gate
+        cnt = len(members)
+        if cnt > cap:
+            members = [
+                d
+                for d in members
+                if int(
+                    hashlib.md5(f"{d}:{band}:{bval}".encode()).hexdigest()[:15], 16
+                )
+                % cnt
+                < cap
+            ]
+        members = sorted(members)
         for i, a in enumerate(members):
             for b in members[i + 1 :]:
                 cand.add((a, b) if a < b else (b, a))

@@ -78,3 +78,85 @@ def test_embedding_dedup_emits_clone_pairs(spark):
     clone_pairs = [p for p in pairs if p.vec_b == p.vec_a + 1_000_000]
     assert clone_pairs, "expected (v, v+1M) clone pairs at cosine 1.0"
     assert all(p.cos_sim == pytest.approx(1.0) for p in clone_pairs)
+
+
+def test_cap_hot_buckets_gate_matches_python_mirror(spark):
+    """The skew-safe cap's surviving set is deterministic: the per-row md5-60
+    gate must reproduce exactly in pure python (the oracle-mirror contract).
+    Normal buckets (<= cap) must pass through untouched."""
+    import hashlib
+
+    from docling_core_spark.operators.dedup import cap_hot_buckets
+
+    rows = [(d, 0, 7) for d in range(40)]           # hot bucket, 40 members
+    rows += [(d, 1, 9) for d in range(100, 103)]    # normal bucket, 3 members
+    banded = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    cap = 4
+    got = {
+        (r.doc_id, r.band, r.bucket)
+        for r in cap_hot_buckets(banded, ("band", "bucket"), cap).collect()
+    }
+
+    def gate(d, band, bucket, cnt):
+        h = int(hashlib.md5(f"{d}:{band}:{bucket}".encode()).hexdigest()[:15], 16)
+        return h % cnt < cap
+
+    want = {(d, 0, 7) for d in range(40) if gate(d, 0, 7, 40)}
+    want |= {(d, 1, 9) for d in range(100, 103)}
+    assert got == want
+    assert {x for x in got if x[1] == 1} == {(d, 1, 9) for d in range(100, 103)}
+    assert 0 < len([x for x in got if x[1] == 0]) < 40
+
+
+def test_simhash_cap_cross_engine_with_hot_buckets(spark):
+    """De-vacuated cap parity: a mass-duplicate corpus forces oversized
+    buckets at max_bucket_size=2, and the Spark result must still equal the
+    DuckDB oracle (same gate, same survivors, same pairs)."""
+    import duckdb
+
+    from docling_core_spark.operators.dedup import (
+        simhash_duplicates,
+        simhash_duplicates_sql,
+    )
+
+    rows = [(i, "identical boilerplate page text for every crawl url") for i in range(12)]
+    rows += [(100, "a genuinely different document about spark internals")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_duplicates(docs, max_bucket_size=2).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t.replace(chr(39), chr(39) * 2)}')" for d, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            simhash_duplicates_sql(max_bucket_size=2)
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert got, "hot-bucket corpus must still emit capped duplicate pairs"
+
+
+def test_simhash_xxhash64_toggle_same_semantics(spark):
+    """The pure-scale xxhash64 token hash finds the same near-dup structure
+    (different hash family, same banded-LSH decisions on clear cases)."""
+    from docling_core_spark.operators.dedup import simhash_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.upper() + "!!!"), (3, "completely unrelated text about databases and joins and shuffles")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_duplicates(docs, hash_fn="xxhash64").collect()
+    }
+    # same normalized token set -> identical signature under ANY hash family
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -100,8 +100,10 @@ def test_minhash_lsh_bucket_cap_survives_degenerate_input(spark):
         ["doc_id", "text"],
     )
     n = minhash_lsh_duplicates(docs, max_bucket_size=16).count()
-    # 16-member cap per bucket -> at most C(16,2) pairs per band bucket
-    assert 0 < n <= 8 * 120
+    # hash-gate cap keeps an EXPECTED 16 members per hot bucket (binomial
+    # spread around it) -> far below the uncapped C(300,2)=44850 quadratic;
+    # 64 survivors per band bucket is a >6-sigma bound on the gate
+    assert 0 < n <= 8 * (64 * 63 // 2)
 
 
 def test_duplicate_clusters_connected_components(spark):

@@ -200,3 +200,19 @@ def test_corpus_prep_pipeline_is_one_scan_one_shuffle(docs, monkeypatch):
     # not a row_number window (which sorts the whole group in one task)
     assert "Window" not in plan
     assert "partial_min_by" in plan
+
+
+def test_lsh_bucket_caps_have_no_window(docs):
+    """The minhash/simhash skew caps are two-phase partial-agg + broadcast
+    hash gates — never a row_number window (which would sort an unbounded
+    hot bucket in one task).  Pins the round-7 cap_hot_buckets rewrite."""
+    from docling_core_spark.operators.dedup import (
+        minhash_lsh_duplicates,
+        simhash_duplicates,
+    )
+
+    for df in (minhash_lsh_duplicates(docs), simhash_duplicates(docs)):
+        plan = _plan(df)
+        assert "Window" not in plan
+        # the oversized-bucket key set is broadcast, not shuffled
+        assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
