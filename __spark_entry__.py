@@ -190,6 +190,7 @@ def _synth_op(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + pipeline ops."""
     from docling_core_spark.operators import (
+        bpe,
         decontam,
         dedup,
         packing,
@@ -308,6 +309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over deterministically synthesized inputs; single-process-expected
         # oracle (JS shares the TS chunker, reference
         # _JavaScriptFunctionChunker == TS with the JS grammar)
+        # --- distributed BPE tokenizer training (Sennrich 2016): iterative
+        #     pair-count hash-agg over the distinct-word table; tokenize
+        #     broadcast-joins the replayed word->tokens dict to the corpus
+        "bpe_train": lambda s, d: bpe.bpe_train(_docs(s, d)),
+        "bpe_tokenize": lambda s, d: bpe.bpe_tokenize(_docs(s, d)),
         "code_chunks_python": lambda s, d: _synth_op(s, d, "code"),
         "code_chunks_java": lambda s, d: _synth_op(s, d, "code:java"),
         "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),

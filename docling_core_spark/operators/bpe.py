@@ -1,0 +1,304 @@
+"""Distributed BPE tokenizer training + tokenization (Sennrich 2016).
+
+From-scratch byte-pair-encoding on Spark, built for the 100 TB shape:
+
+- The corpus collapses to a distinct ``(word, freq)`` table with ONE
+  hash-aggregate scan; the iterative merge loop then runs entirely over that
+  (comparatively tiny) word table — the corpus is never touched again.
+- Each merge round is (a) an exploded adjacent-pair count with map-side
+  partial aggregation, (b) a one-row global ``min(struct(-cnt, a, b))`` for
+  the best pair (max count, then lexicographically smallest pair — the
+  deterministic tie-break the oracle mirrors), (c) a pure-Catalyst
+  ``F.aggregate`` fold that rewrites each word's symbol array left-to-right
+  greedily (identical to re.sub non-overlapping replacement in the original
+  subword-nmt).  The only driver traffic per round is the single best-pair
+  row — the same bounded-loop-state pattern as duplicate_clusters and the
+  k-means IVF refiner.
+- The word table is ``localCheckpoint``ed every round: the merge fold wraps
+  the symbols column, so without a lineage cut N rounds would nest N
+  aggregate expressions (the round-6 kmeans lesson, applied from day one).
+
+Tokenization re-derives the word→tokens mapping by replaying the merge list
+over the DISTINCT words of the target corpus and broadcast-joins it back —
+per-word work happens once per distinct word, not once per occurrence.
+
+Oracle: the same algorithm in pure python (oracle_expected._build_bpe),
+single-process, byte-identical by construction (ASCII symbols, so Spark's
+UTF8 binary ordering == python tuple ordering).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from docling_core_spark.operators.canon import canonical_order
+from docling_core_spark.operators.dedup import norm_words
+
+END_OF_WORD = "</w>"  # separate terminal symbol, Sennrich-style
+
+
+def word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) over the normalized corpus — the one corpus-wide scan.
+
+    At 10^12 documents this is a single shuffle keyed on the word string;
+    everything downstream operates on the distinct-word table.
+    """
+    return (
+        docs.select(F.explode(norm_words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols(word_col):
+    """Characters plus the terminal END_OF_WORD symbol."""
+    return F.concat(
+        F.split(word_col, ""),  # one-char symbols
+        F.array(F.lit(END_OF_WORD)),
+    )
+
+
+def _merge_fold(a: str, b: str):
+    """Factory for the greedy left-to-right merge fold (bind a/b by value —
+    HOF lambdas must take exactly the engine-passed args, no closures with
+    defaults).  Appends each symbol, collapsing a trailing [.., a] + b into
+    [.., a+b]; F.get returns NULL on the empty accumulator so the predicate
+    is safely false at the start (never an ANSI index error)."""
+    merged = a + b
+
+    def fold(acc, x):
+        last = F.get(acc, F.size(acc) - 1)
+        return F.when(
+            (last == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return fold
+
+
+def _adjacent_pairs(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): frequency-weighted adjacent symbol pair counts.
+
+    zip_with over shifted slices (the repo-standard n-gram window; never
+    element_at-per-index), exploded, then a hash-agg with map-side partials
+    — a hot pair ("th","e</w>" at English scale) combines locally before the
+    shuffle.
+    """
+    n = F.size(F.col("symbols"))
+    pairs = words.filter(n >= 2).select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("symbols"), 1, n - 1),
+                F.slice(F.col("symbols"), 2, n - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").alias("cnt")
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 60,
+    min_pair_count: int = 2,
+    words: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Train a BPE merge list over the corpus.
+
+    Returns (rank, left, right, merged, pair_count) — one row per learned
+    merge in application order.  Stops early when the best remaining pair
+    falls below ``min_pair_count`` (mirrored in the oracle).
+    """
+    spark = docs.sparkSession
+    if words is None:
+        words = word_freqs(docs)
+    words = words.select(
+        "freq", _initial_symbols(F.col("word")).alias("symbols")
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        best = (
+            _adjacent_pairs(words)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("a"),
+                        F.col("b"),
+                    )
+                ).alias("m")
+            )
+            .select("m.*")
+            .first()
+        )
+        if best is None or best["nc"] is None or -best["nc"] < min_pair_count:
+            break
+        a, b, cnt = best["a"], best["b"], -best["nc"]
+        merges.append((rank, a, b, a + b, cnt))
+        has_pair = F.array_contains(F.col("symbols"), a) & F.array_contains(
+            F.col("symbols"), b
+        )
+        words = words.withColumn(
+            "symbols",
+            F.when(
+                has_pair,
+                F.aggregate(
+                    F.col("symbols"),
+                    F.array().cast("array<string>"),
+                    _merge_fold(a, b),
+                ),
+            ).otherwise(F.col("symbols")),
+        ).localCheckpoint(eager=False)
+        # lazy localCheckpoint still truncates the LOGICAL plan immediately
+        # (the returned frame is RDD-backed), so each round compiles exactly
+        # one fold-deep; materialization rides the next round's .first() —
+        # one job per merge round, not two
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    ).transform(lambda d: canonical_order(d, "rank"))
+
+
+class BPETokenizer:
+    """Pluggable chunker tokenizer backed by a trained BPE merge list.
+
+    Duck-types the chunker tokenizer protocol (count_tokens /
+    get_max_tokens — see functions/chunkers.py), so a vocabulary trained by
+    ``bpe_train`` on the target corpus replaces the default regex proxy in
+    HybridChunker / semchunk without touching either.  Pure python row code
+    (runs inside the same executor batch as the chunkers); per-word memo
+    because merge replay dominates and word frequency is Zipfian.
+
+    Construct with ``BPETokenizer.from_merges_df(bpe_train(docs).collect())``
+    or any [(left, right), ...] list.  Counting normalizes like training
+    (lowercase alnum words) — punctuation carries no subword mass.
+    """
+
+    _MEMO_MAX = 65536
+
+    def __init__(self, merges: list[tuple[str, str]], max_tokens: int = 512):
+        self.merges = [(a, b, a + b) for a, b in merges]
+        self.max_tokens = max_tokens
+        self._memo: dict[str, int] = {}
+
+    @classmethod
+    def from_merges_df(cls, merges_df: DataFrame, max_tokens: int = 512):
+        rows = merges_df.orderBy("rank").collect()
+        return cls([(r["left"], r["right"]) for r in rows], max_tokens)
+
+    def encode_word(self, word: str) -> list[str]:
+        """Replay the merge list in rank order — the exact pure-python
+        mirror of the distributed fold (oracle_expected._bpe_fold)."""
+        sym = list(word) + [END_OF_WORD]
+        for a, b, m in self.merges:
+            if a in sym and b in sym:
+                out: list[str] = []
+                for x in sym:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = m
+                    else:
+                        out.append(x)
+                sym = out
+        return sym
+
+    def _word_len(self, word: str) -> int:
+        n = self._memo.get(word)
+        if n is None:
+            n = len(self.encode_word(word))
+            if len(self._memo) >= self._MEMO_MAX:
+                self._memo.clear()
+            self._memo[word] = n
+        return n
+
+    def count_tokens(self, text: str) -> int:
+        import re
+
+        words = re.sub(r"[^a-z0-9 ]", "", (text or "").lower()).split()
+        return sum(self._word_len(w) for w in words)
+
+    def get_max_tokens(self) -> int:
+        return self.max_tokens
+
+
+def apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Replay a trained merge list over a (word, ...) frame; adds ``tokens``.
+
+    Pre-filters each round on array_contains so untouched words skip the
+    fold.  The when/otherwise references the previous tokens expression
+    TWICE, so without a per-round plan cut the expression tree would double
+    every round; a lazy localCheckpoint truncates the logical plan each
+    round (RDD-backed frame) while deferring all materialization to the
+    caller's single action.
+    """
+    out = words.withColumn("tokens", _initial_symbols(F.col("word")))
+    for a, b in merges:
+        has_pair = F.array_contains(F.col("tokens"), a) & F.array_contains(
+            F.col("tokens"), b
+        )
+        out = out.withColumn(
+            "tokens",
+            F.when(
+                has_pair,
+                F.aggregate(
+                    F.col("tokens"),
+                    F.array().cast("array<string>"),
+                    _merge_fold(a, b),
+                ),
+            ).otherwise(F.col("tokens")),
+        ).localCheckpoint(eager=False)
+    return out
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges_df: Optional[DataFrame] = None,
+    num_merges: int = 60,
+    preview_tokens: int = 12,
+) -> DataFrame:
+    """Tokenize the corpus with a trained BPE vocabulary.
+
+    Scale shape: the merge replay runs over DISTINCT words only; the
+    word→tokens dictionary is then broadcast-joined back to the exploded
+    corpus (per-word cost paid once, not per occurrence — at crawl scale the
+    distinct-word table is orders of magnitude smaller than the token
+    stream).  Returns (doc_id, n_words, n_bpe_tokens, token_preview) with
+    the preview JSON-stringified for the scalar-only driver boundary.
+    """
+    if merges_df is None:
+        merges_df = bpe_train(docs, num_merges=num_merges)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()  # tiny: the merge list
+    ]
+    doc_words = docs.select(
+        "doc_id", F.posexplode(norm_words(F.col("text"))).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    vocab = apply_merges(
+        doc_words.select("word").distinct(), merges
+    )
+    tokenized = doc_words.join(F.broadcast(vocab), "word")
+    return (
+        tokenized.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("tokens")).alias("n_bpe_tokens"),
+            F.min_by(F.col("tokens"), F.col("pos")).alias("first_word_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.to_json(F.slice("first_word_tokens", 1, preview_tokens)).alias(
+                "token_preview"
+            ),
+        )
+        .transform(lambda d: canonical_order(d, "doc_id"))
+    )

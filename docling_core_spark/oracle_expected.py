@@ -670,6 +670,91 @@ def _build_synth_ops(sf_dir: str, out: Path) -> None:
     )
 
 
+def _bpe_fold(symbols: list[str], a: str, b: str, merged: str) -> list[str]:
+    """Greedy left-to-right merge — the exact python mirror of the Spark
+    F.aggregate fold in operators/bpe.py (_merge_fold)."""
+    out: list[str] = []
+    for x in symbols:
+        if out and out[-1] == a and x == b:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def _build_bpe(sf_dir: str, out: Path) -> None:
+    """Expected BPE merge list + tokenization: identical algorithm,
+    single-process.  ASCII-only symbols, so python tuple ordering on the
+    (-cnt, a, b) tie-break equals Spark's UTF8 binary struct ordering."""
+    import collections
+
+    import pyarrow.parquet as _pq
+
+    num_merges, min_pair_count, preview = 60, 2, 12
+    eow = "</w>"
+    docs = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+
+    doc_words: dict[int, list[str]] = {
+        r["doc_id"]: [w for w in _norm_words(r["text"]) if w] for r in docs
+    }
+    freqs = collections.Counter(w for ws in doc_words.values() for w in ws)
+    symbols: dict[str, list[str]] = {w: list(w) + [eow] for w in freqs}
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        pair_counts: collections.Counter = collections.Counter()
+        for w, f in freqs.items():
+            sym = symbols[w]
+            for i in range(len(sym) - 1):
+                pair_counts[(sym[i], sym[i + 1])] += f
+        if not pair_counts:
+            break
+        ncnt, a, b = min((-c, p[0], p[1]) for p, c in pair_counts.items())
+        if -ncnt < min_pair_count:
+            break
+        merged = a + b
+        merges.append((rank, a, b, merged, -ncnt))
+        for w, sym in symbols.items():
+            if a in sym and b in sym:
+                symbols[w] = _bpe_fold(sym, a, b, merged)
+    _write(
+        out / "bpe_train.parquet",
+        [
+            {"rank": r, "left": a, "right": b, "merged": m, "pair_count": c}
+            for r, a, b, m, c in merges
+        ],
+        pa.schema(
+            [("rank", _I32), ("left", _S), ("right", _S), ("merged", _S),
+             ("pair_count", _I64)]
+        ),
+    )
+
+    rows = []
+    for doc_id in sorted(doc_words):
+        ws = doc_words[doc_id]
+        if not ws:
+            continue
+        toks = [symbols[w] for w in ws]
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "n_words": len(ws),
+                "n_bpe_tokens": sum(len(t) for t in toks),
+                "token_preview": _json_arr(toks[0][:preview]),
+            }
+        )
+    _write(
+        out / "bpe_tokenize.parquet",
+        rows,
+        pa.schema(
+            [("doc_id", _I64), ("n_words", _I64), ("n_bpe_tokens", _I64),
+             ("token_preview", _S)]
+        ),
+    )
+
+
 EXPECTED_QUERIES = {
     "code_chunks_python": "ORDER BY doc_id, chunk_idx",
     "code_chunks_java": "ORDER BY doc_id, chunk_idx",
@@ -699,6 +784,8 @@ EXPECTED_QUERIES = {
     "media_image_metadata": "ORDER BY media_id",
     "media_image_features": "ORDER BY media_id",
     "media_video_frames": "ORDER BY media_id, frame_idx",
+    "bpe_train": "ORDER BY rank",
+    "bpe_tokenize": "ORDER BY doc_id",
 }
 
 
@@ -718,6 +805,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_minhash(sf_dir, tmp)
         _build_similarity(sf_dir, tmp)
         _build_synth_ops(sf_dir, tmp)
+        _build_bpe(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
         try:
             os.rename(tmp, out)

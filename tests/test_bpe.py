@@ -1,0 +1,109 @@
+"""Distributed BPE trainer/tokenizer (operators/bpe.py) — semantics pins.
+
+The full-corpus cross-engine value-hash runs in test_oracle_parity; these
+pin the algorithmic edges directly: deterministic tie-break, greedy
+left-to-right overlap handling, trainer/tokenizer consistency, and the
+chunker-protocol pluggability that makes the trained vocab a real C5
+tokenizer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_merge_fold_greedy_overlap(spark):
+    """'aaaa' with merge (a,a) must become (aa)(aa), and 'aaa' (aa)(a) —
+    non-overlapping left-to-right, the subword-nmt re.sub semantics."""
+    from docling_core_spark.operators.bpe import apply_merges
+
+    words = spark.createDataFrame([("aaaa",), ("aaa",), ("bab",)], ["word"])
+    got = {r["word"]: r["tokens"] for r in apply_merges(words, [("a", "a")]).collect()}
+    assert got["aaaa"] == ["aa", "aa", "</w>"]
+    assert got["aaa"] == ["aa", "a", "</w>"]
+    assert got["bab"] == ["b", "a", "b", "</w>"]
+
+
+def test_train_tiebreak_lexicographic(spark):
+    """Equal-count pairs resolve to the lexicographically smallest (a, b) —
+    the cross-engine determinism contract."""
+    from docling_core_spark.operators.bpe import bpe_train
+
+    # 'xy' and 'xz' both appear 3 times -> pairs (x,y)/(x,z)/(y,</w>)/(z,</w>)
+    # all count 3; min lexicographic is (x,y)
+    docs = spark.createDataFrame(
+        [(1, "xy xz xy xz xy xz")], ["doc_id", "text"]
+    )
+    first = bpe_train(docs, num_merges=1).first()
+    assert (first["left"], first["right"]) == ("x", "y")
+    assert first["pair_count"] == 3
+
+
+def test_train_early_stop_below_min_count(spark):
+    from docling_core_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
+    # every pair occurs once < min_pair_count=2 -> zero merges
+    assert bpe_train(docs, num_merges=10).count() == 0
+
+
+def test_tokenizer_counts_match_distributed_tokenize(spark):
+    """BPETokenizer (pure-python runtime) must agree with the distributed
+    bpe_tokenize on total subword counts per document."""
+    from docling_core_spark.operators.bpe import (
+        BPETokenizer,
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    merges_df = bpe_train(docs, num_merges=20)
+    tok = BPETokenizer.from_merges_df(merges_df)
+    dist = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_tokenize(docs, merges_df=merges_df).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert tok.count_tokens(r["text"]) == dist.get(r["doc_id"], 0)
+
+
+def test_bpe_tokenizer_plugs_into_hybrid_chunker():
+    """The trained vocab backs the chunker tokenizer protocol: HybridChunker
+    accepts a BPETokenizer and respects its budget (C5 realism path)."""
+    from docling_core_spark.functions.chunkers import HybridChunker
+    from docling_core_spark.model.doc import Doc
+    from docling_core_spark.operators.bpe import BPETokenizer
+
+    # hand-rolled tiny vocab: common English merges
+    tok = BPETokenizer(
+        [("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "</w>")],
+        max_tokens=16,
+    )
+    doc = Doc(name="bpe")
+    for i in range(8):
+        doc.add_text(label="text", text=f"the quick brown fox number {i} jumps again")
+    chunks = list(HybridChunker(tokenizer=tok).chunk(doc))
+    assert len(chunks) > 1  # budget forces splitting
+    for c in chunks:
+        assert tok.count_tokens(c["text"]) <= 16
+
+
+def test_train_plan_has_no_window(spark):
+    """Pair counting is a partial-aggregating hash-agg, never a window."""
+    from docling_core_spark.operators.bpe import (
+        _adjacent_pairs,
+        _initial_symbols,
+        word_freqs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = word_freqs(docs).select(
+        "freq", _initial_symbols(F.col("word")).alias("symbols")
+    )
+    plan = _adjacent_pairs(words)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_sum" in plan
