@@ -316,6 +316,16 @@ def kmeans_refined_centroids(
                 "centroid_id", F.coalesce("cv", "old_cv").alias("cv")
             )
         )
+        if iterations > 2:
+            # deep-iteration lineage cut: a real index build runs 10-20
+            # Lloyd rounds, and without this each round stacks the full
+            # assignment+recompute subtree on the cents plan (Catalyst
+            # analysis cost explodes).  Lazy localCheckpoint truncates the
+            # logical plan to an RDD-backed scan per round while deferring
+            # materialization to the caller's action; gated on > 2 so the
+            # oracle-checked iterations=2 configuration keeps a
+            # byte-identical plan.
+            cents = cents.localCheckpoint(eager=False)
     return cents
 
 

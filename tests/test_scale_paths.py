@@ -98,7 +98,74 @@ def test_ivf_kmeans_refines_toward_members(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     refined = ivf_kmeans_topk(emb).collect()
     raw = ivf_topk(emb).collect()
+    # structural contract only: 10 valid ranked rows from each index.  A
+    # refined-top-1 >= raw-top-1 inequality is NOT a theorem of IVF probing
+    # (the true nearest neighbor can fall in an unprobed list for either
+    # index), so asserting it would pin the fixed fixture, not the operator.
     assert len(refined) == len(raw) == 10
-    # both return valid ranked candidates; the refined index's top result is
-    # at least as close as the raw index's (better lists, never worse top-1)
-    assert refined[0].cos_sim >= raw[0].cos_sim - 1e-9
+    for rows in (refined, raw):
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_kmeans_deep_iterations_checkpointed_and_exact(spark):
+    """iterations=8: the lineage cut must bound the plan (RDD-backed scan,
+    not 8 stacked assignment subtrees) AND the refined centroids must still
+    equal the pure-python Lloyd mirror exactly (quantized-integer sums)."""
+    import hashlib
+
+    from docling_core_spark.operators.similarity import kmeans_refined_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    df = kmeans_refined_centroids(emb, n_centroids=8, iterations=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # lineage was cut
+    got = {r.centroid_id: list(r.cv) for r in df.collect()}
+
+    # pure-python mirror (oracle_expected._build_similarity semantics)
+    def rhu(x):
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def cosine(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5
+        db = sum(x * x for x in b) ** 0.5
+        return num / (da * db) if da and db else 0.0
+
+    rows = emb.select("vec_id", "embedding").collect()
+    qvecs = {
+        r.vec_id: [int(rhu(float(x) * 1_000_000.0)) for x in r.embedding]
+        for r in rows
+    }
+    evecs = {vid: [float(q) for q in qv] for vid, qv in qvecs.items()}
+    init_ids = sorted(
+        evecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:8]
+    cents = {cid: evecs[cid] for cid in init_ids}
+    for _ in range(8):
+        sums, counts = {}, {}
+        for vid, ev in evecs.items():
+            best_sim, best_id = -2.0, None
+            for cid in cents:
+                sim = cosine(ev, cents[cid])
+                if sim > best_sim or (sim == best_sim and (best_id is None or cid < best_id)):
+                    best_sim, best_id = sim, cid
+            qv = qvecs[vid]
+            if best_id not in sums:
+                sums[best_id] = [0] * len(qv)
+                counts[best_id] = 0
+            for p, val in enumerate(qv):
+                sums[best_id][p] += val
+            counts[best_id] += 1
+        cents = {
+            cid: ([s / counts[cid] for s in sums[cid]] if cid in sums else cents[cid])
+            for cid in cents
+        }
+    assert got == cents
