@@ -95,6 +95,10 @@ def _parse(compact: str):
             if lt == -1:
                 break
             i = lt
+        if i + 1 >= n:
+            # input ends in a bare '<' — honor the documented ValueError
+            # contract instead of leaking an IndexError to direct callers
+            raise ValueError("truncated markup")
         nxt = s[i + 1]
         if nxt == "/":
             end = find(">", i)

@@ -19,10 +19,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from docling_core_spark.operators.canon import canonical_order
 
-# Redaction order is email -> ip -> phone; the patterns are mutually
-# non-overlapping by construction (phones need [ -] separators, IPs need
-# dots), so counts taken on the ORIGINAL text agree with the sequential
-# replacements.
+# Redaction order is email -> ip -> phone.  Counts are taken on the
+# ORIGINAL text, per category, independently: when one pattern nests inside
+# another (an email like x@1.2.3.4.com embeds a dotted quad; a phone-shaped
+# local part embeds a phone), n_ips/n_phones can count matches whose text
+# was already consumed by the earlier email replacement — the counts answer
+# "how many pattern hits existed in the input", not "how many tokens were
+# emitted".  Both engines compute counts the same way, so oracle parity
+# holds either way; this is the documented contract.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IP_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
 PHONE_RE = r"(\+[0-9]{1,2}[ -])?(\([0-9]{3}\)[ -]?|[0-9]{3}[ -])[0-9]{3}[ -][0-9]{4}"

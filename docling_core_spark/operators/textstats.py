@@ -1088,9 +1088,14 @@ def mix_corpora(
         weight = F.when(F.col("lang") == k, F.lit(float(w))).otherwise(weight)
     rates = totals.select(
         "lang",
-        F.least(F.lit(1.0), F.lit(float(token_budget)) * weight / F.col("tot")).alias(
-            "rate"
-        ),
+        # a zero-token source must sample at 0.0, not slip through as
+        # least(1.0, NULL) = 1.0 (least skips NULLs in both engines)
+        F.when(
+            F.col("tot") > 0,
+            F.least(F.lit(1.0), F.lit(float(token_budget)) * weight / F.col("tot")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rate"),
     )
     bucket = F.conv(
         F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))), 1, 15),
@@ -1129,7 +1134,10 @@ totals AS (
   SELECT lang, sum(ws_tokens) AS tot FROM with_tok GROUP BY lang
 ),
 rates AS (
-  SELECT lang, least(1.0, {float(token_budget)} * ({wcase}) / tot) AS rate
+  SELECT lang,
+         CASE WHEN tot > 0
+              THEN least(1.0, {float(token_budget)} * ({wcase}) / tot)
+              ELSE 0.0 END AS rate
   FROM totals
 )
 SELECT w.doc_id, w.lang, w.ws_tokens, round(r.rate, 9) AS rate

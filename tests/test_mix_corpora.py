@@ -45,3 +45,28 @@ def test_mix_unknown_source_weight_zero(spark):
     )
     out = mix_corpora(docs, weights={"en": 1.0}, token_budget=10_000).collect()
     assert {r.lang for r in out} == {"en"}
+
+
+def test_zero_token_source_never_selected(spark):
+    """A source whose total token count is 0 must sample at rate 0.0 — not
+    slip through least(1.0, NULL) = 1.0 (NULL-skipping least in both
+    engines).  Empty-text docs of an unweighted source stay out."""
+    import duckdb
+
+    from docling_core_spark.operators.textstats import mix_corpora, mix_corpora_sql
+
+    rows = [(1, "en", "real content with several words here"),
+            (2, "xx", ""), (3, "xx", "   "), (4, "en", "more english words")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = mix_corpora(docs, weights={"en": 1.0}).collect()
+    assert all(r.lang != "xx" for r in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{l}', '{t}')" for d, l, t in rows)
+        + ") t(doc_id, lang, text)"
+    )
+    want = con.execute(mix_corpora_sql(weights={"en": 1.0})).fetchall()
+    con.close()
+    assert {r.doc_id for r in got} == {w[0] for w in want}

@@ -139,3 +139,15 @@ def test_synthetic_corpus_matches_minidom():
     for p in pages:
         compact = _compact_doclang(parse_html(p["html"].decode("utf-8")))
         assert pretty_xml(compact, "  ") == _minidom(compact, "  "), p["url"]
+
+
+def test_truncated_markup_raises_valueerror():
+    """The documented ValueError contract holds for direct callers even on a
+    bare trailing '<' (previously an IndexError) and unterminated CDATA."""
+    import pytest
+
+    from docling_core_spark.functions.xml_pretty import pretty_xml
+
+    for bad in ("<", "<doc>x</doc><", "<doc><![CDATA[unterminated</doc>"):
+        with pytest.raises(ValueError):
+            pretty_xml(bad, "  ")
