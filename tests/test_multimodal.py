@@ -24,7 +24,7 @@ def media(spark):
 def test_image_metadata_shapes(spark, media):
     meta = image_metadata(media)
     rows = meta.collect()
-    assert len(rows) == 50
+    assert len(rows) == 70  # 50 synthetic + 20 real-header
     assert all(r["error"] is None for r in rows)
     assert all(64 <= r["width"] <= 2047 for r in rows)
     assert all(len(r["sha256"]) == 64 for r in rows)
@@ -78,3 +78,49 @@ def test_empty_payload_isolated(spark):
     rows = {r["media_id"]: r for r in image_metadata(df).collect()}
     assert rows["m0"]["error"] is not None  # empty payload -> per-row error
     assert rows["m1"]["error"] is None
+
+
+def test_parse_image_header_png_and_jpeg():
+    """Real header parsing without PIL: dims, format, and channel count come
+    from the actual PNG IHDR / JPEG SOF bytes."""
+    from docling_core_spark.operators.multimodal import (
+        jpeg_header_bytes,
+        parse_image_header,
+        png_header_bytes,
+    )
+
+    assert parse_image_header(png_header_bytes(640, 480, color_type=2)) == {
+        "width": 640, "height": 480, "format": "png", "n_channels": 3,
+    }
+    assert parse_image_header(png_header_bytes(10, 20, color_type=6)) == {
+        "width": 10, "height": 20, "format": "png", "n_channels": 4,
+    }
+    assert parse_image_header(jpeg_header_bytes(1920, 1080)) == {
+        "width": 1920, "height": 1080, "format": "jpeg", "n_channels": 3,
+    }
+    assert parse_image_header(jpeg_header_bytes(8, 8, n_components=1)) == {
+        "width": 8, "height": 8, "format": "jpeg", "n_channels": 1,
+    }
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"") is None
+
+
+def test_image_metadata_mixed_real_and_stub(spark):
+    """The default decoder handles a mixed corpus: real-header rows decode
+    to their true dims/format; hashed payloads fall back to the stub."""
+    from docling_core_spark.operators.multimodal import (
+        image_metadata,
+        synthetic_media_df,
+    )
+
+    out = {r["media_id"]: r for r in image_metadata(synthetic_media_df(spark, n=30)).collect()}
+    assert len(out) == 50  # 30 synthetic + 20 real-header
+    png0 = out["media-png-0"]
+    assert (png0["width"], png0["height"], png0["format"]) == (100, 80, "png")
+    jpg1 = out["media-jpg-1"]
+    assert (jpg1["width"], jpg1["height"], jpg1["format"], jpg1["n_channels"]) == (
+        113, 87, "jpeg", 3,
+    )
+    # stub rows still decode deterministically, no errors anywhere
+    assert all(r["error"] is None for r in out.values())
+    assert out["media-0"]["format"] in ("png", "jpeg", "webp")
