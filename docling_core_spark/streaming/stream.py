@@ -190,6 +190,64 @@ def decontaminate_stream(
     )
 
 
+def pack_sequences_stream(
+    chunks_stream: DataFrame,
+    output: str,
+    checkpoint: str,
+    trigger_seconds: int = 10,
+):
+    """Streaming sequence packing via foreachBatch: the batch operator
+    (url-grouped greedy next-fit applyInPandas) runs unchanged per
+    micro-batch.  Correct because packing is per-document and a document's
+    chunks land in one micro-batch with document-level ingestion — no
+    cross-batch state, no watermark needed (the streaming analogue of the
+    per-doc decontaminate rollup rationale above).
+    """
+    from docling_core_spark.operators.packing import pack_sequences
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = pack_sequences(batch_df)
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+
+    return (
+        chunks_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def mix_corpora_stream(
+    docs_stream: DataFrame,
+    output: str,
+    checkpoint: str,
+    weights: dict | None = None,
+    token_budget: int = 10_000,
+    trigger_seconds: int = 10,
+):
+    """Streaming weighted corpus mixing via foreachBatch: per micro-batch,
+    the batch operator computes source token totals and hash-gates docs at
+    the weight-derived rate.  The token budget therefore applies PER
+    micro-batch — the natural reading for a continuous ingest ("each
+    trigger contributes its budget-share"); a run-global budget would need
+    an accreting totals store and is a planned-state variant, not this
+    operator.  Selection stays deterministic per doc_id (md5 gate), so
+    replays after failure emit identical rows.
+    """
+    from docling_core_spark.operators.textstats import mix_corpora
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = mix_corpora(batch_df, weights=weights, token_budget=token_budget)
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def pii_redact_stream(docs_stream: DataFrame) -> DataFrame:
     """Streaming PII scrub: the map-only regexp chain (operators/pii.py)
     applied to a stream of (doc_id, text) rows.

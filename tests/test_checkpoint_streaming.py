@@ -225,3 +225,58 @@ def test_streaming_pii_redact(spark, tmp_path):
     assert out.filter("any_pii").count() > 0  # demo input is PII-bearing
     batch = pii_redact(spark.read.parquet(src), canonical=False)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_pack_sequences_parity(spark, tmp_path):
+    """foreachBatch packing emits row-identical output to the batch
+    operator over the same chunk table."""
+    from docling_core_spark.operators.packing import pack_sequences
+    from docling_core_spark.streaming.stream import pack_sequences_stream
+
+    src = str(tmp_path / "pk_src")
+    # synthesize a chunk table: 30 urls x 1-12 chunks with varying budgets
+    rows = []
+    for u in range(30):
+        for c in range(1 + (u * 7) % 12):
+            rows.append((f"https://ex.com/{u}", c, 40 + (u * 13 + c * 29) % 400))
+    spark.createDataFrame(
+        rows, "url string, chunk_idx int, n_tokens int"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "pk_out")
+    q = pack_sequences_stream(stream, out_dir, str(tmp_path / "pk_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out_dir).drop("_batch_id").collect()))
+    want = sorted(map(tuple, pack_sequences(spark.read.parquet(src)).collect()))
+    assert got == want
+    assert len(got) > 30  # multi-sequence docs exist
+
+
+def test_streaming_mix_corpora_parity(spark, tmp_path):
+    """foreachBatch mixing emits row-identical output to the batch operator
+    (single micro-batch == whole input, so the per-batch budget is the
+    global budget here)."""
+    from docling_core_spark.operators.textstats import mix_corpora
+    from docling_core_spark.streaming.stream import mix_corpora_stream
+
+    src = str(tmp_path / "mx_src")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120).select(
+        "doc_id", "lang", "text"
+    )
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "mx_out")
+    q = mix_corpora_stream(stream, out_dir, str(tmp_path / "mx_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out_dir).drop("_batch_id").collect()))
+    want = sorted(map(tuple, mix_corpora(spark.read.parquet(src)).collect()))
+    assert got == want
+    assert got  # the demo corpus selects a nonempty mix
