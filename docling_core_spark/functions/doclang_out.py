@@ -176,8 +176,11 @@ def get_text_direction(text: str) -> str:
         # for the dominant web-text case (one C call vs one per character)
         return "ltr"
     rtl = {"R", "AL"}
-    n_rtl = sum(unicodedata.bidirectional(c) in rtl for c in text)
-    return "rtl" if unicodedata.bidirectional(text[0]) in rtl or n_rtl > len(text) / 2 else "ltr"
+    bidi = unicodedata.bidirectional
+    # list-comp (one C-level pass) instead of a genexpr: generator frame
+    # resumptions were a visible share of the mixed-script profile
+    n_rtl = sum([bidi(c) in rtl for c in text])
+    return "rtl" if bidi(text[0]) in rtl or n_rtl > len(text) / 2 else "ltr"
 
 
 def location_tokens_for_bbox(

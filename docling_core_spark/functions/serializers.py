@@ -101,6 +101,9 @@ CHUNKING_OVERRIDES = dict(
 )
 
 
+_PB_LOOKAHEAD_GROUP_LABELS = (M.GROUP_LIST, M.GROUP_ORDERED_LIST, M.GROUP_INLINE)
+
+
 class SerResult:
     """Serialization result: text + contributing items (span lineage)."""
 
@@ -136,6 +139,7 @@ class DocSerializer:
 
     def __init__(self, doc: Doc, params: Optional[MarkdownParams] = None):
         self.doc = doc
+        self._body = doc.body  # hoisted: serialize() checks identity per node
         self.params = params or MarkdownParams()
         self._captions_of: Optional[set] = None
         self._footnotes_of: Optional[set] = None
@@ -221,17 +225,30 @@ class DocSerializer:
         add_page_breaks: bool,
         _visited: Optional[set] = None,
         _state: Optional[dict] = None,
-    ) -> Iterator[tuple[dict, int]]:
+    ) -> "Iterator[tuple[dict, int]] | list[tuple[dict, int]]":
         if not add_page_breaks and _visited is None and _state is None:
-            # no page-break interleaving: skip the wrapper generator's
-            # per-item branch entirely (generator resumptions are hot)
-            yield from self.doc.iterate_items_cached(
+            # no page-break interleaving: hand back the memoized traversal
+            # LIST itself — callers only iterate, and a list iterates with
+            # zero generator frame resumptions (one per item otherwise; the
+            # hottest non-parse line of the row profile)
+            return self.doc.iterate_items_cached(
                 root=node,
                 with_groups=True,
                 included_content_layers=self.params.layers,
                 traverse_pictures=traverse_pictures,
             )
-            return
+        return self._iter_pb_gen(
+            node, traverse_pictures, add_page_breaks, _visited, _state
+        )
+
+    def _iter_pb_gen(
+        self,
+        node: Optional[dict],
+        traverse_pictures: bool,
+        add_page_breaks: bool,
+        _visited: Optional[set] = None,
+        _state: Optional[dict] = None,
+    ) -> Iterator[tuple[dict, int]]:
         visited = _visited if _visited is not None else set()
         state = _state if _state is not None else {"prev": None, "i": 0}
         for item, lvl in self.doc.iterate_items_cached(
@@ -241,8 +258,18 @@ class DocSerializer:
             traverse_pictures=traverse_pictures,
         ):
             if add_page_breaks:
-                if (M.is_list_group(item) or M.is_inline_group(item)) and item["self_ref"] not in visited:
-                    visited.add(item["self_ref"])
+                # one ref_array parse instead of the is_list_group /
+                # is_inline_group / is_doc_item predicate chain (same
+                # switch rationale as serialize())
+                sr_i = item["self_ref"]
+                arr_i = M.ref_array(sr_i)
+                is_grp = arr_i == "groups" or arr_i == M.BODY or arr_i == M.FURNITURE
+                if (
+                    is_grp
+                    and item.get("label") in _PB_LOOKAHEAD_GROUP_LABELS
+                    and sr_i not in visited
+                ):
+                    visited.add(sr_i)
                     for it, _ in self._iter_pb(
                         node=item,
                         traverse_pictures=traverse_pictures,
@@ -255,7 +282,7 @@ class DocSerializer:
                             if state["prev"] is not None and page_no > state["prev"]:
                                 yield self._pb_node(state["i"], state["prev"], page_no), lvl
                             break
-                elif M.is_doc_item(item) and item.get("prov"):
+                elif not is_grp and arr_i in M._DOC_ITEM_ARRAYS and item.get("prov"):
                     page_no = item["prov"][0].get("page_no")
                     if state["prev"] is None or page_no > state["prev"]:
                         if state["prev"] is not None:
@@ -703,6 +730,19 @@ class DocSerializer:
         else:
             text_part = text
 
+        if text_part and "captions" not in item:
+            # single-part fast path (the overwhelming case): the final span
+            # list is just [item], so skip both _res dedup passes and the
+            # one-element join
+            if processing_pending:
+                text_part = self.post_process(
+                    text=text_part,
+                    escape_html=escape_html,
+                    escape_underscores=escape_underscores,
+                    formatting=item.get("formatting"),
+                    hyperlink=item.get("hyperlink"),
+                )
+            return SerResult(text_part, [item])
         res_parts: list[SerResult] = []
         if text_part:
             res_parts.append(_res(text_part, item))
@@ -841,11 +881,11 @@ class DocSerializer:
     ) -> SerResult:
         """Serialize a node (document body when item is None)."""
         my_visited = visited if visited is not None else set()
-        delim = self._SERIALIZE_DELIM
-        my_item = item if item is not None else self.doc.body
-        parts: list[SerResult] = []
+        my_item = item if item is not None else self._body
 
-        if my_item is self.doc.body:
+        if my_item is self._body:
+            delim = self._SERIALIZE_DELIM
+            parts: list[SerResult] = []
             body_meta: Optional[SerResult] = None
             if my_item.get("meta"):
                 cand = self.serialize_meta(my_item)
@@ -862,7 +902,8 @@ class DocSerializer:
                 return _res(delim.join(p.text for p in parts if p.text), parts)
             return _res()
 
-        my_visited.add(my_item["self_ref"])
+        sr = my_item["self_ref"]
+        my_visited.add(sr)
 
         meta_part: Optional[SerResult] = None
         if my_item.get("meta") and not self._item_wraps_meta(my_item):
@@ -874,35 +915,48 @@ class DocSerializer:
             # meta-only export (reference common.py:403-404): item bodies are
             # suppressed; descendants stay unvisited so the outer traversal
             # still surfaces their meta
-            parts.append(meta_part if meta_part is not None else _res())
-            return _res(delim.join(p.text for p in parts if p.text), parts)
+            return meta_part if meta_part is not None else _res()
 
-        if M.is_list_group(my_item):
-            part = self._serialize_list_group(my_item, my_visited, list_level, is_inline_scope)
-        elif M.is_inline_group(my_item):
-            part = self._serialize_inline_group(my_item, my_visited, list_level)
-        elif M.is_text_item(my_item):
-            sr = my_item["self_ref"]
-            if sr in self.captions_of_some_item() or sr in self.footnotes_of_some_item():
+        # single ref_array switch: the node's array determines its kind, so
+        # one parse replaces the is_list_group/is_inline_group/is_text_item/
+        # ... predicate chain (each of which re-derived ref_array) — this is
+        # the hottest dispatch in the row path, shared by all serializers
+        arr = M.ref_array(sr)
+        if arr == "texts":
+            caps = self._captions_of
+            if caps is None:
+                caps = self.captions_of_some_item()
+            if sr in caps or sr in self._footnotes_of:
                 return _res()
-            if sr not in self.get_excluded_refs():
+            exc = self._excluded
+            if exc is None:
+                exc = self.get_excluded_refs()
+            if sr not in exc:
                 part = self._serialize_text_item(my_item, my_visited, is_inline_scope)
             else:
                 part = _res()
-        elif M.is_table_item(my_item):
+        elif arr == "groups" or arr == M.BODY or arr == M.FURNITURE:
+            label = my_item.get("label")
+            if label == M.GROUP_LIST or label == M.GROUP_ORDERED_LIST:
+                part = self._serialize_list_group(my_item, my_visited, list_level, is_inline_scope)
+            elif label == M.GROUP_INLINE:
+                part = self._serialize_inline_group(my_item, my_visited, list_level)
+            else:
+                part = self._serialize_fallback(my_item, my_visited)
+        elif arr == "tables":
             part = self._serialize_table(my_item, my_visited, nested=_nested_in_table)
-        elif M.is_picture_item(my_item):
+        elif arr == "pictures":
             part = self._serialize_picture(my_item, my_visited)
         elif "_pb" in my_item:
             prev_p, next_p = my_item["_pb"]
             part = SerResult(_PB_FMT.format(prev_p, next_p), [], pb_node=my_item)
-        elif M.ref_array(my_item["self_ref"]) in ("key_value_items",):
-            if my_item["self_ref"] not in self.get_excluded_refs():
+        elif arr == "key_value_items":
+            if sr not in self.get_excluded_refs():
                 part = _res("<!-- missing-key-value-item -->", my_item)
             else:
                 part = _res()
-        elif M.ref_array(my_item["self_ref"]) in ("form_items",):
-            if my_item["self_ref"] not in self.get_excluded_refs():
+        elif arr == "form_items":
+            if sr not in self.get_excluded_refs():
                 part = _res("<!-- missing-form-item -->", my_item)
             else:
                 part = _res()
@@ -914,9 +968,10 @@ class DocSerializer:
             # its own pb_node — re-wrapping through _res would only copy them
             return part
 
-        parts.append(part)
-        parts.append(meta_part)
-        out = _res(delim.join(p.text for p in parts if p.text), parts)
+        parts = [part, meta_part]
+        out = _res(
+            self._SERIALIZE_DELIM.join(p.text for p in parts if p.text), parts
+        )
         out.pb_node = part.pb_node
         return out
 

@@ -1078,6 +1078,29 @@ class Doc:
             memo = self.extra["_iter_memo"] = {}
         out = memo.get(key)
         if out is None:
+            if root is not None:
+                # pre-order contiguity: a subtree's walk is a contiguous
+                # slice of the cached full-body walk (descent is never
+                # pruned differently for the same flags), so the thousands
+                # of per-group subtree walks the serializers issue collapse
+                # to index + slice + depth rebase instead of fresh DFS
+                full_key = (None, with_groups, traverse_pictures, layers)
+                full = memo.get(full_key)
+                if full is not None:
+                    idx_key = ("_idx",) + full_key
+                    idx = memo.get(idx_key)
+                    if idx is None:
+                        idx = memo[idx_key] = {
+                            it["self_ref"]: i for i, (it, _) in enumerate(full)
+                        }
+                    i = idx.get(root["self_ref"])
+                    if i is not None:
+                        d0 = full[i][1]
+                        j, n = i + 1, len(full)
+                        while j < n and full[j][1] > d0:
+                            j += 1
+                        out = memo[key] = [(it, d - d0) for it, d in full[i:j]]
+                        return out
             out = memo[key] = list(
                 self.iterate_items(
                     root=root,
