@@ -211,6 +211,13 @@ def cap_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> Dat
     The gate hash is the cross-engine md5-60 (see _token_hash60) so the
     DuckDB / pure-python oracles replicate the surviving set exactly.
     """
+    # diamond reuse: the banded frame feeds BOTH the count phase and the
+    # gate join, and Spark compiles shared Python subplans twice (no
+    # ReusedExchange for logically-identical subtrees — round-5 finding), so
+    # without a cut the expensive signature computation upstream would run
+    # twice.  A lazy localCheckpoint materializes it once at first action
+    # and both phases read the same RDD.
+    banded = banded.localCheckpoint(eager=False)
     counts = (
         banded.groupBy(*keys).count().filter(F.col("count") > max_bucket_size)
     )
