@@ -142,7 +142,9 @@ def main() -> None:
         extra["extract_chunks"] = int(stats["nc"] or 0)
         extra["extract_errors"] = stats["ne"]
 
-    timed("extract_pipeline", run_extract)
+    # flagships get best-of-3: they dominate the suite wall and the r7 bench
+    # showed a single contended draw can misread the full-format path by 50%
+    timed("extract_pipeline", run_extract, repeats=3)
     extra["extract_docs_per_sec"] = round(
         replication * n_docs / timings["extract_pipeline"], 2
     )
@@ -165,7 +167,7 @@ def main() -> None:
         extra["extract_full_pages"] = stats["n"]
         extra["extract_full_errors"] = stats["ne"]
 
-    timed("extract_pipeline_full_formats", run_extract_full)
+    timed("extract_pipeline_full_formats", run_extract_full, repeats=3)
     extra["extract_full_docs_per_sec"] = round(
         replication * n_docs / timings["extract_pipeline_full_formats"], 2
     )
