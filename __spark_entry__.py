@@ -91,6 +91,37 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(split_skew(pages), chunker="hybrid", emit_doc_json=False)
 
 
+def _extract_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk table with the corpus-trained BPE tokenizer driving the
+    HybridChunker budget (end-to-end C5: train -> broadcast merges ->
+    subword-aware chunking)."""
+    from docling_core_spark.operators import bpe
+    from docling_core_spark.operators.extract import extract_pages, split_skew
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    _ensure_package(spark)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.bpe_train(_docs(spark, sf_dir)).orderBy("rank").collect()
+    ]
+    extracted = extract_pages(
+        split_skew(web_pages_df(spark, sf_dir)),
+        chunker="hybrid",
+        emit_doc_json=False,
+        bpe_merges=merges,
+    )
+    return (
+        extracted.select("url", F.explode("chunks").alias("c"))
+        .select(
+            "url",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.text").alias("text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+        .orderBy("url", "chunk_idx")
+    )
+
+
 def _media(spark: SparkSession, op: str) -> DataFrame:
     _ensure_package(spark)
     from docling_core_spark.operators.multimodal import (
@@ -355,6 +386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalized": lambda s, d: textstats.url_normalized(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "rel_events_hourly": relational.events_sessionized,
+        # end-to-end C5 integration: train BPE on the corpus, then chunk the
+        # extracted docs with the trained subword tokenizer (merge list ships
+        # to executors via the UDF closure — the --py-files analogue of a
+        # broadcast tokenizer); single-process-expected oracle retrains with
+        # the identical pure-python trainer
+        "extract_chunks_bpe": _extract_chunks_bpe,
     }
 
 

@@ -84,8 +84,14 @@ def extract_row(
     emit_html: bool = False,
     emit_doctags: bool = False,
     emit_doclang: bool = False,
+    tokenizer=None,
 ) -> dict:
-    """Pure-python single-row extraction (also the single-process oracle)."""
+    """Pure-python single-row extraction (also the single-process oracle).
+
+    ``tokenizer`` (chunker protocol: count_tokens/get_max_tokens) overrides
+    the default RegexTokenizer — e.g. a corpus-trained
+    ``operators.bpe.BPETokenizer``; pass ONE instance per batch so its
+    per-word memo amortizes across rows."""
     t0 = time.perf_counter_ns()
     doc = parse_html(html or b"", name=url)
     md = export_to_markdown(doc)
@@ -105,7 +111,7 @@ def extract_row(
         from docling_core_spark.functions.doclang_out import export_to_doclang
 
         doclang_out = export_to_doclang(doc, pretty_indentation=None)
-    tok = RegexTokenizer(max_tokens)
+    tok = tokenizer if tokenizer is not None else RegexTokenizer(max_tokens)
     if chunker == "hybrid":
         raw_chunks = HybridChunker(tokenizer=tok).chunk(doc)
     else:
@@ -171,12 +177,20 @@ def extract_pages(
     emit_html: bool = False,
     emit_doctags: bool = False,
     emit_doclang: bool = False,
+    bpe_merges: Optional[list] = None,
     _fault_url_substr: Optional[str] = None,
 ) -> DataFrame:
     """Fused parse+serialize+chunk stage over a web_pages DataFrame.
 
     Only `url, html, lang` are consumed — column pruning drops the fat
     pre-extracted `text` column at the scan.
+
+    ``bpe_merges``: a trained BPE merge list ([(left, right), ...], e.g.
+    from ``bpe.bpe_train(...).collect()``) — ships to every executor via
+    the closure (the spark-submit --py-files analogue of broadcasting a
+    tokenizer) and chunking switches from the regex proxy to the real
+    subword tokenizer; one BPETokenizer per batch so the per-word memo
+    amortizes across rows.
 
     ``_fault_url_substr`` is a chaos-testing hook: rows whose url contains
     the substring raise inside the batch, which MUST surface as error rows,
@@ -188,6 +202,11 @@ def extract_pages(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time
 
+        tokenizer = None
+        if bpe_merges is not None:
+            from docling_core_spark.operators.bpe import BPETokenizer
+
+            tokenizer = BPETokenizer(bpe_merges, max_tokens)
         for pdf in batches:
             out = []
             for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
@@ -206,6 +225,7 @@ def extract_pages(
                             emit_html=emit_html,
                             emit_doctags=emit_doctags,
                             emit_doclang=emit_doclang,
+                            tokenizer=tokenizer,
                         )
                     )
                 except Exception as err:  # noqa: BLE001 — per-row isolation by design

@@ -682,20 +682,20 @@ def _bpe_fold(symbols: list[str], a: str, b: str, merged: str) -> list[str]:
     return out
 
 
-def _build_bpe(sf_dir: str, out: Path) -> None:
-    """Expected BPE merge list + tokenization: identical algorithm,
-    single-process.  ASCII-only symbols, so python tuple ordering on the
-    (-cnt, a, b) tie-break equals Spark's UTF8 binary struct ordering."""
+def _train_bpe_python(
+    sf_dir: str, num_merges: int = 60, min_pair_count: int = 2
+) -> tuple[list, dict, dict]:
+    """Pure-python BPE trainer over the sf documents table — the exact
+    single-process mirror of operators/bpe.bpe_train.  Returns
+    (merges, symbols, doc_words)."""
     import collections
 
     import pyarrow.parquet as _pq
 
-    num_merges, min_pair_count, preview = 60, 2, 12
     eow = "</w>"
     docs = _pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).to_pylist()
-
     doc_words: dict[int, list[str]] = {
         r["doc_id"]: [w for w in _norm_words(r["text"]) if w] for r in docs
     }
@@ -719,6 +719,15 @@ def _build_bpe(sf_dir: str, out: Path) -> None:
         for w, sym in symbols.items():
             if a in sym and b in sym:
                 symbols[w] = _bpe_fold(sym, a, b, merged)
+    return merges, symbols, doc_words
+
+
+def _build_bpe(sf_dir: str, out: Path) -> None:
+    """Expected BPE merge list + tokenization: identical algorithm,
+    single-process.  ASCII-only symbols, so python tuple ordering on the
+    (-cnt, a, b) tie-break equals Spark's UTF8 binary struct ordering."""
+    preview = 12
+    merges, symbols, doc_words = _train_bpe_python(sf_dir)
     _write(
         out / "bpe_train.parquet",
         [
@@ -755,6 +764,57 @@ def _build_bpe(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_extract_bpe(sf_dir: str, out: Path) -> None:
+    """Expected chunk table when the HybridChunker runs with the
+    corpus-trained BPE tokenizer instead of the regex proxy — the same
+    extract_row code, same merges, single-process."""
+    import pyarrow.parquet as _pq
+
+    from docling_core_spark.operators.bpe import BPETokenizer
+    from docling_core_spark.operators.extract import _error_row, extract_row
+    from docling_core_spark.sources.web_pages import synth_rows
+
+    merges, _, _ = _train_bpe_python(sf_dir)
+    tok = BPETokenizer([(a, b) for _, a, b, _, _ in merges], max_tokens=512)
+    docs_tbl = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pylist()
+    pages = synth_rows(
+        [r["doc_id"] for r in docs_tbl],
+        [r["text"] for r in docs_tbl],
+        [r["lang"] for r in docs_tbl],
+    )
+    rows = []
+    for page in pages:
+        try:
+            r = extract_row(
+                page["url"],
+                page["html"],
+                page["lang"],
+                chunker="hybrid",
+                emit_doc_json=False,
+                tokenizer=tok,
+            )
+        except Exception as err:  # noqa: BLE001 — mirror per-row isolation
+            r = _error_row(page["url"], page["lang"], len(page["html"] or b""), err)
+        for c in r["chunks"] or []:
+            rows.append(
+                {
+                    "url": r["url"],
+                    "chunk_idx": c["chunk_idx"],
+                    "text": c["text"],
+                    "n_tokens": c["n_tokens"],
+                }
+            )
+    _write(
+        out / "extract_chunks_bpe.parquet",
+        rows,
+        pa.schema(
+            [("url", _S), ("chunk_idx", _I32), ("text", _S), ("n_tokens", _I32)]
+        ),
+    )
+
+
 EXPECTED_QUERIES = {
     "code_chunks_python": "ORDER BY doc_id, chunk_idx",
     "code_chunks_java": "ORDER BY doc_id, chunk_idx",
@@ -786,6 +846,7 @@ EXPECTED_QUERIES = {
     "media_video_frames": "ORDER BY media_id, frame_idx",
     "bpe_train": "ORDER BY rank",
     "bpe_tokenize": "ORDER BY doc_id",
+    "extract_chunks_bpe": "ORDER BY url, chunk_idx",
 }
 
 
@@ -806,6 +867,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_similarity(sf_dir, tmp)
         _build_synth_ops(sf_dir, tmp)
         _build_bpe(sf_dir, tmp)
+        _build_extract_bpe(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
         try:
             os.rename(tmp, out)

@@ -107,3 +107,25 @@ def test_train_plan_has_no_window(spark):
     plan = _adjacent_pairs(words)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_sum" in plan
+
+
+def test_extract_chunks_bpe_differs_from_regex(spark):
+    """The trained tokenizer must actually drive the chunk budget: token
+    counts (and typically boundaries) differ from the regex proxy on the
+    same corpus — the integration is not a pass-through."""
+    import __spark_entry__ as e
+
+    bpe_chunks = e.queries()["extract_chunks_bpe"](spark, SF_DIR).collect()
+    reg_chunks = (
+        e.queries()["extract_chunks"](spark, SF_DIR)
+        .select("url", "chunk_idx", "n_tokens")
+        .collect()
+    )
+    assert bpe_chunks and reg_chunks
+    bpe_tok = {(r.url, r.chunk_idx): r.n_tokens for r in bpe_chunks}
+    reg_tok = {(r.url, r.chunk_idx): r.n_tokens for r in reg_chunks}
+    # subword counts exceed word-level counts for the same text; at least
+    # some chunks must disagree (same counts everywhere = vacuous plumbing)
+    common = set(bpe_tok) & set(reg_tok)
+    assert common
+    assert any(bpe_tok[k] != reg_tok[k] for k in common)
