@@ -1,0 +1,118 @@
+"""WARC ingestion (sources/warc.py): record framing, gzip members, HTTP
+splitting, Spark reader, and the round-trip proof that WARC-ingested pages
+extract identically to the direct path."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _demo_records(n: int = 5) -> list[dict]:
+    return [
+        {
+            "url": f"https://example.com/page-{i}",
+            "warc_ts": datetime.datetime(2021, 3, 4, 5, 6, 7 + i),
+            "html": f"<html><body><h1>Title {i}</h1><p>body text {i}</p></body></html>".encode(),
+        }
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_plain_and_gzip_members():
+    from docling_core_spark.sources.warc import build_warc, warc_response_rows
+
+    recs = _demo_records()
+    for per_gzip in (False, True):
+        data = build_warc(recs, per_record_gzip=per_gzip)
+        got = list(warc_response_rows(data))
+        assert [r["url"] for r in got] == [r["url"] for r in recs]
+        assert [r["html"] for r in got] == [r["html"] for r in recs]
+        assert [r["warc_ts"] for r in got] == [r["warc_ts"] for r in recs]
+
+
+def test_non_response_records_and_corrupt_tail_skipped():
+    from docling_core_spark.sources.warc import (
+        CRLF,
+        build_warc,
+        warc_response_rows,
+    )
+
+    info = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: warcinfo" + CRLF
+        + b"Content-Length: 10" + CRLF + CRLF
+        + b"x" * 10 + CRLF + CRLF
+    )
+    good = build_warc(_demo_records(2))
+    corrupt_tail = b"GARBAGE NOT A RECORD"
+    got = list(warc_response_rows(info + good + corrupt_tail))
+    # warcinfo skipped, both responses parsed, corrupt tail stops cleanly
+    assert len(got) == 2
+    # truncated record (content-length beyond EOF) also stops cleanly
+    truncated = good[: len(good) - 40]
+    assert len(list(warc_response_rows(truncated))) == 1
+
+
+def test_whole_file_gzip():
+    from docling_core_spark.sources.warc import build_warc, warc_response_rows
+
+    data = gzip.compress(build_warc(_demo_records(3)))
+    assert len(list(warc_response_rows(data))) == 3
+
+
+def test_http_payload_split_and_missing_uri():
+    from docling_core_spark.sources.warc import CRLF, warc_response_rows
+
+    # response record with NO Target-URI must be dropped, not crash
+    payload = b"HTTP/1.1 200 OK" + CRLF + CRLF + b"<p>x</p>"
+    rec = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: response" + CRLF
+        + f"Content-Length: {len(payload)}".encode() + CRLF + CRLF
+        + payload + CRLF + CRLF
+    )
+    assert list(warc_response_rows(rec)) == []
+
+
+def test_spark_reader_and_extraction_parity(spark, tmp_path):
+    """WARC-ingested pages must extract byte-identically to the same pages
+    fed directly — the first-mile round trip of the north rule."""
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.operators.extract import extract_pages
+    from docling_core_spark.sources.warc import build_warc, warc_pages_df
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    direct = web_pages_df(spark, SF_DIR).limit(40).select("url", "warc_ts", "html")
+    rows = [r.asDict() for r in direct.collect()]
+    # two files, both layouts
+    (tmp_path / "a.warc").write_bytes(build_warc(rows[:20]))
+    (tmp_path / "b.warc.gz").write_bytes(
+        build_warc(rows[20:], per_record_gzip=True)
+    )
+    ingested = warc_pages_df(spark, str(tmp_path) + "/*")
+    assert ingested.count() == 40
+    # timestamps survive (second precision — the WARC-Date granularity)
+    ts = {r["url"]: r["warc_ts"] for r in ingested.select("url", "warc_ts").collect()}
+    for r in rows:
+        assert ts[r["url"]].replace(microsecond=0) == r["warc_ts"].replace(microsecond=0)
+
+    got = (
+        extract_pages(ingested, emit_doc_json=False)
+        .select("url", "markdown")
+        .orderBy("url")
+        .collect()
+    )
+    want = (
+        extract_pages(
+            web_pages_df(spark, SF_DIR).limit(40).withColumn("lang", F.lit(None).cast("string")),
+            emit_doc_json=False,
+        )
+        .select("url", "markdown")
+        .orderBy("url")
+        .collect()
+    )
+    assert [(r.url, r.markdown) for r in got] == [(r.url, r.markdown) for r in want]
