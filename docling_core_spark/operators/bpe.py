@@ -105,17 +105,53 @@ def _adjacent_pairs(words: DataFrame) -> DataFrame:
     )
 
 
+def _select_disjoint_batch(
+    cands: list, k: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint prefix of the (−cnt, a, b)-ordered candidate
+    list: a pair joins the batch only if neither side collides with a
+    symbol or merged output already claimed this round, so the K folds
+    commute with each other (application order within the round cannot
+    matter)."""
+    used: set = set()
+    batch: list[tuple[str, str, int]] = []
+    for row in cands:
+        cnt = -row["nc"]
+        if cnt < min_pair_count:
+            break
+        a, b = row["a"], row["b"]
+        if a in used or b in used:
+            continue
+        batch.append((a, b, cnt))
+        used.update((a, b, a + b))
+        if len(batch) >= k:
+            break
+    return batch
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 60,
     min_pair_count: int = 2,
     words: Optional[DataFrame] = None,
+    merges_per_round: int = 1,
 ) -> DataFrame:
     """Train a BPE merge list over the corpus.
 
     Returns (rank, left, right, merged, pair_count) — one row per learned
     merge in application order.  Stops early when the best remaining pair
     falls below ``min_pair_count`` (mirrored in the oracle).
+
+    ``merges_per_round``: the vocab-size scale knob.  Sequential BPE is one
+    driver round per merge — exact, but a 32k-subword vocabulary means 32k
+    small jobs.  With K>1, each round takes the top-K SYMBOL-DISJOINT pairs
+    from one pair count (greedy by the same (−cnt, a, b) order) and applies
+    them together, cutting rounds by ~K.  This is the standard fast-trainer
+    approximation: disjointness makes the K folds commute, but a pair
+    created by an earlier merge in the same round could in principle
+    outrank a later selection, so the result can differ from strictly
+    sequential training (it is still a valid, deterministic BPE vocab).
+    The oracle-checked default K=1 is exactly sequential.
     """
     spark = docs.sparkSession
     if words is None:
@@ -125,43 +161,63 @@ def bpe_train(
     ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(num_merges):
-        best = (
-            _adjacent_pairs(words)
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"),
-                        F.col("a"),
-                        F.col("b"),
-                    )
-                ).alias("m")
+    while len(merges) < num_merges:
+        k = min(merges_per_round, num_merges - len(merges))
+        pairs = _adjacent_pairs(words)
+        if k == 1:
+            row = (
+                pairs.agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+                        )
+                    ).alias("m")
+                )
+                .select("m.*")
+                .first()
             )
-            .select("m.*")
-            .first()
-        )
-        if best is None or best["nc"] is None or -best["nc"] < min_pair_count:
+            cands = [] if row is None or row["nc"] is None else [row]
+        else:
+            # top slice by the same deterministic order; 8x headroom so the
+            # disjointness filter rarely exhausts the slice
+            cands = (
+                pairs.select(
+                    (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+                )
+                .orderBy("nc", "a", "b")
+                .limit(8 * k)
+                .collect()
+            )
+        batch = _select_disjoint_batch(cands, k, min_pair_count)
+        if not batch:
             break
-        a, b, cnt = best["a"], best["b"], -best["nc"]
-        merges.append((rank, a, b, a + b, cnt))
-        has_pair = F.array_contains(F.col("symbols"), a) & F.array_contains(
-            F.col("symbols"), b
-        )
-        words = words.withColumn(
-            "symbols",
-            F.when(
-                has_pair,
-                F.aggregate(
-                    F.col("symbols"),
-                    F.array().cast("array<string>"),
-                    _merge_fold(a, b),
-                ),
-            ).otherwise(F.col("symbols")),
-        ).localCheckpoint(eager=False)
+        col = F.col("symbols")
+        for a, b, cnt in batch:
+            merges.append((len(merges), a, b, a + b, cnt))
+            if k == 1:
+                # guarded fold: skip words without the pair (the when/
+                # otherwise doubles the expression tree, safe at depth 1)
+                col = F.when(
+                    F.array_contains(F.col("symbols"), a)
+                    & F.array_contains(F.col("symbols"), b),
+                    F.aggregate(
+                        F.col("symbols"),
+                        F.array().cast("array<string>"),
+                        _merge_fold(a, b),
+                    ),
+                ).otherwise(F.col("symbols"))
+            else:
+                # batched: unguarded nested folds reference the previous
+                # expression ONCE each (linear tree depth K; a when-guard
+                # here would double the tree per merge -> 2^K blowup)
+                col = F.aggregate(
+                    col, F.array().cast("array<string>"), _merge_fold(a, b)
+                )
+        words = words.withColumn("symbols", col).localCheckpoint(eager=False)
         # lazy localCheckpoint still truncates the LOGICAL plan immediately
         # (the returned frame is RDD-backed), so each round compiles exactly
-        # one fold-deep; materialization rides the next round's .first() —
-        # one job per merge round, not two
+        # K folds deep; materialization rides the next round's action —
+        # one job per ROUND, not per merge
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     ).transform(lambda d: canonical_order(d, "rank"))

@@ -129,3 +129,51 @@ def test_extract_chunks_bpe_differs_from_regex(spark):
     common = set(bpe_tok) & set(reg_tok)
     assert common
     assert any(bpe_tok[k] != reg_tok[k] for k in common)
+
+
+def test_batched_training_matches_sequential_when_disjoint(spark):
+    """merges_per_round > 1 equals sequential training when the top pairs
+    are symbol-disjoint (and is a valid deterministic vocab regardless)."""
+    from docling_core_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    seq = [
+        (r["rank"], r["left"], r["right"])
+        for r in bpe_train(docs, num_merges=12).collect()
+    ]
+    bat = [
+        (r["rank"], r["left"], r["right"])
+        for r in bpe_train(docs, num_merges=12, merges_per_round=4).collect()
+    ]
+    assert len(bat) == len(seq) == 12
+    # both orders are deterministic and ranks dense; the PAIR sets agree
+    # heavily on real text (top English pairs are symbol-disjoint), though
+    # ranks may interleave differently (the documented approximation)
+    assert [r for r, _, _ in bat] == list(range(12))
+    # guaranteed: the first selection sees identical counts in both modes
+    assert bat[0][1:] == seq[0][1:]
+    # the pair sets overlap substantially but NOT fully — the documented
+    # approximation is real (a same-round merge can create a pair that
+    # sequential training would have ranked next); this fixture measures 7/12
+    seq_pairs = {(a, b) for _, a, b in seq}
+    bat_pairs = {(a, b) for _, a, b in bat}
+    assert len(bat_pairs & seq_pairs) >= 6
+
+
+def test_batched_training_fewer_driver_rounds(spark):
+    """The batch path must reach the same merge count without one job per
+    merge: 12 merges at K=4 is 3 rounds (pinned indirectly by wall-clock
+    being far below sequential is flaky on a shared host, so pin the
+    mechanism: a batch is symbol-disjoint by construction)."""
+    from docling_core_spark.operators.bpe import _select_disjoint_batch
+
+    cands = [
+        {"nc": -10, "a": "t", "b": "h"},
+        {"nc": -9, "a": "th", "b": "e"},   # collides with 'th'? no — 'th' is
+                                            # the MERGED output of (t,h)
+        {"nc": -8, "a": "e", "b": "r"},
+        {"nc": -7, "a": "a", "b": "n"},
+    ]
+    batch = _select_disjoint_batch(cands, 4, 2)
+    # (t,h) claims t,h,th; (th,e) collides on 'th'; (e,r) ok; (a,n) ok
+    assert batch == [("t", "h", 10), ("e", "r", 8), ("a", "n", 7)]
