@@ -61,8 +61,11 @@ def _gunzip_members(data: bytes) -> bytes:
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.write(d.decompress(data[pos:]))
-        out.write(d.flush())
+        try:
+            out.write(d.decompress(data[pos:]))
+            out.write(d.flush())
+        except zlib.error:
+            break  # corrupt member: keep the records decoded so far
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -219,7 +222,13 @@ def warc_pages_df(spark, path: str, default_lang: Optional[str] = None):
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for r in warc_response_rows(bytes(content)):
+                try:
+                    recs = list(warc_response_rows(bytes(content)))
+                except Exception:  # noqa: BLE001 — file-level isolation:
+                    # one hostile/corrupt archive yields zero rows, never a
+                    # failed task (same contract as extract_pages rows)
+                    recs = []
+                for r in recs:
                     rows.append(
                         {
                             "url": r["url"],

@@ -116,3 +116,15 @@ def test_spark_reader_and_extraction_parity(spark, tmp_path):
         .collect()
     )
     assert [(r.url, r.markdown) for r in got] == [(r.url, r.markdown) for r in want]
+
+
+def test_garbage_file_yields_no_rows_not_task_failure(spark, tmp_path):
+    """A wholly corrupt file in the glob contributes zero rows; healthy
+    files in the same read are unaffected (file-level isolation)."""
+    from docling_core_spark.sources.warc import build_warc, warc_pages_df
+
+    (tmp_path / "good.warc").write_bytes(build_warc(_demo_records(3)))
+    (tmp_path / "bad.warc").write_bytes(b"\x00\x01 utterly not a warc \xff" * 100)
+    (tmp_path / "bad2.warc.gz").write_bytes(b"\x1f\x8b broken gzip header")
+    got = warc_pages_df(spark, str(tmp_path) + "/*").collect()
+    assert len(got) == 3
