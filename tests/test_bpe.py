@@ -177,3 +177,22 @@ def test_batched_training_fewer_driver_rounds(spark):
     batch = _select_disjoint_batch(cands, 4, 2)
     # (t,h) claims t,h,th; (th,e) collides on 'th'; (e,r) ok; (a,n) ok
     assert batch == [("t", "h", 10), ("e", "r", 8), ("a", "n", 7)]
+
+
+def test_batched_training_scales_to_larger_vocab(spark):
+    """The vocab-size knob in action: 128 merges at K=16 completes in 8
+    driver rounds with a bounded plan (RDD-backed words frame each round)
+    and yields a well-formed dense-ranked merge table."""
+    from docling_core_spark.operators.bpe import BPETokenizer, bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = bpe_train(docs, num_merges=128, merges_per_round=16).collect()
+    assert [r["rank"] for r in merges] == list(range(len(merges)))
+    assert len(merges) >= 64  # corpus supports a deep vocab
+    # counts are non-negative-monotone within a round only; globally every
+    # recorded pair met the min count
+    assert all(r["pair_count"] >= 2 for r in merges)
+    # the trained vocab round-trips through the runtime tokenizer
+    tok = BPETokenizer([(r["left"], r["right"]) for r in merges])
+    n = tok.count_tokens("the quick brown fox jumps over the lazy dog")
+    assert 0 < n < 50

@@ -128,3 +128,48 @@ def test_garbage_file_yields_no_rows_not_task_failure(spark, tmp_path):
     (tmp_path / "bad2.warc.gz").write_bytes(b"\x1f\x8b broken gzip header")
     got = warc_pages_df(spark, str(tmp_path) + "/*").collect()
     assert len(got) == 3
+
+
+def test_parser_total_on_random_bytes():
+    """The record parser must be total: arbitrary bytes (including ones
+    starting with gzip magic or 'WARC/') never raise, they just yield
+    fewer records."""
+    from hypothesis import given, settings, strategies as st
+
+    from docling_core_spark.sources.warc import warc_response_rows
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def run(data):
+        list(warc_response_rows(data))
+        list(warc_response_rows(b"\x1f\x8b" + data))
+        list(warc_response_rows(b"WARC/1.0\r\n" + data))
+
+    run()
+
+
+def test_roundtrip_with_hostile_bodies():
+    """Bodies containing CRLF CRLF, fake WARC headers, and gzip magic must
+    frame correctly (Content-Length framing, not delimiter scanning)."""
+    import datetime
+
+    from docling_core_spark.sources.warc import build_warc, warc_response_rows
+
+    hostile = [
+        b"<p>a\r\n\r\nb</p>",
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake",
+        b"\x1f\x8b\x08 not really gzip",
+        "<p>unicode é中文</p>".encode(),
+        b"",
+    ]
+    recs = [
+        {
+            "url": f"https://h.example/{i}",
+            "warc_ts": datetime.datetime(2022, 1, 1, 0, 0, i),
+            "html": body,
+        }
+        for i, body in enumerate(hostile)
+    ]
+    for per_gzip in (False, True):
+        got = list(warc_response_rows(build_warc(recs, per_record_gzip=per_gzip)))
+        assert [r["html"] for r in got] == hostile
