@@ -122,6 +122,26 @@ def _extract_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-mile ingestion check: parse deterministic .warc.gz segments
+    (per-record gzip members, the Common Crawl layout) into the pages
+    table; the oracle parses the SAME files with the same pure-python
+    record parser single-process."""
+    from docling_core_spark.sources.warc import demo_warc_dir, warc_pages_df
+
+    _ensure_package(spark)
+    path = demo_warc_dir(sf_dir)
+    return (
+        warc_pages_df(spark, path + "/*.warc.gz")
+        .select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+            F.length("html").alias("n_bytes"),
+        )
+        .orderBy("url")
+    )
+
+
 def _media(spark: SparkSession, op: str) -> DataFrame:
     _ensure_package(spark)
     from docling_core_spark.operators.multimodal import (
@@ -392,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast tokenizer); single-process-expected oracle retrains with
         # the identical pure-python trainer
         "extract_chunks_bpe": _extract_chunks_bpe,
+        # WARC first-mile ingestion (sources/warc.py): .warc.gz segments ->
+        # pages table, files as the parallel unit
+        "warc_ingest": _warc_ingest,
     }
 
 

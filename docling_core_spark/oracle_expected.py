@@ -815,6 +815,36 @@ def _build_extract_bpe(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_warc_ingest(sf_dir: str, out: Path) -> None:
+    """Expected WARC ingestion rows: parse the SAME deterministic .warc.gz
+    segments with the same pure-python record parser, single-process."""
+    import os
+
+    from docling_core_spark.sources.warc import demo_warc_dir, warc_response_rows
+
+    d = demo_warc_dir(sf_dir)
+    rows = []
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".warc.gz"):
+            continue
+        with open(os.path.join(d, fn), "rb") as f:
+            data = f.read()
+        for r in warc_response_rows(data):
+            rows.append(
+                {
+                    "url": r["url"],
+                    "warc_ts_s": r["warc_ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                    "n_bytes": len(r["html"]),
+                }
+            )
+    rows.sort(key=lambda r: r["url"])
+    _write(
+        out / "warc_ingest.parquet",
+        rows,
+        pa.schema([("url", _S), ("warc_ts_s", _S), ("n_bytes", _I32)]),
+    )
+
+
 EXPECTED_QUERIES = {
     "code_chunks_python": "ORDER BY doc_id, chunk_idx",
     "code_chunks_java": "ORDER BY doc_id, chunk_idx",
@@ -847,6 +877,7 @@ EXPECTED_QUERIES = {
     "bpe_train": "ORDER BY rank",
     "bpe_tokenize": "ORDER BY doc_id",
     "extract_chunks_bpe": "ORDER BY url, chunk_idx",
+    "warc_ingest": "ORDER BY url",
 }
 
 
@@ -868,6 +899,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_synth_ops(sf_dir, tmp)
         _build_bpe(sf_dir, tmp)
         _build_extract_bpe(sf_dir, tmp)
+        _build_warc_ingest(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
         try:
             os.rename(tmp, out)

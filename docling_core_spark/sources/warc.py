@@ -189,6 +189,55 @@ def build_warc(
 # ---------------------------------------------------------------------------
 
 
+def demo_warc_dir(sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the sf corpus as deterministic .warc.gz files (digest-
+    keyed under tempdir) — input prep for the warc_ingest driver query and
+    oracle; both engines parse the same layout.  Uses the pure-python
+    synth_rows twin so no Spark session is needed to build."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.sources.web_pages import synth_rows
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    key = hashlib.sha256(f"warcdemo1:{sf_dir}:{n_files}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"warc_demo_{sf_name}_{key}")
+    marker = os.path.join(out_dir, "_complete")
+    if os.path.exists(marker):
+        return out_dir
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pylist()
+    rows = list(
+        synth_rows(
+            [r["doc_id"] for r in docs],
+            [r["text"] for r in docs],
+            [r["lang"] for r in docs],
+        )
+    )
+    tmp = out_dir + f".tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        with open(os.path.join(tmp, f"seg-{i:03d}.warc.gz"), "wb") as f:
+            f.write(build_warc(chunk, per_record_gzip=True))
+    with open(os.path.join(tmp, "_complete"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
 def warc_pages_df(spark, path: str, default_lang: Optional[str] = None):
     """Read .warc / .warc.gz files into the web-pages table shape
     (url, warc_ts, html, text, lang).
