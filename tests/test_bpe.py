@@ -196,3 +196,17 @@ def test_batched_training_scales_to_larger_vocab(spark):
     tok = BPETokenizer([(r["left"], r["right"]) for r in merges])
     n = tok.count_tokens("the quick brown fox jumps over the lazy dog")
     assert 0 < n < 50
+
+
+def test_train_empty_and_whitespace_corpus(spark):
+    """Empty or all-whitespace corpora yield an EMPTY merge table on both
+    the sequential and batched paths (no null-row crash from the global
+    min over zero pairs)."""
+    from docling_core_spark.operators.bpe import bpe_train, bpe_tokenize
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ws = spark.createDataFrame([(1, "   "), (2, "")], "doc_id long, text string")
+    for docs in (empty, ws):
+        assert bpe_train(docs, num_merges=5).count() == 0
+        assert bpe_train(docs, num_merges=5, merges_per_round=4).count() == 0
+        assert bpe_tokenize(docs, num_merges=5).count() == 0

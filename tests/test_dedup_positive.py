@@ -160,3 +160,27 @@ def test_simhash_xxhash64_toggle_same_semantics(spark):
     # same normalized token set -> identical signature under ANY hash family
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cap_hot_buckets_multi_band_membership(spark):
+    """A doc sits in several band buckets; the gate decides each (doc,
+    band, bucket) row independently (hash includes the bucket keys), so a
+    doc thinned from one hot bucket survives in its other buckets."""
+    import hashlib
+
+    from docling_core_spark.operators.dedup import cap_hot_buckets
+
+    rows = [(d, 0, 7) for d in range(30)]            # hot (30 > cap)
+    rows += [(d, 1, d % 10) for d in range(30)]      # same docs, cool (3 <= cap)
+    banded = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    out = cap_hot_buckets(banded, ("band", "bucket"), 4).collect()
+    band1 = [(r.doc_id, r.bucket) for r in out if r.band == 1]
+    assert len(band1) == 30  # cool buckets untouched
+    band0 = [r.doc_id for r in out if r.band == 0]
+    assert 0 < len(band0) < 30  # hot bucket thinned
+
+    def gate(d):
+        h = int(hashlib.md5(f"{d}:0:7".encode()).hexdigest()[:15], 16)
+        return h % 30 < 4
+
+    assert sorted(band0) == [d for d in range(30) if gate(d)]
