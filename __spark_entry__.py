@@ -72,6 +72,15 @@ def _ensure_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def _ord(df: DataFrame, *cols: str) -> DataFrame:
+    """Trailing deterministic sort via the repo-standard canonical_order
+    transform, so SPARK_GRAFT_CANONICAL=0 verifiably drops the Sort node
+    from every driver query (a 10^9-row run never pays a global sort)."""
+    from docling_core_spark.operators.canon import canonical_order
+
+    return canonical_order(df, *cols)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_package(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -110,15 +119,15 @@ def _extract_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit_doc_json=False,
         bpe_merges=merges,
     )
-    return (
-        extracted.select("url", F.explode("chunks").alias("c"))
-        .select(
+    return _ord(
+        extracted.select("url", F.explode("chunks").alias("c")).select(
             "url",
             F.col("c.chunk_idx").alias("chunk_idx"),
             F.col("c.text").alias("text"),
             F.col("c.n_tokens").alias("n_tokens"),
-        )
-        .orderBy("url", "chunk_idx")
+        ),
+        "url",
+        "chunk_idx",
     )
 
 
@@ -131,14 +140,13 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_package(spark)
     path = demo_warc_dir(sf_dir)
-    return (
-        warc_pages_df(spark, path + "/*.warc.gz")
-        .select(
+    return _ord(
+        warc_pages_df(spark, path + "/*.warc.gz").select(
             "url",
             F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
             F.length("html").alias("n_bytes"),
-        )
-        .orderBy("url")
+        ),
+        "url",
     )
 
 
@@ -153,16 +161,17 @@ def _media(spark: SparkSession, op: str) -> DataFrame:
 
     media = synthetic_media_df(spark, n=200)
     if op == "meta":
-        return image_metadata(media).orderBy("media_id")
+        return _ord(image_metadata(media), "media_id")
     if op == "features":
         # as_json: the vector is serialized python-side inside the UDF, so the
         # single-process oracle produces the identical string representation
-        return image_features(media, as_json=True).orderBy("media_id")
-    return (
+        return _ord(image_features(media, as_json=True), "media_id")
+    return _ord(
         sample_video_frames(media)
         .withColumn("frame_hex", F.hex("frame"))
-        .drop("frame")
-        .orderBy("media_id", "frame_idx")
+        .drop("frame"),
+        "media_id",
+        "frame_idx",
     )
 
 
@@ -178,14 +187,14 @@ def _docops(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
 
     docs = extract_pages(split_skew(web_pages_df(spark, sf_dir)), emit_doc_json=True)
     if op == "concat":
-        return concatenate_docs(docs, "lang").orderBy("group_key")
+        return _ord(concatenate_docs(docs, "lang"), "group_key")
     if op == "page_chunks":
-        return (
-            page_chunks_df(docs)
-            .withColumn("doc_item_refs", F.to_json("doc_item_refs"))
-            .orderBy("url", "page_no")
+        return _ord(
+            page_chunks_df(docs).withColumn("doc_item_refs", F.to_json("doc_item_refs")),
+            "url",
+            "page_no",
         )
-    return profile_docs_df(docs).orderBy("url")
+    return _ord(profile_docs_df(docs), "url")
 
 
 def _extract_fmt(spark: SparkSession, sf_dir: str, col: str) -> DataFrame:
@@ -202,16 +211,15 @@ def _extract_fmt(spark: SparkSession, sf_dir: str, col: str) -> DataFrame:
         emit_doctags=(col == "doctags"),
         emit_doclang=(col == "doclang"),
     )
-    return docs.select("url", F.length(col).alias(f"{col}_len"), col).orderBy("url")
+    return _ord(docs.select("url", F.length(col).alias(f"{col}_len"), col), "url")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: English web pages -> markdown + chunk count per url."""
     _ensure_package(spark)
     docs = _extracted(spark, SF0001)
-    return (
-        docs.filter(F.col("lang") == "en")
-        .select(
+    return _ord(
+        docs.filter(F.col("lang") == "en").select(
             "url",
             "lang",
             F.length("markdown").alias("markdown_len"),
@@ -220,8 +228,8 @@ def entry(spark: SparkSession) -> DataFrame:
             "n_tables",
             "n_pictures",
             "error",
-        )
-        .orderBy("url")
+        ),
+        "url",
     )
 
 
@@ -266,21 +274,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- flagship extraction pipeline (HTML parse inside;
         #     single-process-expected oracles: distributed == single-process
         #     per url, the north-rule invariant) ---
-        "extract_markdown": lambda s, d: _extracted(s, d)
-        .select("url", "lang", "markdown", "n_texts", "n_tables", "n_pictures")
-        .orderBy("url"),
-        "extract_plain_text": lambda s, d: _extracted(s, d)
-        .select("url", "plain_text")
-        .orderBy("url"),
+        "extract_markdown": lambda s, d: _ord(
+            _extracted(s, d).select(
+                "url", "lang", "markdown", "n_texts", "n_tables", "n_pictures"
+            ),
+            "url",
+        ),
+        "extract_plain_text": lambda s, d: _ord(
+            _extracted(s, d).select("url", "plain_text"), "url"
+        ),
         "extract_html": lambda s, d: _extract_fmt(s, d, "html_out"),
         "extract_doctags": lambda s, d: _extract_fmt(s, d, "doctags"),
         "extract_doclang": lambda s, d: _extract_fmt(s, d, "doclang"),
         # array cols are stringified at the driver boundary (the correctness
         # canonicalizer cannot sort array cells); the package APIs keep arrays
-        "extract_chunks": lambda s, d: explode_chunks(_extracted(s, d))
-        .withColumn("headings", F.to_json("headings"))
-        .withColumn("doc_item_refs", F.to_json("doc_item_refs"))
-        .orderBy("url", "chunk_idx"),
+        "extract_chunks": lambda s, d: _ord(
+            explode_chunks(_extracted(s, d))
+            .withColumn("headings", F.to_json("headings"))
+            .withColumn("doc_item_refs", F.to_json("doc_item_refs")),
+            "url",
+            "chunk_idx",
+        ),
         # chunk -> training-sequence packing (greedy next-fit per url);
         # single-process-expected oracle via the shared pure-python core
         "pack_sequences": lambda s, d: packing.pack_sequences(
@@ -376,9 +390,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- profiler aggregates (A1/A2) ---
         "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),
         "profile_by_lang": lambda s, d: profile.group_profile(_docs(s, d)),
-        # --- relational coverage (Catalyst-native path) ---
-        "rel_pricing_summary": relational.pricing_summary,
-        "rel_top_customers": relational.top_customers,
+        # --- end-to-end C5 integration (in the driver window since r8):
+        # train BPE on the corpus, then chunk the extracted docs with the
+        # trained subword tokenizer (merge list ships to executors via the
+        # UDF closure — the --py-files analogue of a broadcast tokenizer);
+        # single-process-expected oracle retrains with the identical
+        # pure-python trainer ---
+        "extract_chunks_bpe": _extract_chunks_bpe,
+        # --- WARC first-mile ingestion (sources/warc.py): .warc.gz segments
+        # -> pages table, files as the parallel unit (driver window r8) ---
+        "warc_ingest": _warc_ingest,
         # --- multimodal plumbing (real PNG/JPEG header decode + stubbed
         #     pixel features, deterministic) ---
         "media_image_metadata": lambda s, d: _media(s, "meta"),
@@ -406,15 +427,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalized": lambda s, d: textstats.url_normalized(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "rel_events_hourly": relational.events_sessionized,
-        # end-to-end C5 integration: train BPE on the corpus, then chunk the
-        # extracted docs with the trained subword tokenizer (merge list ships
-        # to executors via the UDF closure — the --py-files analogue of a
-        # broadcast tokenizer); single-process-expected oracle retrains with
-        # the identical pure-python trainer
-        "extract_chunks_bpe": _extract_chunks_bpe,
-        # WARC first-mile ingestion (sources/warc.py): .warc.gz segments ->
-        # pages table, files as the parallel unit
-        "warc_ingest": _warc_ingest,
+        # relational coverage demos (Catalyst-native path, not a docling or
+        # pipeline surface) — demoted r8 to make room for the round-7
+        # flagships extract_chunks_bpe / warc_ingest in the driver window
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_customers": relational.top_customers,
     }
 
 

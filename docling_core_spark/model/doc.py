@@ -1093,13 +1093,42 @@ class Doc:
                         idx = memo[idx_key] = {
                             it["self_ref"]: i for i, (it, _) in enumerate(full)
                         }
-                    i = idx.get(root["self_ref"])
+                    root_ref = root["self_ref"]
+                    i = idx.get(root_ref)
                     if i is not None:
                         d0 = full[i][1]
                         j, n = i + 1, len(full)
                         while j < n and full[j][1] > d0:
                             j += 1
-                        out = memo[key] = [(it, d - d0) for it, d in full[i:j]]
+                        # Yield filters (layers / with_groups) never prune
+                        # the DESCENT, so children of a yield-filtered
+                        # sibling can follow root's subtree in the full walk
+                        # at depth > d0 and be absorbed into the depth scan.
+                        # Root's true descendants are still contiguous in
+                        # pre-order, so aliens form a contiguous suffix:
+                        # truncate at the first item whose parent chain
+                        # leaves the root subtree.
+                        sl = full[i:j]
+                        resolve = self.resolve
+                        inside = {root_ref}
+                        cut = len(sl)
+                        for k in range(1, len(sl)):
+                            it = sl[k][0]
+                            chain = [it["self_ref"]]
+                            p = it.get("parent")
+                            ok = False
+                            while p is not None:
+                                pref = p["$ref"]
+                                if pref in inside:
+                                    ok = True
+                                    break
+                                chain.append(pref)
+                                p = resolve(pref).get("parent")
+                            if not ok:
+                                cut = k
+                                break
+                            inside.update(chain)
+                        out = memo[key] = [(it, d - d0) for it, d in sl[:cut]]
                         return out
             out = memo[key] = list(
                 self.iterate_items(

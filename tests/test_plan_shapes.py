@@ -216,3 +216,25 @@ def test_lsh_bucket_caps_have_no_window(docs):
         assert "Window" not in plan
         # the oversized-bucket key set is broadcast, not shuffled
         assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_extract_chunks_bpe_sort_is_gated(spark, monkeypatch):
+    """Round-8: the extract_chunks_bpe wrapper must route its trailing sort
+    through canonical_order so SPARK_GRAFT_CANONICAL=0 drops the global Sort
+    (a 10^9-chunk run never pays a range exchange).  bpe_train is stubbed to
+    a fixed merge list — this pins the SORT gate, not the trainer (which has
+    its own plan pins in test_bpe.py)."""
+    import __spark_entry__ as e
+    from docling_core_spark.operators import bpe
+
+    def _tiny_train(docs, **kw):
+        return spark.createDataFrame(
+            [(0, "t", "h"), (1, "th", "e")], "rank int, left string, right string"
+        )
+
+    monkeypatch.setattr(bpe, "bpe_train", _tiny_train)
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(e._extract_chunks_bpe(spark, SF_DIR))
+    assert "Exchange rangepartitioning" not in plan
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "1")
+    assert "Exchange rangepartitioning" in _plan(e._extract_chunks_bpe(spark, SF_DIR))

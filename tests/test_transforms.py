@@ -69,3 +69,56 @@ def test_concatenate_shifts_pages_and_reindexes():
 def test_concatenate_squeezes_names():
     a = Doc.from_dict(load_doc_json("doc/activities.json"))
     assert concatenate([a, a, a]).name == a.name
+
+
+def test_iterate_items_cached_subtree_not_polluted_by_filtered_sibling_children():
+    """Regression (round-8 ADVICE): yield filters don't prune descent, so a
+    yield-filtered sibling's children follow a subtree in the full walk at
+    depth > d0 — the cached slice must not absorb them."""
+    doc = Doc(name="t")
+    grp = doc.add_group(name="g1")
+    doc.add_text("text", "inside-1", parent=grp)
+    doc.add_text("text", "inside-2", parent=grp)
+    # next sibling of grp: furniture-layer item (filtered from a body-only
+    # walk) carrying a BODY-layer child (yielded, at depth > depth(grp))
+    filtered_sib = doc.add_text("text", "furniture-parent",
+                                content_layer="furniture")
+    doc.add_text("text", "alien-body-child", parent=filtered_sib,
+                 content_layer="body")
+
+    kw = dict(with_groups=True, traverse_pictures=False,
+              included_content_layers={"body"})
+    # populate the full-body memo first so root= takes the slice path
+    full_cached = doc.iterate_items_cached(**kw)
+    assert [it["text"] for it, _ in full_cached if "text" in it] == [
+        "inside-1", "inside-2", "alien-body-child"]
+    got = doc.iterate_items_cached(root=grp, **kw)
+    want = list(doc.iterate_items(root=grp, **kw))
+    assert [(it["self_ref"], d) for it, d in got] == [
+        (it["self_ref"], d) for it, d in want]
+    assert all(it.get("text") != "alien-body-child" for it, _ in got)
+
+
+def test_iterate_items_cached_slice_keeps_filtered_groups_descendants():
+    """The parent-chain validation must not truncate legitimate descendants
+    whose direct parent was itself yield-filtered (a group under
+    with_groups=False, or a furniture node inside the subtree)."""
+    doc = Doc(name="t2")
+    outer = doc.add_group(name="outer")
+    inner = doc.add_group(name="inner", parent=outer)
+    doc.add_text("text", "deep", parent=inner)
+    furn = doc.add_text("text", "furn-in-subtree", parent=outer,
+                        content_layer="furniture")
+    doc.add_text("text", "body-under-furn", parent=furn,
+                 content_layer="body")
+    doc.add_text("text", "tail-sibling")
+
+    for wg in (True, False):
+        kw = dict(with_groups=wg, traverse_pictures=False,
+                  included_content_layers={"body"})
+        doc._invalidate_memos()
+        doc.iterate_items_cached(**kw)
+        got = doc.iterate_items_cached(root=outer, **kw)
+        want = list(doc.iterate_items(root=outer, **kw))
+        assert [(it["self_ref"], d) for it, d in got] == [
+            (it["self_ref"], d) for it, d in want], f"with_groups={wg}"
