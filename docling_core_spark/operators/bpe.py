@@ -161,6 +161,7 @@ def bpe_train(
     ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, str, int]] = []
+    superseded: Optional[DataFrame] = None
     while len(merges) < num_merges:
         k = min(merges_per_round, num_merges - len(merges))
         pairs = _adjacent_pairs(words)
@@ -188,6 +189,15 @@ def bpe_train(
                 .limit(8 * k)
                 .collect()
             )
+        # the pair-count action above just materialized the CURRENT words
+        # checkpoint, so the previous round's blocks can never be read again
+        # (a lost-block recompute would fail regardless — truncated lineage);
+        # freeing them here bounds block-manager storage to ~2 copies of the
+        # word table instead of one per round (32k-vocab scale would
+        # otherwise pin thousands)
+        if superseded is not None:
+            _unpersist_checkpoint(superseded)
+            superseded = None
         batch = _select_disjoint_batch(cands, k, min_pair_count)
         if not batch:
             break
@@ -213,6 +223,7 @@ def bpe_train(
                 col = F.aggregate(
                     col, F.array().cast("array<string>"), _merge_fold(a, b)
                 )
+        superseded = words
         words = words.withColumn("symbols", col).localCheckpoint(eager=False)
         # lazy localCheckpoint still truncates the LOGICAL plan immediately
         # (the returned frame is RDD-backed), so each round compiles exactly
@@ -284,33 +295,57 @@ class BPETokenizer:
         return self.max_tokens
 
 
-def apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+def apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]], merges_per_checkpoint: int = 16
+) -> DataFrame:
     """Replay a trained merge list over a (word, ...) frame; adds ``tokens``.
 
-    Pre-filters each round on array_contains so untouched words skip the
-    fold.  The when/otherwise references the previous tokens expression
-    TWICE, so without a per-round plan cut the expression tree would double
-    every round; a lazy localCheckpoint truncates the logical plan each
-    round (RDD-backed frame) while deferring all materialization to the
-    caller's single action.
+    Folds are UNGUARDED: each round's fold references the previous tokens
+    expression exactly once, so the plan grows linearly within a window (a
+    ``when(has_pair)`` pre-filter would reference it 4x and grow the tree
+    4^K between cuts — the round-7 batching rule; a no-match fold is the
+    identity, so results are unchanged).  Every ``merges_per_checkpoint``
+    folds the plan is cut with an EAGER localCheckpoint and the superseded
+    window's blocks are unpersisted as the loop advances — at most two
+    copies of the frame live in block-manager storage at any time, instead
+    of one pinned copy per merge (a 32k-vocab replay would otherwise pin
+    ~2k copies of the distinct-word table for the whole job).  Cost: one
+    Spark job per window (ceil(len(merges)/K)); a local-checkpointed RDD
+    cannot be recomputed, so the predecessor is only dropped AFTER its
+    successor has materialized.
     """
     out = words.withColumn("tokens", _initial_symbols(F.col("word")))
-    for a, b in merges:
-        has_pair = F.array_contains(F.col("tokens"), a) & F.array_contains(
-            F.col("tokens"), b
-        )
+    prev_ck = None
+    for i, (a, b) in enumerate(merges):
         out = out.withColumn(
             "tokens",
-            F.when(
-                has_pair,
-                F.aggregate(
-                    F.col("tokens"),
-                    F.array().cast("array<string>"),
-                    _merge_fold(a, b),
-                ),
-            ).otherwise(F.col("tokens")),
-        ).localCheckpoint(eager=False)
+            F.aggregate(
+                F.col("tokens"),
+                F.array().cast("array<string>"),
+                _merge_fold(a, b),
+            ),
+        )
+        if (i + 1) % merges_per_checkpoint == 0 and (i + 1) < len(merges):
+            out = out.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                _unpersist_checkpoint(prev_ck)
+            prev_ck = out
     return out
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free a superseded local checkpoint's block-manager storage.
+
+    DataFrame.localCheckpoint exposes no unpersist handle; the backing RDD
+    sits inside the LogicalRDD node of the checkpointed frame's analyzed
+    plan.  Only call this once every downstream consumer has materialized —
+    a local checkpoint's lineage is truncated, so its blocks cannot be
+    recomputed.  Best-effort: storage cleanup must never fail a query.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — py4j surface may shift across versions
+        pass
 
 
 def bpe_tokenize(

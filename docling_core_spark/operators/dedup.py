@@ -194,7 +194,9 @@ def _shingles(col, n: int = 3):
     return shingle_grams(norm_words(col), n)
 
 
-def cap_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> DataFrame:
+def cap_hot_buckets(
+    banded: DataFrame, keys: tuple, max_bucket_size: int, id_col: str = "doc_id"
+) -> DataFrame:
     """Skew-safe LSH bucket cap: two-phase count + broadcast + hash gate.
 
     Phase 1 counts bucket sizes with an ordinary hash-aggregate (map-side
@@ -202,7 +204,7 @@ def cap_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> Dat
     keys — a tiny frame at any scale (a 100 TB crawl has few mass-boilerplate
     buckets, by definition of "oversized").  Phase 2 broadcasts that key set
     and thins members of oversized buckets with a deterministic per-row gate:
-    keep iff ``hash60(doc_id:*keys) % bucket_count < max_bucket_size`` —
+    keep iff ``hash60(id_col:*keys) % bucket_count < max_bucket_size`` —
     expected ``max_bucket_size`` survivors per hot bucket, every row decided
     independently map-side.  No window, no per-bucket sort, no single task
     ever holds a whole hot bucket (the row_number cap this replaces sorted
@@ -221,7 +223,7 @@ def cap_hot_buckets(banded: DataFrame, keys: tuple, max_bucket_size: int) -> Dat
     counts = (
         banded.groupBy(*keys).count().filter(F.col("count") > max_bucket_size)
     )
-    gate_src = F.concat_ws(":", F.col("doc_id"), *[F.col(k) for k in keys])
+    gate_src = F.concat_ws(":", F.col(id_col), *[F.col(k) for k in keys])
     gate = F.conv(F.substring(F.md5(gate_src), 1, 15), 16, 10).cast("long")
     return (
         banded.join(F.broadcast(counts), list(keys), "left")

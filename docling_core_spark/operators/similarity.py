@@ -12,15 +12,16 @@ Scale design:
   partition the table by it and every query prunes to 1/2^n_planes of the
   data.  ``ann_lsh_topk`` accepts the prebucketed frame so repeated queries
   never recompute projections.
-- ``embedding_cosine_dedup`` caps candidates per bucket (row_number window)
-  so a degenerate bucket cannot go quadratic at 100x data.
+- ``embedding_cosine_dedup`` caps candidates per bucket with the skew-safe
+  ``dedup.cap_hot_buckets`` hash gate (no window, no per-bucket sort) so a
+  degenerate bucket cannot go quadratic at 100x data.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from docling_core_spark.operators.canon import canonical_order
 
@@ -183,16 +184,19 @@ def embedding_cosine_dedup(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: SRP-bucketed candidate join + cosine verify.
 
-    Buckets are capped at max_bucket_size members (deterministic by vec_id)
-    so a degenerate all-similar corpus cannot trigger a quadratic bucket join.
+    Buckets over max_bucket_size members are thinned by the skew-safe
+    ``dedup.cap_hot_buckets`` gate (two-phase count + broadcast oversized
+    keys + deterministic md5-60 hash gate, zero Window nodes) — the same
+    mechanism as minhash/simhash, so a degenerate all-similar corpus cannot
+    trigger a quadratic bucket join and no single task ever sorts a whole
+    hot bucket.  The gate is mirrored in oracle_expected._build_similarity.
     """
+    from docling_core_spark.operators.dedup import cap_hot_buckets
+
     wb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "v", srp_bucket_expr(F.col("v"), n_planes, seed=7).alias("bucket"))
-    cap_w = Window.partitionBy("bucket").orderBy("vec_id")
-    wb = wb.withColumn("_rn", F.row_number().over(cap_w)).filter(
-        F.col("_rn") <= max_bucket_size
-    ).drop("_rn")
+    wb = cap_hot_buckets(wb, ("bucket",), max_bucket_size, id_col="vec_id")
     pairs = (
         wb.alias("a")
         .join(wb.alias("b"), "bucket")

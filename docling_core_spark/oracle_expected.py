@@ -559,14 +559,28 @@ def _build_similarity(sf_dir: str, out: Path) -> None:
             vecs[vid + dup_offset] = vecs[vid]
             labels[vid + dup_offset] = labels[vid]
 
-    # n_planes=4, seed=7, threshold=0.95, cap 1024
+    # n_planes=4, seed=7, threshold=0.95, cap 1024 — oversized buckets thin
+    # via the deterministic md5-60 gate (dedup.cap_hot_buckets mirror, same
+    # as the minhash/simhash oracles; id_col is vec_id here)
+    cap = 1024
     w4 = _srp_weights(4, dim, 7)
     groups: dict[int, list[int]] = {}
     for vid, v in vecs.items():
         groups.setdefault(_srp_bucket(v, w4), []).append(vid)
     pairs = []
-    for members in groups.values():
-        members = sorted(members)[:1024]
+    for bucket, members in groups.items():
+        cnt = len(members)
+        if cnt > cap:
+            members = [
+                vid
+                for vid in members
+                if int(
+                    hashlib.md5(f"{vid}:{bucket}".encode()).hexdigest()[:15], 16
+                )
+                % cnt
+                < cap
+            ]
+        members = sorted(members)
         for i, a in enumerate(members):
             for b in members[i + 1 :]:
                 cs = _round_half_up(_cosine(vecs[a], vecs[b]), 5)
@@ -833,7 +847,13 @@ def _build_warc_ingest(sf_dir: str, out: Path) -> None:
             rows.append(
                 {
                     "url": r["url"],
-                    "warc_ts_s": r["warc_ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                    # unparseable / absent WARC-Date -> null, identically to
+                    # the Spark path (date_format over a null timestamp)
+                    "warc_ts_s": (
+                        r["warc_ts"].strftime("%Y-%m-%d %H:%M:%S")
+                        if r["warc_ts"] is not None
+                        else None
+                    ),
                     "n_bytes": len(r["html"]),
                 }
             )

@@ -118,13 +118,28 @@ def _split_http_response(payload: bytes) -> tuple[dict, bytes]:
 
 
 def _parse_warc_date(value: Optional[str]) -> Optional[datetime.datetime]:
-    """WARC-Date (ISO 8601 Zulu) -> naive UTC datetime, None if unparseable."""
+    """WARC-Date (ISO 8601 Zulu) -> naive UTC datetime, None if unparseable.
+
+    WARC 1.1 (ISO 28500:2017) permits fractional seconds of any precision
+    (e.g. ``2017-01-01T00:00:00.123456Z``); WARC 1.0 is whole-second.  Both
+    parse; anything else degrades to a null timestamp, never a task error.
+    """
     if not value:
         return None
-    try:
-        return datetime.datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
-    except ValueError:
-        return None
+    v = value
+    if "." in v and v.endswith("Z"):
+        # strptime %f takes at most 6 fraction digits; the spec allows any
+        # precision, so truncate (sub-microsecond is below Spark's
+        # TimestampType resolution anyway)
+        head, _, frac = v[:-1].partition(".")
+        if frac.isdigit():
+            v = f"{head}.{frac[:6]}Z"
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.datetime.strptime(v, fmt)
+        except ValueError:
+            continue
+    return None
 
 
 def warc_response_rows(data: bytes) -> Iterator[dict]:

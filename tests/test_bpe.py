@@ -210,3 +210,18 @@ def test_train_empty_and_whitespace_corpus(spark):
         assert bpe_train(docs, num_merges=5).count() == 0
         assert bpe_train(docs, num_merges=5, merges_per_round=4).count() == 0
         assert bpe_tokenize(docs, num_merges=5).count() == 0
+
+
+def test_training_and_replay_bound_blockmanager_storage(spark):
+    """Round-8 ADVICE: the per-round localCheckpoints must not accumulate —
+    superseded rounds unpersist as the loop advances, so a full train +
+    replay leaves only a handful of persisted RDDs (was: one pinned copy of
+    the word table per merge, ~num_merges copies for the whole job)."""
+    from docling_core_spark.operators.bpe import bpe_tokenize
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert bpe_tokenize(docs, num_merges=40).count() > 0
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # train leaves <=2 live round checkpoints; replay <=2 window checkpoints
+    assert after - before <= 4, f"leaked {after - before} persisted RDDs"

@@ -184,3 +184,34 @@ def test_cap_hot_buckets_multi_band_membership(spark):
         return h % 30 < 4
 
     assert sorted(band0) == [d for d in range(30) if gate(d)]
+
+def test_embedding_dedup_cap_gate_matches_python_mirror(spark):
+    """Round-8: embedding_cosine_dedup's bucket cap is the same skew-safe
+    cap_hot_buckets hash gate as minhash/simhash (keyed by vec_id) — a hot
+    SRP bucket thins to the md5-60 survivor set, reproduced exactly in pure
+    python (the oracle-mirror contract); the default 1024 cap never fires
+    at test scale, so this drives it at cap=3 over a 20-member bucket."""
+    import hashlib
+
+    from docling_core_spark.operators.similarity import embedding_cosine_dedup
+    from docling_core_spark.oracle_expected import _srp_bucket, _srp_weights
+
+    dim, n, cap = 8, 20, 3
+    vec = [0.5] * dim  # identical vectors: one bucket, cosine 1.0 pairs
+    emb = spark.createDataFrame(
+        [(i, 0, vec) for i in range(n)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_dedup(emb, max_bucket_size=cap).collect()
+    }
+    bucket = _srp_bucket([float(x) for x in vec], _srp_weights(4, dim, 7))
+    survivors = sorted(
+        i
+        for i in range(n)
+        if int(hashlib.md5(f"{i}:{bucket}".encode()).hexdigest()[:15], 16) % n < cap
+    )
+    assert 0 < len(survivors) < n
+    want = {(a, b) for i, a in enumerate(survivors) for b in survivors[i + 1 :]}
+    assert got == want

@@ -52,8 +52,9 @@ def test_embedding_dedup_sort_is_gated(emb, monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
     plan = _plan(embedding_cosine_dedup(emb))
-    # the bucket-cap window keeps its local sort; what the gate must drop is
-    # the trailing GLOBAL sort of the pair output (range exchange + sort)
+    # what the gate must drop is the trailing GLOBAL sort of the pair
+    # output (range exchange + sort); since round 8 there is no bucket-cap
+    # window either (cap_hot_buckets hash gate)
     assert "Exchange rangepartitioning" not in plan
     monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "1")
     assert "Exchange rangepartitioning" in _plan(embedding_cosine_dedup(emb))
@@ -202,16 +203,23 @@ def test_corpus_prep_pipeline_is_one_scan_one_shuffle(docs, monkeypatch):
     assert "partial_min_by" in plan
 
 
-def test_lsh_bucket_caps_have_no_window(docs):
-    """The minhash/simhash skew caps are two-phase partial-agg + broadcast
-    hash gates — never a row_number window (which would sort an unbounded
-    hot bucket in one task).  Pins the round-7 cap_hot_buckets rewrite."""
+def test_lsh_bucket_caps_have_no_window(docs, emb):
+    """The minhash/simhash/embedding skew caps are two-phase partial-agg +
+    broadcast hash gates — never a row_number window (which would sort an
+    unbounded hot bucket in one task).  Pins the round-7 cap_hot_buckets
+    rewrite, extended to embedding_cosine_dedup in round 8 (the last
+    row_number bucket cap in the repo)."""
     from docling_core_spark.operators.dedup import (
         minhash_lsh_duplicates,
         simhash_duplicates,
     )
+    from docling_core_spark.operators.similarity import embedding_cosine_dedup
 
-    for df in (minhash_lsh_duplicates(docs), simhash_duplicates(docs)):
+    for df in (
+        minhash_lsh_duplicates(docs),
+        simhash_duplicates(docs),
+        embedding_cosine_dedup(emb),
+    ):
         plan = _plan(df)
         assert "Window" not in plan
         # the oversized-bucket key set is broadcast, not shuffled

@@ -173,3 +173,47 @@ def test_roundtrip_with_hostile_bodies():
     for per_gzip in (False, True):
         got = list(warc_response_rows(build_warc(recs, per_record_gzip=per_gzip)))
         assert [r["html"] for r in got] == hostile
+
+
+def test_warc11_fractional_dates_and_unparseable_date_null():
+    """Round-8 ADVICE: WARC 1.1 fractional-second WARC-Date values must
+    parse (any precision, truncated to microseconds); garbage dates become
+    null timestamps in BOTH the Spark path and the oracle builder (no
+    AttributeError divergence)."""
+    from docling_core_spark.sources.warc import _parse_warc_date
+
+    assert _parse_warc_date("2021-03-04T05:06:07Z") == datetime.datetime(
+        2021, 3, 4, 5, 6, 7
+    )
+    assert _parse_warc_date("2021-03-04T05:06:07.123456Z") == datetime.datetime(
+        2021, 3, 4, 5, 6, 7, 123456
+    )
+    # WARC 1.1 allows ANY precision — 9 digits truncates to microseconds
+    assert _parse_warc_date("2021-03-04T05:06:07.123456789Z") == datetime.datetime(
+        2021, 3, 4, 5, 6, 7, 123456
+    )
+    assert _parse_warc_date("2021-03-04T05:06:07.5Z") == datetime.datetime(
+        2021, 3, 4, 5, 6, 7, 500000
+    )
+    for bogus in (None, "", "not-a-date", "2021-03-04 05:06:07", "2021-13-99T05:06:07.xZ"):
+        assert _parse_warc_date(bogus) is None
+
+
+def test_null_warc_ts_flows_through_parser(tmp_path):
+    """A response record with an unparseable WARC-Date yields a row with
+    warc_ts=None (never a crash) from the shared parser BOTH engines use."""
+    from docling_core_spark.sources.warc import CRLF, warc_response_rows
+
+    body = b"HTTP/1.1 200 OK" + CRLF + CRLF + b"<html><p>x</p></html>"
+    rec = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: response" + CRLF
+        + b"WARC-Target-URI: https://example.com/nodate" + CRLF
+        + b"WARC-Date: bogus-date" + CRLF
+        + b"Content-Length: " + str(len(body)).encode() + CRLF + CRLF
+        + body + CRLF + CRLF
+    )
+    rows = list(warc_response_rows(rec))
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://example.com/nodate"
+    assert rows[0]["warc_ts"] is None
