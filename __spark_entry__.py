@@ -135,13 +135,16 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-mile ingestion check: parse deterministic .warc.gz segments
     (per-record gzip members, the Common Crawl layout) into the pages
     table; the oracle parses the SAME files with the same pure-python
-    record parser single-process."""
+    record parser single-process.  Runs through the offset-indexed
+    range-split path (split_bytes) so the driver hash covers the
+    intra-file parallel reader, not just the whole-file fallback — rows
+    are identical by the split-parity contract (tests/test_warc.py)."""
     from docling_core_spark.sources.warc import demo_warc_dir, warc_pages_df
 
     _ensure_package(spark)
     path = demo_warc_dir(sf_dir)
     return _ord(
-        warc_pages_df(spark, path + "/*.warc.gz").select(
+        warc_pages_df(spark, path + "/*.warc.gz", split_bytes=8192).select(
             "url",
             F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
             F.length("html").alias("n_bytes"),

@@ -18,10 +18,18 @@ source and parses inside ``mapInPandas`` — each WARC file is one row in,
 N page rows out.  Scale shape: files are the parallel unit (Common Crawl
 ships ~1 GB segments, one task each; list-partition pruning on the path
 glob), parsing is map-only, and malformed records are per-record isolated
-(skipped with a counter) — one corrupt segment never fails a task.  For
-truly jumbo single files the per-member gzip framing admits offset-indexed
-range splits; that indexing step is documented, not implemented, because
-the env has no real crawl data to index.
+(skipped with a counter) — one corrupt segment never fails a task.
+
+Offset-indexed range splits (``split_bytes=``): per-record gzip framing
+means any byte range starting at a member boundary is independently
+decompressible, so jumbo segments parallelize BELOW file granularity:
+an index stage streams each file once through a zlib scanner (O(chunk)
+memory, decompressed output discarded) and emits (path, offset, length)
+split rows grouped to ~split_bytes of compressed data; the parse stage
+then reads only its range.  Peak task memory is bounded by the split
+size + one decompressed record, never a whole 1 GB segment in one Arrow
+row.  Plain uncompressed .warc files have no member boundaries and fall
+back to one split per file.
 """
 
 from __future__ import annotations
@@ -165,6 +173,97 @@ def warc_response_rows(data: bytes) -> Iterator[dict]:
 
 
 # ---------------------------------------------------------------------------
+# offset index (intra-file range splits for jumbo segments)
+# ---------------------------------------------------------------------------
+
+
+def scan_gzip_member_offsets(fileobj, chunk_size: int = 1 << 20) -> Iterator[int]:
+    """Yield the byte offset of every gzip member start in a concatenated-
+    member stream (the Common Crawl per-record layout), streaming.
+
+    One sequential decompression pass with the OUTPUT DISCARDED: memory is
+    O(chunk_size), independent of file or record size — this is the cheap
+    index scan that makes range splits possible.  Stops at the first byte
+    run that is not a valid gzip member (corrupt tail tolerance, same
+    contract as the record parser).
+    """
+    member_start = 0  # absolute offset of the member being consumed
+    consumed = 0  # compressed bytes of that member consumed so far
+    d = None  # active decompressobj; None = awaiting a new member
+    first = True
+    while True:
+        chunk = fileobj.read(chunk_size)
+        if not chunk:
+            return
+        if first:
+            while len(chunk) < 2:
+                more = fileobj.read(chunk_size)
+                if not more:
+                    return
+                chunk += more
+            if chunk[:2] != b"\x1f\x8b":
+                return  # not a gzip stream at all
+            first = False
+        while chunk:
+            if d is None:
+                if len(chunk) >= 2 and chunk[:2] != b"\x1f\x8b":
+                    return  # trailing non-gzip garbage: offsets so far good
+                # (a 1-byte chunk straddling a boundary is fed through;
+                # zlib buffers partial headers and errors on real garbage)
+                yield member_start
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                consumed = 0
+            try:
+                d.decompress(chunk)
+            except zlib.error:
+                return  # corrupt member: offsets so far are good
+            if not d.eof:
+                consumed += len(chunk)
+                break
+            tail = d.unused_data
+            member_start += consumed + (len(chunk) - len(tail))
+            d = None
+            chunk = tail
+
+
+def warc_split_rows(
+    local_path: str, target_split_bytes: int = 64 << 20
+) -> list[tuple[str, int, int]]:
+    """(path, offset, length) splits of one .warc.gz file, each starting at
+    a gzip member boundary and covering ~target_split_bytes of COMPRESSED
+    data (a split never cuts a member).  A plain .warc (or an unscannable
+    file) is one whole-file split — correctness never depends on the index.
+    """
+    import os
+
+    size = os.path.getsize(local_path)
+    if size == 0:
+        return []
+    with open(local_path, "rb") as f:
+        offsets = list(scan_gzip_member_offsets(f))
+    if not offsets:
+        return [(local_path, 0, size)]
+    bounds = offsets + [size]
+    splits: list[tuple[str, int, int]] = []
+    start = bounds[0]
+    for i in range(1, len(bounds)):
+        if bounds[i] - start >= target_split_bytes or i == len(bounds) - 1:
+            splits.append((local_path, start, bounds[i] - start))
+            start = bounds[i]
+    return splits
+
+
+def _strip_file_scheme(path: str) -> str:
+    """binaryFile paths arrive as file:/abs or file:///abs URIs locally."""
+    if path.startswith("file:"):
+        rest = path[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return path
+
+
+# ---------------------------------------------------------------------------
 # writer (tests + round-trip proof)
 # ---------------------------------------------------------------------------
 
@@ -253,17 +352,7 @@ def demo_warc_dir(sf_dir: str, n_files: int = 4) -> str:
     return out_dir
 
 
-def warc_pages_df(spark, path: str, default_lang: Optional[str] = None):
-    """Read .warc / .warc.gz files into the web-pages table shape
-    (url, warc_ts, html, text, lang).
-
-    binaryFile source -> one row per file -> mapInPandas parse.  ``text``
-    is NULL (extraction produces it) and ``lang`` defaults to NULL unless
-    given — language_id runs downstream.  Malformed records are skipped
-    per record; a corrupt file tail stops that file's parse cleanly
-    without failing the task (per-row isolation at the record level).
-    """
-    import pandas as pd
+def _pages_schema():
     from pyspark.sql.types import (
         BinaryType,
         StringType,
@@ -272,7 +361,7 @@ def warc_pages_df(spark, path: str, default_lang: Optional[str] = None):
         TimestampType,
     )
 
-    schema = StructType(
+    return StructType(
         [
             StructField("url", StringType()),
             StructField("warc_ts", TimestampType()),
@@ -282,26 +371,109 @@ def warc_pages_df(spark, path: str, default_lang: Optional[str] = None):
         ]
     )
 
+
+def _rows_from_bytes(data: bytes, default_lang: Optional[str]) -> list[dict]:
+    try:
+        recs = list(warc_response_rows(data))
+    except Exception:  # noqa: BLE001 — file-level isolation: one hostile/
+        # corrupt archive yields zero rows, never a failed task (same
+        # contract as extract_pages rows)
+        recs = []
+    return [
+        {
+            "url": r["url"],
+            "warc_ts": r["warc_ts"],
+            "html": r["html"],
+            "text": None,
+            "lang": default_lang,
+        }
+        for r in recs
+    ]
+
+
+def warc_split_index_df(spark, path: str, target_split_bytes: int = 64 << 20):
+    """(path, offset, length) split table for .warc.gz files under ``path``.
+
+    The listing comes from the binaryFile source with ONLY metadata columns
+    projected (column pruning keeps file bytes out of the scan); each file
+    is then streamed once through the member scanner inside mapInPandas —
+    the index stage parallelizes per file and costs one decompression pass
+    with O(1 MB) memory, no record materialization.
+    """
+    import pandas as pd
+
+    def index(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                try:
+                    for sp, off, ln in warc_split_rows(
+                        _strip_file_scheme(p), target_split_bytes
+                    ):
+                        rows.append({"path": sp, "offset": off, "length": ln})
+                except Exception:  # noqa: BLE001 — unreadable file: no splits
+                    pass
+            yield pd.DataFrame(rows, columns=["path", "offset", "length"])
+
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return files.mapInPandas(index, schema="path string, offset long, length long")
+
+
+def warc_pages_df(
+    spark,
+    path: str,
+    default_lang: Optional[str] = None,
+    split_bytes: Optional[int] = None,
+):
+    """Read .warc / .warc.gz files into the web-pages table shape
+    (url, warc_ts, html, text, lang).
+
+    Default: binaryFile source -> one row per file -> mapInPandas parse.
+    With ``split_bytes``, the two-stage offset-index path runs instead:
+    index each file's gzip member boundaries, repartition the (path,
+    offset, length) splits across the cluster, and each task reads ONLY
+    its byte range (independently decompressible — members never span
+    splits), so a jumbo Common Crawl segment parallelizes intra-file and
+    peak task memory is bounded by the split size, not the file size.
+
+    ``text`` is NULL (extraction produces it) and ``lang`` defaults to
+    NULL unless given — language_id runs downstream.  Malformed records
+    are skipped per record; a corrupt file tail stops that file's parse
+    cleanly without failing the task (per-row isolation at the record
+    level).
+    """
+    import pandas as pd
+
+    schema = _pages_schema()
+
+    if split_bytes is not None:
+
+        def run_ranges(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                rows = []
+                for p, off, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                    try:
+                        with open(_strip_file_scheme(str(p)), "rb") as f:
+                            f.seek(int(off))
+                            data = f.read(int(ln))
+                    except OSError:
+                        continue  # file vanished between index and read
+                    rows.extend(_rows_from_bytes(data, default_lang))
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                )
+
+        splits = warc_split_index_df(spark, path, split_bytes)
+        # splits are tiny rows; spread them so every core parses ranges even
+        # when the file listing had fewer files than tasks
+        n_parts = spark.sparkContext.defaultParallelism
+        return splits.repartition(n_parts).mapInPandas(run_ranges, schema=schema)
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                try:
-                    recs = list(warc_response_rows(bytes(content)))
-                except Exception:  # noqa: BLE001 — file-level isolation:
-                    # one hostile/corrupt archive yields zero rows, never a
-                    # failed task (same contract as extract_pages rows)
-                    recs = []
-                for r in recs:
-                    rows.append(
-                        {
-                            "url": r["url"],
-                            "warc_ts": r["warc_ts"],
-                            "html": r["html"],
-                            "text": None,
-                            "lang": default_lang,
-                        }
-                    )
+                rows.extend(_rows_from_bytes(bytes(content), default_lang))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

@@ -217,3 +217,104 @@ def test_null_warc_ts_flows_through_parser(tmp_path):
     assert len(rows) == 1
     assert rows[0]["url"] == "https://example.com/nodate"
     assert rows[0]["warc_ts"] is None
+
+
+def _member_offsets_expected(recs):
+    """Ground-truth member offsets: build_warc writes one gzip.compress
+    member per record, so offsets are the cumulative compressed sizes."""
+    import gzip as _gzip
+
+    from docling_core_spark.sources.warc import CRLF, build_warc  # noqa: F401
+
+    sizes, data = [], b""
+    for r in recs:
+        one = build_warc([r], per_record_gzip=True)
+        sizes.append(len(one))
+        data += one
+    offs, acc = [], 0
+    for s in sizes:
+        offs.append(acc)
+        acc += s
+    return data, offs
+
+
+def test_scan_gzip_member_offsets_exact_and_chunk_edges():
+    import io
+
+    from docling_core_spark.sources.warc import scan_gzip_member_offsets
+
+    recs = _demo_records(6)
+    data, want = _member_offsets_expected(recs)
+    # any chunk size must give identical offsets — including tiny chunks
+    # that straddle member boundaries mid-magic
+    for chunk in (1 << 20, 4096, 37, 7, 1):
+        got = list(scan_gzip_member_offsets(io.BytesIO(data), chunk_size=chunk))
+        assert got == want, f"chunk_size={chunk}"
+    # corrupt tail: offsets up to the garbage are kept, then the scan stops
+    got = list(
+        scan_gzip_member_offsets(io.BytesIO(data + b"GARBAGE"), chunk_size=64)
+    )
+    assert got == want
+    # non-gzip input: no offsets
+    assert list(scan_gzip_member_offsets(io.BytesIO(b"WARC/1.0\r\n"))) == []
+
+
+def test_warc_split_rows_invariants(tmp_path):
+    from docling_core_spark.sources.warc import build_warc, warc_split_rows
+
+    recs = _demo_records(9)
+    data, offs = _member_offsets_expected(recs)
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(data)
+    # tiny target: one split per member
+    splits = warc_split_rows(str(p), target_split_bytes=1)
+    assert [s[1] for s in splits] == offs
+    assert sum(s[2] for s in splits) == len(data)
+    # huge target: one split for the whole file
+    assert warc_split_rows(str(p), target_split_bytes=1 << 30) == [
+        (str(p), 0, len(data))
+    ]
+    # mid target: every split starts on a member boundary and covers all
+    mid = warc_split_rows(str(p), target_split_bytes=len(data) // 3)
+    assert all(s[1] in set(offs) for s in mid)
+    assert 1 < len(mid) < len(offs)
+    assert sum(s[2] for s in mid) == len(data)
+    # plain (non-gzip) warc: whole-file fallback split
+    plain = tmp_path / "seg.warc"
+    plain.write_bytes(build_warc(recs, per_record_gzip=False))
+    assert warc_split_rows(str(plain), target_split_bytes=1) == [
+        (str(plain), 0, plain.stat().st_size)
+    ]
+
+
+def test_range_splits_parse_byte_identical_to_whole_file(spark, tmp_path):
+    """VERDICT r7 #5: N offset-indexed range splits must produce exactly the
+    rows of the whole-file parse — same urls, same timestamps, same html
+    bytes — while parallelizing below file granularity."""
+    from docling_core_spark.sources.warc import build_warc, warc_pages_df, warc_split_index_df
+
+    for i in range(3):
+        recs = [
+            {
+                "url": f"https://example.com/f{i}/p{j}",
+                "warc_ts": datetime.datetime(2021, 5, 1 + i, 0, 0, j),
+                "html": f"<html><p>file {i} page {j} body</p></html>".encode(),
+            }
+            for j in range(8)
+        ]
+        (tmp_path / f"seg-{i}.warc.gz").write_bytes(
+            build_warc(recs, per_record_gzip=True)
+        )
+    glob = str(tmp_path / "*.warc.gz")
+    key = lambda r: r.url  # noqa: E731
+    whole = sorted(warc_pages_df(spark, glob).collect(), key=key)
+    split = sorted(
+        warc_pages_df(spark, glob, split_bytes=1).collect(), key=key
+    )
+    assert len(whole) == 24
+    assert [(r.url, r.warc_ts, bytes(r.html)) for r in whole] == [
+        (r.url, r.warc_ts, bytes(r.html)) for r in split
+    ]
+    # the index stage really produced intra-file splits (one per member)
+    n_splits = warc_split_index_df(spark, glob, 1).count()
+    assert n_splits == 24
