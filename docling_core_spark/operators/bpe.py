@@ -135,6 +135,8 @@ def bpe_train(
     min_pair_count: int = 2,
     words: Optional[DataFrame] = None,
     merges_per_round: int = 1,
+    checkpoint_dir: Optional[str] = None,
+    _fault_after_round: Optional[int] = None,
 ) -> DataFrame:
     """Train a BPE merge list over the corpus.
 
@@ -152,15 +154,47 @@ def bpe_train(
     outrank a later selection, so the result can differ from strictly
     sequential training (it is still a valid, deterministic BPE vocab).
     The oracle-checked default K=1 is exactly sequential.
+
+    ``checkpoint_dir``: opt-in round-level resume.  The complete driver
+    state of a round is the merge list itself, so each round commits it to
+    the ``_rounds`` log (sources/checkpoint.py); a restarted job reloads
+    the committed merges and rebuilds the symbol state by REPLAYING them
+    over a fresh word table (training folds and replay folds are the same
+    deterministic greedy fold, so the rebuilt state is exactly what the
+    killed run held), then continues from the next round — training a 32k
+    vocab survives driver failure without restarting from merge zero.
+    ``_fault_after_round`` is the test chaos hook: raise after committing
+    round k, the window a real crash leaves behind.
     """
+    from docling_core_spark.sources.checkpoint import commit_round, last_committed_round
+
     spark = docs.sparkSession
     if words is None:
         words = word_freqs(docs)
-    words = words.select(
-        "freq", _initial_symbols(F.col("word")).alias("symbols")
-    ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, str, int]] = []
+    round_no = 0
+    if checkpoint_dir is not None:
+        rec = last_committed_round(checkpoint_dir)
+        if rec is not None:
+            merges = [tuple(m) for m in rec["merges"]]
+            round_no = rec["round"]
+            if rec.get("done"):
+                return spark.createDataFrame(
+                    merges,
+                    "rank int, left string, right string, merged string, pair_count bigint",
+                ).transform(lambda d: canonical_order(d, "rank"))
+    if merges:
+        words = (
+            apply_merges(words, [(a, b) for _, a, b, _, _ in merges])
+            .select("freq", F.col("tokens").alias("symbols"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        words = words.select(
+            "freq", _initial_symbols(F.col("word")).alias("symbols")
+        ).localCheckpoint(eager=False)
+
     superseded: Optional[DataFrame] = None
     while len(merges) < num_merges:
         k = min(merges_per_round, num_merges - len(merges))
@@ -200,6 +234,10 @@ def bpe_train(
             superseded = None
         batch = _select_disjoint_batch(cands, k, min_pair_count)
         if not batch:
+            if checkpoint_dir is not None:
+                commit_round(
+                    checkpoint_dir, round_no + 1, {"merges": merges, "done": True}
+                )
             break
         col = F.col("symbols")
         for a, b, cnt in batch:
@@ -229,6 +267,17 @@ def bpe_train(
         # (the returned frame is RDD-backed), so each round compiles exactly
         # K folds deep; materialization rides the next round's action —
         # one job per ROUND, not per merge
+        round_no += 1
+        if checkpoint_dir is not None:
+            commit_round(
+                checkpoint_dir,
+                round_no,
+                {"merges": merges, "done": len(merges) >= num_merges},
+            )
+        if _fault_after_round is not None and round_no >= _fault_after_round:
+            raise RuntimeError(
+                f"injected fault after committed round {round_no} (chaos hook)"
+            )
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     ).transform(lambda d: canonical_order(d, "rank"))

@@ -323,6 +323,8 @@ def duplicate_clusters(
     max_iterations: int = 25,
     convergence_check_every: int = 2,
     checkpoint_every: int = 5,
+    checkpoint_dir: Optional[str] = None,
+    _fault_after_round: Optional[int] = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph (cluster assignment).
 
@@ -342,6 +344,14 @@ def duplicate_clusters(
 
     Returns (doc_id, cluster_id, cluster_size) for every document that has at
     least one duplicate, cluster_id = min doc_id of the component.
+
+    ``checkpoint_dir``: opt-in round-level resume (sources/checkpoint.py
+    _rounds protocol).  The durable state of round i is the labels table:
+    on each convergence-check round the labels are written to a per-round
+    parquet (data BEFORE the commit record) and a restarted job reloads the
+    last committed labels and continues propagation from round i+1 — the
+    reload also serves as the plan cut.  ``_fault_after_round`` is the test
+    chaos hook (raise after the commit, the window a real crash leaves).
     """
     if pairs is None:
         pairs = minhash_lsh_duplicates(docs)
@@ -350,11 +360,27 @@ def duplicate_clusters(
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).cache()
+    spark = pairs.sparkSession
+    start_i = 0
     converged = False
-    for i in range(1, max_iterations + 1):
+    labels = None
+    if checkpoint_dir is not None:
+        from docling_core_spark.sources.checkpoint import last_committed_round, round_state_path
+
+        rec = last_committed_round(checkpoint_dir)
+        if rec is not None:
+            start_i = rec["round"]
+            converged = bool(rec.get("converged"))
+            labels = spark.read.parquet(
+                round_state_path(checkpoint_dir, start_i, "labels")
+            ).cache()
+    if labels is None:
+        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        ).cache()
+    for i in range(start_i + 1, max_iterations + 1):
+        if converged:
+            break
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
@@ -383,6 +409,20 @@ def duplicate_clusters(
             labels = new_labels
             if changed == 0:
                 converged = True
+            if checkpoint_dir is not None:
+                from docling_core_spark.sources.checkpoint import (
+                    commit_round,
+                    round_state_path,
+                )
+
+                state = round_state_path(checkpoint_dir, i, "labels")
+                labels.write.mode("overwrite").parquet(state)
+                commit_round(checkpoint_dir, i, {"converged": converged})
+                if _fault_after_round is not None and i >= _fault_after_round:
+                    raise RuntimeError(
+                        f"injected fault after committed round {i} (chaos hook)"
+                    )
+            if converged:
                 break
         else:
             labels.unpersist()

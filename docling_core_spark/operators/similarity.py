@@ -240,7 +240,11 @@ def _quantized(col):
 
 
 def kmeans_refined_centroids(
-    embeddings: DataFrame, n_centroids: int = 16, iterations: int = 2
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    checkpoint_dir: Optional[str] = None,
+    _fault_after_round: Optional[int] = None,
 ) -> DataFrame:
     """Lloyd's-iteration refinement of the deterministic IVF coarse
     quantizer: repeat (map-side nearest-centroid assignment via the ONE-row
@@ -260,12 +264,31 @@ def kmeans_refined_centroids(
         "qv",
         F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev"),
     )
-    cents = (
-        qvecs.select(F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv"))
-        .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
-        .limit(n_centroids)
-    )
-    for _ in range(iterations):
+    start_it = 0
+    cents = None
+    if checkpoint_dir is not None:
+        # opt-in round resume (sources/checkpoint.py _rounds protocol): the
+        # durable state of a Lloyd round is the centroid table (n_centroids
+        # x dim doubles — tiny); each completed round writes it to a
+        # per-round parquet before its commit record, and a restarted job
+        # reloads the last committed centroids and runs only the remaining
+        # rounds.  Quantized-integer arithmetic keeps the resumed result
+        # bit-identical to an uninterrupted run.
+        from docling_core_spark.sources.checkpoint import last_committed_round, round_state_path
+
+        rec = last_committed_round(checkpoint_dir)
+        if rec is not None:
+            start_it = rec["round"]
+            cents = embeddings.sparkSession.read.parquet(
+                round_state_path(checkpoint_dir, start_it, "centroids")
+            )
+    if cents is None:
+        cents = (
+            qvecs.select(F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv"))
+            .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
+            .limit(n_centroids)
+        )
+    for _it in range(start_it, iterations):
         cent_row = F.broadcast(
             cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
         )
@@ -320,7 +343,19 @@ def kmeans_refined_centroids(
                 "centroid_id", F.coalesce("cv", "old_cv").alias("cv")
             )
         )
-        if iterations > 2:
+        if checkpoint_dir is not None:
+            from docling_core_spark.sources.checkpoint import commit_round, round_state_path
+
+            state = round_state_path(checkpoint_dir, _it + 1, "centroids")
+            cents.write.mode("overwrite").parquet(state)
+            commit_round(checkpoint_dir, _it + 1, {})
+            # re-read: durability AND the per-round plan cut in one step
+            cents = embeddings.sparkSession.read.parquet(state)
+            if _fault_after_round is not None and _it + 1 >= _fault_after_round:
+                raise RuntimeError(
+                    f"injected fault after committed round {_it + 1} (chaos hook)"
+                )
+        elif iterations > 2:
             # deep-iteration lineage cut: a real index build runs 10-20
             # Lloyd rounds, and without this each round stacks the full
             # assignment+recompute subtree on the cents plan (Catalyst

@@ -124,3 +124,50 @@ def run_checkpointed(
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read back the committed output across all buckets."""
     return spark.read.option("basePath", f"{out_dir}/data").parquet(f"{out_dir}/data/bucket=*")
+
+
+# ---------------------------------------------------------------------------
+# round-level checkpointing for ITERATIVE operators (bpe_train /
+# duplicate_clusters / k-means): the bucket protocol above shards one pass
+# over the data; these operators instead iterate a driver loop whose only
+# durable state per round is small (a merge list, a labels table, a handful
+# of centroids).  Protocol mirrors the bucket log: state parquet (if any)
+# BEFORE the round's commit record, atomic rename commit, resume = continue
+# after the highest committed round.  A crash between state write and
+# commit re-runs that round — idempotent because each round's state path is
+# overwritten whole.
+# ---------------------------------------------------------------------------
+
+
+def _rounds_path(out_dir: str) -> Path:
+    return Path(out_dir) / "_rounds"
+
+
+def round_state_path(out_dir: str, round_no: int, name: str) -> str:
+    """Deterministic per-round state directory (parquet) for DataFrames."""
+    return str(Path(out_dir) / "state" / f"round_{round_no:06d}_{name}")
+
+
+def last_committed_round(out_dir: str) -> Optional[dict]:
+    """The record of the highest committed round, or None for a fresh run.
+
+    Rounds commit sequentially with zero-padded names, so lexicographic
+    order is numeric order and the last file is the resume point.
+    """
+    p = _rounds_path(out_dir)
+    if not p.is_dir():
+        return None
+    files = sorted(p.glob("round_*.json"))
+    if not files:
+        return None
+    return json.loads(files[-1].read_text())
+
+
+def commit_round(out_dir: str, round_no: int, meta: dict) -> None:
+    """Atomically record round ``round_no`` as complete (write-then-rename,
+    same crash contract as the bucket commit)."""
+    p = _rounds_path(out_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    tmp = p / f".round_{round_no:06d}.json.tmp"
+    tmp.write_text(json.dumps({"round": round_no, **meta}))
+    tmp.rename(p / f"round_{round_no:06d}.json")
