@@ -93,7 +93,7 @@ class AzureSerializer(DocSerializer):
         }
         page = self.doc.pages.get(str(page_no)) or self.doc.pages.get(page_no)
         page_h = (page.get("size") or {}).get("height") if page else None
-        for i, row in enumerate(self._grid(data)):
+        for i, row in enumerate(self._grid_c(data)):
             for j, cell in enumerate(row):
                 if i != cell.get("start_row_offset_idx", i) or j != cell.get("start_col_offset_idx", j):
                     continue

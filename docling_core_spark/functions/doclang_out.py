@@ -433,19 +433,35 @@ class DocLangSerializer(DocSerializer):
     def _list_item_segment_sibling(self, child: dict) -> bool:
         return M.is_list_group(child) or M.is_picture_item(child)
 
+    def _segment_sibling_cref(self, cref: str) -> bool:
+        # ref-string classification avoids resolving non-candidates: only
+        # "#/pictures/N" and list-labelled "#/groups/N" qualify (same
+        # predicate as _list_item_segment_sibling, minus resolves for the
+        # text/table majority)
+        if cref.startswith("#/pictures/"):
+            return True
+        if cref.startswith("#/groups/"):
+            return M.is_list_group(self.doc.resolve(cref))
+        return False
+
     def _list_item_has_segment_siblings(self, item: dict) -> bool:
         for ref in item.get("children", ()):
-            if self._list_item_segment_sibling(self.doc.resolve(ref["$ref"])):
+            if self._segment_sibling_cref(ref["$ref"]):
                 return True
         parent = self.doc.parent_of(item)
         if parent is not None and M.is_list_group(parent):
             seen_self = False
+            my_sr = item["self_ref"]
             for ref in parent.get("children", ()):
-                child = self.doc.resolve(ref["$ref"])
-                if child is item:
+                cref = ref["$ref"]
+                if cref == my_sr:
                     seen_self = True
                     continue
-                if seen_self and M.is_list_group(child):
+                if (
+                    seen_self
+                    and cref.startswith("#/groups/")
+                    and M.is_list_group(self.doc.resolve(cref))
+                ):
                     return True
         return False
 

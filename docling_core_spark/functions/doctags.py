@@ -257,7 +257,7 @@ class DocTagsSerializer(DocSerializer):
         data = item.get("data") or {}
         if not data.get("table_cells"):
             return ""
-        grid = self._grid(data)
+        grid = self._grid_c(data)
         nrows, ncols = data.get("num_rows", 0), data.get("num_cols", 0)
         page_no = item["prov"][0]["page_no"] if item.get("prov") else 0
         dims = self._page_dims(page_no)

@@ -421,7 +421,7 @@ class HTMLSerializer(DocSerializer):
     def _table_html(self, item: dict, visited: Optional[set]) -> str:
         body = ""
         data = item.get("data") or {}
-        for i, row in enumerate(self._grid(data)):
+        for i, row in enumerate(self._grid_c(data)):
             body += "<tr>"
             for j, cell in enumerate(row):
                 if cell.get("start_row_offset_idx", i) != i or cell.get("start_col_offset_idx", j) != j:

@@ -58,6 +58,23 @@ _VOID_TAGS = frozenset(
 )
 
 
+# Fast tag tokenization: the stdlib parse_starttag walks
+# check_for_whole_start_tag + tagfind_tolerant + an attrfind_tolerant loop +
+# unescape per tag (~10% of row time).  The overwhelming majority of crawl
+# tags are trivially well-formed; one strict regex recognizes exactly those
+# and anything else falls back to HTMLParser's tolerant machinery, so the
+# fast path is parity-safe BY CONSTRUCTION: a match is unambiguous and its
+# CPython interpretation is (lowered tag, [(lowered name, literal value)...])
+# with no entity refs to unescape (the value class excludes '&').
+_FAST_START_RE = re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*="[^"<>&]*")*)'
+    r"\s*>"
+)
+_FAST_ATTR_RE = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)="([^"]*)"')
+_FAST_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+
+
 def _norm(text: str) -> str:
     return _WS_RE.sub(" ", text).strip()
 
@@ -91,6 +108,40 @@ class _DocHTMLParser(HTMLParser):
         # serve getpos(), which this parser never reads.  Token consumption
         # only needs the new index back.
         return j
+
+    def parse_starttag(self, i: int) -> int:
+        # Strict-match fast path (see _FAST_START_RE): one regex + one
+        # attr findall replaces the stdlib's four-regex tolerant walk.
+        # script/style defer to the stdlib path for cdata-mode setup;
+        # anything not strictly well-formed (self-closing, unquoted or
+        # entity-bearing attrs, bogus markup) falls back too.
+        m = _FAST_START_RE.match(self.rawdata, i)
+        if m is None:
+            return super().parse_starttag(i)
+        tag = m.group(1)
+        tag = tag.lower() if not tag.islower() else tag
+        if tag in self.CDATA_CONTENT_ELEMENTS:
+            return super().parse_starttag(i)
+        self.lasttag = tag
+        raw_attrs = m.group(2)
+        attrs = (
+            [(a.lower(), v) for a, v in _FAST_ATTR_RE.findall(raw_attrs)]
+            if raw_attrs
+            else []
+        )
+        self.handle_starttag(tag, attrs)
+        return m.end()
+
+    def parse_endtag(self, i: int) -> int:
+        if self.cdata_elem is not None:
+            # inside <script>/<style>: the stdlib path owns cdata-mode exit
+            return super().parse_endtag(i)
+        m = _FAST_END_RE.match(self.rawdata, i)
+        if m is None:
+            return super().parse_endtag(i)
+        tag = m.group(1)
+        self.handle_endtag(tag.lower() if not tag.islower() else tag)
+        return m.end()
 
     def __init__(self, doc: Doc, main_content_only: bool = True):
         super().__init__(convert_charrefs=True)

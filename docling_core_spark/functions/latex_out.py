@@ -226,7 +226,7 @@ class LaTeXSerializer(DocSerializer):
                 ann = self.serialize_annotations(item)
                 if ann.text:
                     parts.append(ann)
-            for row in self._grid(item.get("data") or {}):
+            for row in self._grid_c(item.get("data") or {}):
                 body_row = []
                 for cell in row:
                     if cell.get("ref"):

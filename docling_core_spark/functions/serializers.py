@@ -344,7 +344,8 @@ class DocSerializer:
         """Escapes, then formatting marks, then hyperlink wrap."""
         p = self.params
         res = text
-        if escape_underscores and p.escape_underscores:
+        if escape_underscores and p.escape_underscores and "_" in text:
+            # guard: the regex walk only matters when an underscore exists
             res = self._escape_underscores(text)
         if escape_html and p.escape_html:
             res = _html.escape(res, quote=False)
@@ -502,6 +503,24 @@ class DocSerializer:
             # cells outside bounds are clipped, matching the reference
         return grid
 
+    def _grid_c(self, data: dict) -> list[list[dict]]:
+        """Memoized :meth:`_grid`: all five formats walk the same immutable
+        table, so one dense-grid build feeds every serializer.  Keyed by the
+        data dict's identity; the entry pins the dict so its id cannot be
+        recycled while the memo lives.  Stored on ``doc.extra`` (never
+        dumped) and dropped by ``Doc._invalidate_memos`` on any mutation.
+        Callers never mutate the shared grid (cells are the original dicts).
+        """
+        if not data:
+            return []
+        memo = self.doc.extra.setdefault("_grid_memo", {})
+        e = memo.get(id(data))
+        if e is not None and e[0] is data:
+            return e[1]
+        g = self._grid(data)
+        memo[id(data)] = (data, g)
+        return g
+
     def _cell_text(self, cell: dict, visited: Optional[set] = None) -> str:
         """Resolve a cell's text; RichTableCells flatten their subtree."""
         if "ref" in cell and cell.get("ref"):
@@ -513,7 +532,7 @@ class DocSerializer:
 
     def _table_github_text(self, data: dict, visited: Optional[set] = None) -> str:
         rows = []
-        for row in self._grid(data):
+        for row in self._grid_c(data):
             rows.append(
                 [
                     self._cell_text(c, visited).replace("\n", " ").replace("|", "&#124;")
@@ -528,7 +547,7 @@ class DocSerializer:
         """Flatten a subtree to space-joined text (nested-table cells)."""
         parts: list[str] = []
         if M.is_table_item(item):
-            for row in self._grid(item["data"]):
+            for row in self._grid_c(item["data"]):
                 for cell in row:
                     if cell.get("text"):
                         parts.append(cell["text"])
@@ -599,7 +618,7 @@ class DocSerializer:
     def _table_dataframe(self, item: dict, visited: Optional[set]) -> tuple[list[str], list[list[str]]]:
         """(columns, body_rows) with multi-row headers dot-joined (table.py:95-136)."""
         data = item.get("data") or {}
-        grid = self._grid(data)
+        grid = self._grid_c(data)
         if data.get("num_rows", 0) == 0 or data.get("num_cols", 0) == 0:
             return [], []
         num_headers = 0

@@ -1130,14 +1130,52 @@ class Doc:
                             inside.update(chain)
                         out = memo[key] = [(it, d - d0) for it, d in sl[:cut]]
                         return out
-            out = memo[key] = list(
-                self.iterate_items(
-                    root=root,
-                    with_groups=with_groups,
-                    traverse_pictures=traverse_pictures,
-                    included_content_layers=layers,
-                )
+            out = memo[key] = self._iterate_items_list(
+                root=root,
+                with_groups=with_groups,
+                traverse_pictures=traverse_pictures,
+                included_content_layers=layers,
             )
+        return out
+
+    def _iterate_items_list(
+        self,
+        root: Optional[dict] = None,
+        with_groups: bool = False,
+        traverse_pictures: bool = False,
+        included_content_layers: Optional[set[str]] = None,
+    ) -> list[tuple[dict, int]]:
+        """:meth:`iterate_items` materialized without generator frames.
+
+        Same DFS loop with ``append`` in place of ``yield`` — the memoized
+        cache-miss walk paid one generator resumption per item (~140/doc in
+        the extract profile); mutation-safe consumers keep the lazy
+        :meth:`iterate_items`.  tests pin list == generator across flags.
+        """
+        layers = included_content_layers if included_content_layers is not None else DEFAULT_CONTENT_LAYERS
+        node = root if root is not None else self.body
+        resolve = self.resolve
+        out: list[tuple[dict, int]] = []
+        append = out.append
+        stack: list[tuple[dict, int]] = [(node, 0)]
+        group_arrays = _GROUP_ARRAYS | {BODY, FURNITURE}
+        while stack:
+            item, depth = stack.pop()
+            arr = ref_array(item["self_ref"])
+            grp = arr in group_arrays
+            if (not grp or with_groups) and content_layer(item) in layers:
+                append((item, depth))
+            children = item.get("children", ())
+            if not children:
+                continue
+            if not traverse_pictures and arr == "pictures":
+                allowed = {r["$ref"] for r in item.get("captions", ())}
+                kids = [resolve(r["$ref"]) for r in children if r["$ref"] in allowed]
+            else:
+                kids = [resolve(r["$ref"]) for r in children]
+            next_depth = depth + 1
+            for child in reversed(kids):
+                stack.append((child, next_depth))
         return out
 
     def _invalidate_memos(self) -> None:
@@ -1146,6 +1184,7 @@ class Doc:
         self.extra.pop("_cap_ftn_sets", None)
         self.extra.pop("_iter_memo", None)
         self.extra.pop("_excluded_memo", None)
+        self.extra.pop("_grid_memo", None)
 
     # ------------------------------------------------------------------
     # (De)serialization

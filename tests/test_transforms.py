@@ -122,3 +122,30 @@ def test_iterate_items_cached_slice_keeps_filtered_groups_descendants():
         want = list(doc.iterate_items(root=outer, **kw))
         assert [(it["self_ref"], d) for it, d in got] == [
             (it["self_ref"], d) for it, d in want], f"with_groups={wg}"
+
+
+def test_iterate_items_list_matches_generator_all_flags():
+    """_iterate_items_list (the memo's materialized DFS) must equal the
+    lazy iterate_items generator item-for-item under every flag combo."""
+    doc = Doc.from_dict(load_doc_json("doc/2106.09680v1.json"))
+    # furniture-layer item with a body child: exercises the yield-filter path
+    sib = doc.add_text("text", "furn", content_layer="furniture")
+    doc.add_text("text", "body-child", parent=sib, content_layer="body")
+    for with_groups in (False, True):
+        for traverse_pictures in (False, True):
+            for layers in (None, {"body"}, {"body", "furniture"}):
+                want = list(
+                    doc.iterate_items(
+                        with_groups=with_groups,
+                        traverse_pictures=traverse_pictures,
+                        included_content_layers=layers,
+                    )
+                )
+                got = doc._iterate_items_list(
+                    with_groups=with_groups,
+                    traverse_pictures=traverse_pictures,
+                    included_content_layers=layers,
+                )
+                assert [(id(it), d) for it, d in got] == [
+                    (id(it), d) for it, d in want
+                ]
