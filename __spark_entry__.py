@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe,
         decontam,
         dedup,
+        lm,
         packing,
         pii,
         profile,
@@ -307,7 +308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_collection_profile": lambda s, d: profile.extracted_collection_profile(
             _extracted(s, d)
         ),
-        "doc_concatenate_by_lang": lambda s, d: _docops(s, d, "concat"),
         "doc_page_chunks": lambda s, d: _docops(s, d, "page_chunks"),
         # --- text analysis (SQL-checked) ---
         "language_id": lambda s, d: textstats.language_id(_docs(s, d)),
@@ -342,6 +342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda s, d: decontam.decontaminate(
             _docs(s, d), decontam.eval_subset(_docs(s, d))
         ),
+        # CCNet-style LM perplexity filter (Wenzek 2020): bigram LM trained
+        # distributed on a deterministic 10% held-out slice, scores the full
+        # corpus map-side via broadcast joins (new r8 flagships)
+        "lm_perplexity_score": lambda s, d: lm.lm_score(_docs(s, d)),
+        "lm_train": lambda s, d: lm.lm_train(_docs(s, d)),
         # PII scrub over a deterministically PII-bearing demo corpus (the
         # raw synthetic text has no PII — vacuous otherwise)
         "pii_redact": lambda s, d: pii.pii_redact(pii.pii_demo_docs(_docs(s, d))),
@@ -384,7 +389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": lambda s, d: bpe.bpe_tokenize(_docs(s, d)),
         "code_chunks_python": lambda s, d: _synth_op(s, d, "code"),
         "code_chunks_java": lambda s, d: _synth_op(s, d, "code:java"),
-        "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
         "code_chunks_ts": lambda s, d: _synth_op(s, d, "code:ts"),
         # --- SVG visualizer overlays (layout/table/kv/reading-order) over
         # deterministically synthesized geometry; single-process oracle
@@ -414,6 +418,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stubbed-decode media variants (metadata above covers the plumbing)
         "media_image_features": lambda s, d: _media(s, "features"),
         "media_video_frames": lambda s, d: _media(s, "frames"),
+        # T4 concatenate demo (GT-covered by tests/test_transform GT suite;
+        # demoted r8 to make room for the lm_* flagships)
+        "doc_concatenate_by_lang": lambda s, d: _docops(s, d, "concat"),
+        # C family keeps python/java/ts in-window (demoted r8, same reason)
+        "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
         # JS shares the TS chunker (reference _JavaScriptFunctionChunker ==
         # TS with the JS grammar); code_chunks_ts above covers the family
         "code_chunks_js": lambda s, d: _synth_op(s, d, "code:js"),
@@ -453,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_core_spark.operators import (
         decontam,
         dedup,
+        lm,
         pii,
         profile,
         relational,
@@ -491,6 +501,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_report": textstats.curation_report_sql(),
         "latest_crawl": textstats.latest_crawl_sql(),
         "decontaminate": decontam.decontaminate_sql(),
+        "lm_perplexity_score": lm.lm_score_sql(),
+        "lm_train": lm.lm_train_sql(),
         "pii_redact": "WITH pii_demo AS ("
         + pii.pii_demo_docs_sql()
         + ") "

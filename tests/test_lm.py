@@ -1,0 +1,94 @@
+"""CCNet-style LM perplexity filter (operators/lm.py).
+
+Oracle value-parity is covered by tests/test_oracle_parity.py (the
+lm_perplexity_score / lm_train driver queries); this module pins the scale
+shape and the edge cases the oracle input cannot reach:
+- lm_score's corpus path has NO Window nodes and NO content shuffle — the
+  model reaches the corpus via broadcast joins only (the CCNet deployment
+  shape: small artifact, map-side scoring);
+- empty / one-token / all-OOV documents score the documented sentinel
+  (0 bigrams, avg_nll 0.0, ppl 1.0);
+- an empty corpus trains an empty-but-well-formed model (no crash);
+- scoring is deterministic across runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_core_spark.operators.lm import lm_score, lm_train
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _tiny(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_score_plan_no_window_no_content_shuffle(docs):
+    plan = _plan(lm_score(docs))
+    assert "Window" not in plan
+    # every join the corpus bigrams take is a broadcast join; a sort-merge
+    # join would mean the corpus shuffled on content
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_train_partial_agg(docs):
+    plan = _plan(lm_train(docs))
+    # unigram/bigram counts must keep map-side partial aggregation
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_short_and_oov_docs_sentinel(spark):
+    rows = [
+        (1, "alpha beta alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "single"),  # one token -> no bigrams
+        (4, ""),  # empty
+        (5, "zz qq xx"),  # likely OOV but still bigram-scored
+    ]
+    out = {r["doc_id"]: r for r in lm_score(_tiny(spark, rows), rate=1.0).collect()}
+    assert out[3]["n_bigrams"] == 0 and out[3]["ppl"] == 1.0 and out[3]["avg_nll"] == 0.0
+    assert out[4]["n_bigrams"] == 0 and out[4]["ppl"] == 1.0
+    assert out[1]["n_bigrams"] == 4
+    assert out[1]["ppl"] > 1.0
+    # rare-but-seen bigrams still score (rate=1.0 trains on everything, so
+    # "zz qq" is deterministic under the bigram term — ppl small, not 1.0)
+    assert out[5]["n_bigrams"] == 2 and out[5]["ppl"] > 1.0
+
+
+def test_empty_corpus_no_crash(spark):
+    empty = _tiny(spark, []).limit(0)
+    assert lm_score(empty).count() == 0
+    model = lm_train(empty).collect()
+    # only the 'total' pin row survives an empty reference slice
+    assert all(r["kind"] == "total" for r in model)
+
+
+def test_deterministic(docs):
+    sample = docs.limit(40)
+    a = lm_score(sample).collect()
+    b = lm_score(sample).collect()
+    assert a == b
+
+
+def test_vocab_cap_respected(spark):
+    rows = [(i, "w%d common common" % (i % 7)) for i in range(30)]
+    model = lm_train(_tiny(spark, rows), vocab_size=3, rate=1.0)
+    uni_words = {
+        r["w1"] for r in model.filter(F.col("kind") == "uni").collect()
+    }
+    # vocab of 3 + the UNK bucket
+    assert len(uni_words) <= 4
+    assert "<unk>" in uni_words
