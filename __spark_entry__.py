@@ -346,7 +346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed on a deterministic 10% held-out slice, scores the full
         # corpus map-side via broadcast joins (new r8 flagships)
         "lm_perplexity_score": lambda s, d: lm.lm_score(_docs(s, d)),
-        "lm_train": lambda s, d: lm.lm_train(_docs(s, d)),
         # PII scrub over a deterministically PII-bearing demo corpus (the
         # raw synthetic text has no PII — vacuous otherwise)
         "pii_redact": lambda s, d: pii.pii_redact(pii.pii_demo_docs(_docs(s, d))),
@@ -355,6 +354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 10% clone subset, same in the oracle) so the positive paths —
         # group assembly, id cap, "|"-join — are value-hashed, not vacuous
         "dedup_exact": lambda s, d: dedup.exact_duplicates(
+            dedup.with_synthetic_duplicates(_docs(s, d))
+        ),
+        # exact-substring span dedup (Lee 2021 ExactSubstr re-expressed as
+        # overlapping-window fingerprint aggregation) over the same
+        # duplicate-bearing input (new r8 flagship)
+        "dedup_exact_substring": lambda s, d: dedup.exact_substring_dedup(
             dedup.with_synthetic_duplicates(_docs(s, d))
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_duplicates(_docs(s, d)),
@@ -423,6 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_concatenate_by_lang": lambda s, d: _docops(s, d, "concat"),
         # C family keeps python/java/ts in-window (demoted r8, same reason)
         "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
+        # the model-dump variant: lm_perplexity_score retrains the identical
+        # model internally, so its hash covers the training math (demoted r8)
+        "lm_train": lambda s, d: lm.lm_train(_docs(s, d)),
         # JS shares the TS chunker (reference _JavaScriptFunctionChunker ==
         # TS with the JS grammar); code_chunks_ts above covers the family
         "code_chunks_js": lambda s, d: _synth_op(s, d, "code:js"),
@@ -511,6 +519,10 @@ def oracle_sql() -> dict[str, str]:
         + dedup.with_synthetic_duplicates_sql()
         + ") "
         + dedup.exact_duplicates_sql("dup_docs"),
+        "dedup_exact_substring": "WITH dup_docs AS ("
+        + dedup.with_synthetic_duplicates_sql()
+        + "), "
+        + dedup.exact_substring_dedup_sql("dup_docs").strip()[len("WITH ") :],
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_against": dedup.dedup_against_sql(),
         "dedup_simhash": dedup.simhash_duplicates_sql(),

@@ -718,3 +718,200 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < 
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better", arXiv:2107.06499 §3.1 ExactSubstr): any
+# token span of length >= L occurring more than once corpus-wide survives
+# only in its first occurrence; every other occurrence is excised from the
+# text (maximal duplicated regions collapse because every length-L window
+# inside them is flagged and the flagged windows merge).
+#
+# The paper builds a corpus-global suffix array — inherently single-machine.
+# The distributed re-expression: overlapping L-token windows fingerprint the
+# same duplicated regions (a duplicated region of length M >= L flags all
+# its M-L+1 windows, whose union covers the full region), so one window
+# hash-aggregation replaces the suffix array.  Windows operate in the
+# normalized-token space shared with the rest of the dedup family (NORM).
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 15
+
+
+def exact_substring_dedup(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, n_removed_spans, n_removed_tokens,
+    kept_text): corpus-wide exact-substring dedup at span length L.
+
+    Keeper of a window fingerprint = lexicographically smallest
+    (doc_id, pos); every other occurrence marks tokens [pos, pos+L) for
+    removal; overlapping/contiguous removals merge into maximal spans;
+    kept_text rebuilds the normalized tokens outside removed spans.  Docs
+    shorter than L tokens have no windows (the paper's semantics: nothing
+    below L can be an exact-substring duplicate).
+
+    Scale shape (100 TB): window grams via the logarithmic zip_with
+    composition over a MATERIALIZED token attribute (no-CSE rule); ONE
+    fingerprint hash-aggregation with map-side partials (mass boilerplate
+    combines locally); the dup-fingerprint join back is keyed on the
+    fingerprint (AQE skew-join handles hot boilerplate); removed positions
+    explode flagged windows (fan-out L, proportional to duplicated volume
+    only) into a (doc_id, tpos) hash-distinct; the rebuild is a doc_id
+    rollup + left_anti — no window functions, no per-doc quadratic HOFs,
+    no driver loops.
+    """
+    L = span_tokens
+    base = docs.select("doc_id", norm_words(F.col("text")).alias("ws"))
+    eligible = base.filter(F.size("ws") >= L)
+    wins = (
+        eligible.select(
+            "doc_id", F.posexplode(shingle_grams(F.col("ws"), L)).alias("pos0", "gram")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("fp"))
+    )
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("keep"), F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("fp", "keep")
+    )
+    flagged = (
+        wins.join(dup_fps, "fp")
+        .filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    removed = flagged.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias("tpos")
+    ).distinct()
+    # merged-span count from sorted flagged starts: a start opens a new
+    # maximal span iff its gap to the previous start exceeds L (all windows
+    # share length L, so the merged end is always last_start + L)
+    span_stats = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_windows"),
+        F.sort_array(F.collect_list("pos")).alias("starts"),
+    )
+    gaps = F.zip_with(
+        F.expr("slice(starts, 2, size(starts))"),
+        F.expr("slice(starts, 1, size(starts) - 1)"),
+        lambda nxt, prv: (nxt - prv > F.lit(L)).cast("int"),
+    )
+    span_stats = span_stats.select(
+        "doc_id",
+        "n_dup_windows",
+        (
+            F.lit(1)
+            + F.coalesce(F.aggregate(gaps, F.lit(0), lambda a, x: a + x), F.lit(0))
+        ).cast("long").alias("n_removed_spans"),
+    )
+    removed_counts = removed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_removed_tokens")
+    )
+    toks = base.select("doc_id", F.posexplode("ws").alias("tpos0", "w")).select(
+        "doc_id", (F.col("tpos0") + 1).alias("tpos"), "w"
+    )
+    kept = (
+        toks.join(removed, ["doc_id", "tpos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("kept_text")
+        )
+    )
+    totals = wins.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_windows"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(span_stats, "doc_id", "left")
+        .join(removed_counts, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_removed_spans", F.lit(0)).alias("n_removed_spans"),
+            F.coalesce("n_removed_tokens", F.lit(0)).alias("n_removed_tokens"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+        .transform(lambda d: canonical_order(d, "doc_id"))
+    )
+
+
+def exact_substring_dedup_sql(
+    table: str = "documents", span_tokens: int = SPAN_TOKENS
+) -> str:
+    """DuckDB oracle (windows are fine oracle-side; Spark uses min-struct)."""
+    L = span_tokens
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g')), ' +'), x -> x <> '') AS ws
+  FROM {table}
+),
+wins AS (
+  SELECT doc_id, CAST(p.i AS INT) AS pos,
+         md5(array_to_string(list_slice(ws, p.i, p.i + {L} - 1), ' ')) AS fp
+  FROM base, unnest(range(1, len(ws) - {L} + 2)) AS p(i)
+  WHERE len(ws) >= {L}
+),
+ranked AS (
+  SELECT doc_id, pos, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY fp) AS c
+  FROM wins
+),
+flagged AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+removed AS (
+  SELECT DISTINCT doc_id, CAST(t.i AS INT) AS tpos
+  FROM flagged, unnest(range(pos, pos + {L})) AS t(i)
+),
+span_stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND pos - prev > {L}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_spans
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM flagged
+  ) GROUP BY doc_id
+),
+removed_counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_tokens
+  FROM removed GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, CAST(generate_subscripts(ws, 1) AS INT) AS tpos, unnest(ws) AS w
+  FROM base
+),
+kept AS (
+  SELECT t.doc_id,
+         array_to_string(list_transform(
+           list_sort(list(struct_pack(tpos := t.tpos, w := t.w))),
+           s -> s.w), ' ') AS kept_text
+  FROM toks t ANTI JOIN removed r ON t.doc_id = r.doc_id AND t.tpos = r.tpos
+  GROUP BY t.doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_windows, 0) AS n_windows,
+       coalesce(n_dup_windows, 0) AS n_dup_windows,
+       coalesce(n_removed_spans, 0) AS n_removed_spans,
+       coalesce(n_removed_tokens, 0) AS n_removed_tokens,
+       coalesce(kept_text, '') AS kept_text
+FROM {table} d
+LEFT JOIN totals USING (doc_id)
+LEFT JOIN span_stats USING (doc_id)
+LEFT JOIN removed_counts USING (doc_id)
+LEFT JOIN kept USING (doc_id)
+ORDER BY doc_id
+"""
