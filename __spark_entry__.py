@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + pipeline ops."""
     from docling_core_spark.operators import (
         bpe,
+        classifier,
         decontam,
         dedup,
         lm,
@@ -346,6 +347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed on a deterministic 10% held-out slice, scores the full
         # corpus map-side via broadcast joins (new r8 flagships)
         "lm_perplexity_score": lambda s, d: lm.lm_score(_docs(s, d)),
+        # fastText/GPT-3-style quality classifier: distributed quantized-
+        # gradient training over hashed BoW features, map-side scoring
+        # (new r8 flagship; single-process-expected oracle via the pure-
+        # python twin in operators/classifier.py)
+        "quality_classifier_score": lambda s, d: classifier.classifier_score(_docs(s, d)),
         # PII scrub over a deterministically PII-bearing demo corpus (the
         # raw synthetic text has no PII — vacuous otherwise)
         "pii_redact": lambda s, d: pii.pii_redact(pii.pii_demo_docs(_docs(s, d))),
@@ -365,10 +371,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_duplicates(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_duplicates(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.duplicate_clusters(_docs(s, d)),
-        # incremental dedup vs a simulated previous crawl (every 4th doc)
-        "dedup_against": lambda s, d: dedup.dedup_against(
-            _docs(s, d), _docs(s, d).filter("doc_id % 4 = 0")
-        ),
         # end-to-end near-dup removal: pairs -> components -> survivors
         "near_dedup_corpus": lambda s, d: dedup.near_dedup_corpus(_docs(s, d)),
         # --- similarity search ---
@@ -431,6 +433,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the model-dump variant: lm_perplexity_score retrains the identical
         # model internally, so its hash covers the training math (demoted r8)
         "lm_train": lambda s, d: lm.lm_train(_docs(s, d)),
+        # the model dump; quality_classifier_score retrains the identical
+        # model internally (demoted r8, same pattern as lm_train)
+        "quality_classifier_train": lambda s, d: classifier.classifier_train(_docs(s, d)),
+        # incremental dedup vs a simulated previous crawl (left_anti on
+        # fingerprint keys; near_dedup_corpus exercises the same left_anti
+        # shape in-window — demoted r8)
+        "dedup_against": lambda s, d: dedup.dedup_against(
+            _docs(s, d), _docs(s, d).filter("doc_id % 4 = 0")
+        ),
         # JS shares the TS chunker (reference _JavaScriptFunctionChunker ==
         # TS with the JS grammar); code_chunks_ts above covers the family
         "code_chunks_js": lambda s, d: _synth_op(s, d, "code:js"),

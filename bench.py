@@ -188,6 +188,23 @@ def main() -> None:
         "decontaminate",
         lambda: decontam.decontaminate(docs_tbl, decontam.eval_subset(docs_tbl)).count(),
     )
+    # round-8 operators: CCNet LM perplexity scoring + exact-substring dedup
+    from docling_core_spark.operators import lm
+
+    timed("lm_perplexity", lambda: lm.lm_score(docs_tbl).count())
+    from docling_core_spark.operators import classifier
+
+    timed(
+        "quality_classifier",
+        lambda: classifier.classifier_score(docs_tbl, iterations=4).count(),
+        repeats=1,
+    )
+    timed(
+        "exact_substring_dedup",
+        lambda: dedup.exact_substring_dedup(
+            dedup.with_synthetic_duplicates(docs_tbl)
+        ).count(),
+    )
     timed(
         "c4_span_dedup",
         lambda: textstats.c4_span_dedup(

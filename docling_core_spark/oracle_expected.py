@@ -865,7 +865,52 @@ def _build_warc_ingest(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_classifier(sf_dir: str, out: Path) -> None:
+    """Expected quality-classifier model + scores: the pure-python twin in
+    operators/classifier.py runs the IDENTICAL quantized-gradient training
+    loop single-process (the determinism contract is the module docstring)."""
+    import duckdb
+
+    from docling_core_spark.operators.classifier import py_train_score
+
+    con = duckdb.connect()
+    doc_rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    w, b, scores = py_train_score(
+        [(r[0], r[1]) for r in doc_rows], norm_words_fn=_norm_words
+    )
+    model = [
+        {"dim": d, "weight": _round_half_up(x, 6)} for d, x in enumerate(w) if x != 0.0
+    ]
+    model.append({"dim": -1, "weight": _round_half_up(b, 6)})
+    model.sort(key=lambda r: r["dim"])
+    _write(
+        out / "quality_classifier_train.parquet",
+        model,
+        pa.schema([("dim", _I32), ("weight", _F64)]),
+    )
+    _write(
+        out / "quality_classifier_score.parquet",
+        [
+            {
+                "doc_id": doc_id,
+                "label": label,
+                "score": _round_half_up(s, 6),
+                "pred": 1 if s >= 0.5 else 0,
+            }
+            for doc_id, label, s in scores
+        ],
+        pa.schema(
+            [("doc_id", _I64), ("label", _I32), ("score", _F64), ("pred", _I32)]
+        ),
+    )
+
+
 EXPECTED_QUERIES = {
+    "quality_classifier_train": "ORDER BY dim",
+    "quality_classifier_score": "ORDER BY doc_id",
     "code_chunks_python": "ORDER BY doc_id, chunk_idx",
     "code_chunks_java": "ORDER BY doc_id, chunk_idx",
     "code_chunks_c": "ORDER BY doc_id, chunk_idx",
@@ -920,6 +965,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_bpe(sf_dir, tmp)
         _build_extract_bpe(sf_dir, tmp)
         _build_warc_ingest(sf_dir, tmp)
+        _build_classifier(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
         try:
             os.rename(tmp, out)
