@@ -376,13 +376,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
-        "similarity_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
         # trained-index variant: Lloyd-refined centroids (iterative k-means
         # with exact quantized-integer arithmetic — hash-checkable)
         "similarity_ivf_kmeans": lambda s, d: similarity.ivf_kmeans_topk(_emb(s, d)),
         # near-dup pairs over cosine-1.0 clone-bearing vectors (the raw
         # synthetic vectors have no pairs above threshold: vacuous green)
         "embedding_cosine_dedup": lambda s, d: similarity.embedding_cosine_dedup(
+            similarity.with_synthetic_duplicate_vectors(_emb(s, d))
+        ),
+        # SemDeDup (Abbas 2023): k-means clusters -> capped within-cluster
+        # cosine pairs -> keep the member farthest from its centroid
+        # (new r8 flagship; single-process-expected oracle)
+        "semdedup": lambda s, d: similarity.semdedup(
             similarity.with_synthetic_duplicate_vectors(_emb(s, d))
         ),
         # --- code chunking (C8: Python/Java/C/TS) + field-kv DocLang (S5)
@@ -442,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": lambda s, d: dedup.dedup_against(
             _docs(s, d), _docs(s, d).filter("doc_id % 4 = 0")
         ),
+        # untrained IVF probe; similarity_ivf_kmeans is the strictly-stronger
+        # trained variant of the same machinery (demoted r8)
+        "similarity_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
         # JS shares the TS chunker (reference _JavaScriptFunctionChunker ==
         # TS with the JS grammar); code_chunks_ts above covers the family
         "code_chunks_js": lambda s, d: _synth_op(s, d, "code:js"),

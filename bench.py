@@ -220,6 +220,12 @@ def main() -> None:
         lambda: textstats.host_quality_stats(textstats.host_demo_docs(docs_tbl)).count(),
     )
     timed("similarity_cosine_topk", lambda: similarity.cosine_topk(emb_tbl).collect())
+    timed(
+        "semdedup",
+        lambda: similarity.semdedup(
+            similarity.with_synthetic_duplicate_vectors(emb_tbl)
+        ).count(),
+    )
     timed("similarity_ann_lsh", lambda: similarity.ann_lsh_topk(emb_tbl).collect())
     timed("profile_collection", lambda: profile.collection_stats(docs_tbl).collect())
     # round-4 operators: multi-language code chunking + SVG overlay rendering

@@ -576,3 +576,122 @@ WHERE a.vec_id <> {query_vec_id}
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication", arXiv:2303.09540): cluster the
+# embedding space with k-means, call any within-cluster pair above cosine
+# eps a SEMANTIC duplicate, and keep only the group member with the LOWEST
+# cosine similarity to its cluster centroid (the paper's §2 keep rule),
+# removing the rest.  Near-dup text dedup catches lexical clones; this
+# catches paraphrases and re-renderings that share an embedding direction.
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    embeddings: DataFrame,
+    eps: float = 0.95,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    max_cluster_size: int = 1024,
+) -> DataFrame:
+    """(vec_id, cluster_id, cent_sim, keep): SemDeDup keep/remove decision
+    per vector.
+
+    A vector is removed iff some OTHER vector in its k-means cluster is
+    within cosine eps of it AND has strictly higher keep priority — the
+    paper keeps the member farthest from the centroid, so priority is
+    (lower cent_sim, then lower vec_id).  Pairwise comparison happens only
+    within a cluster, and clusters over ``max_cluster_size`` are thinned by
+    the skew-safe ``dedup.cap_hot_buckets`` hash gate first (no windows, no
+    per-cluster sort), so the candidate join cannot go quadratic on a
+    degenerate cluster.  Thinned-out members are never candidates and keep
+    their rows with keep=1 (the cap trades recall for boundedness — the
+    paper's per-cluster pairwise is the same tradeoff at cluster scale).
+
+    Scale shape: the Lloyd refinement is ``kmeans_refined_centroids``
+    (broadcast fold + exact integer sums); assignment is one map-side
+    broadcast fold; the pair join shuffles on cluster_id only; the removal
+    rollup is a distinct on flagged ids + a left join back.  Floats are
+    rounded at 1e-5 before every threshold/priority comparison so the
+    decision is bit-identical in the single-process oracle twin.
+    """
+    from docling_core_spark.operators.dedup import cap_hot_buckets
+
+    cents = kmeans_refined_centroids(embeddings, n_centroids, iterations)
+    qvecs = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qv")
+    ).select("vec_id", F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev"))
+    cent_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
+    )
+
+    def _argmax_fold(acc, c):
+        sim = _cosine(F.col("ev"), c["cv"])
+        better = (sim > acc["best_sim"]) | (
+            (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
+        )
+        return F.when(
+            better,
+            F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
+        ).otherwise(acc)
+
+    assigned = (
+        qvecs.crossJoin(cent_row)
+        .withColumn(
+            "best",
+            F.aggregate(
+                F.col("cent_arr"),
+                F.struct(
+                    F.lit(-2.0).alias("best_sim"),
+                    F.lit(None).cast("long").alias("best_id"),
+                ),
+                _argmax_fold,
+            ),
+        )
+        .select(
+            "vec_id",
+            "ev",
+            F.col("best.best_id").alias("cluster_id"),
+            F.round(F.col("best.best_sim"), 5).alias("cent_sim"),
+        )
+        # diamond cut: `assigned` feeds BOTH the capped pair join and the
+        # final keep-flag join; without this the kmeans + assignment fold
+        # subtree compiles (and runs) twice — round-5/7 reuse finding
+        .localCheckpoint(eager=False)
+    )
+    # bound the within-cluster candidate set before the pair join
+    capped = cap_hot_buckets(
+        assigned.select("vec_id", "ev", "cluster_id", "cent_sim"),
+        ("cluster_id",),
+        max_cluster_size,
+        id_col="vec_id",
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    removed = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(
+            (F.col("b.cent_sim") < F.col("a.cent_sim"))
+            | (
+                (F.col("b.cent_sim") == F.col("a.cent_sim"))
+                & (F.col("b.vec_id") < F.col("a.vec_id"))
+            )
+        )
+        .filter(F.round(_cosine(F.col("a.ev"), F.col("b.ev")), 5) >= F.lit(float(eps)))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("removed", F.lit(1))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cent_sim",
+            F.when(F.col("removed").isNull(), 1).otherwise(0).alias("keep"),
+        )
+        .transform(lambda d: canonical_order(d, "vec_id"))
+    )

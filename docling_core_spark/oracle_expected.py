@@ -593,6 +593,90 @@ def _build_similarity(sf_dir: str, out: Path) -> None:
         pa.schema([("vec_a", _I64), ("vec_b", _I64), ("cos_sim", _F64)]),
     )
 
+    # semdedup runs over the same duplicate-bearing set (clones are perfect
+    # semantic dups): the IDENTICAL quantized k-means (n=16, 2 iters) +
+    # assignment arithmetic as the ivf_kmeans block above, then the paper's
+    # keep rule — within-cluster pair above eps keeps the member with the
+    # LOWER centroid similarity (tie: lower vec_id); cluster members beyond
+    # the cap_hot_buckets gate never become candidates
+    sd_eps, sd_cap, sd_n_cents, sd_iters = 0.95, 1024, 16, 2
+    sd_q = {
+        vid: [int(_round_half_up(float(x) * 1_000_000.0, 0)) for x in v]
+        for vid, v in vecs.items()
+    }
+    sd_e = {vid: [float(q) for q in qv] for vid, qv in sd_q.items()}
+    sd_init = sorted(
+        sd_e, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:sd_n_cents]
+    sd_cents = {cid: sd_e[cid] for cid in sd_init}
+
+    def _sd_assign(ev):
+        best_sim, best_id = -2.0, None
+        for cid in sd_cents:
+            sim = _cosine(ev, sd_cents[cid])
+            if sim > best_sim or (sim == best_sim and (best_id is None or cid < best_id)):
+                best_sim, best_id = sim, cid
+        return best_id, best_sim
+
+    for _ in range(sd_iters):
+        sums2: dict[int, list[int]] = {}
+        counts2: dict[int, int] = {}
+        for vid, ev in sd_e.items():
+            cid, _s = _sd_assign(ev)
+            qv = sd_q[vid]
+            if cid not in sums2:
+                sums2[cid] = [0] * len(qv)
+                counts2[cid] = 0
+            for p, val in enumerate(qv):
+                sums2[cid][p] += val
+            counts2[cid] += 1
+        sd_cents = {
+            cid: ([s / counts2[cid] for s in sums2[cid]] if cid in sums2 else sd_cents[cid])
+            for cid in sd_cents
+        }
+    sd_assigned = {}
+    for vid, ev in sd_e.items():
+        cid, sim = _sd_assign(ev)
+        sd_assigned[vid] = (cid, _round_half_up(sim, 5))
+    sd_groups: dict[int, list[int]] = {}
+    for vid, (cid, _s) in sd_assigned.items():
+        sd_groups.setdefault(cid, []).append(vid)
+    sd_removed = set()
+    for cid, members in sd_groups.items():
+        cnt = len(members)
+        if cnt > sd_cap:
+            members = [
+                vid
+                for vid in members
+                if int(hashlib.md5(f"{vid}:{cid}".encode()).hexdigest()[:15], 16) % cnt
+                < sd_cap
+            ]
+        for a_id in members:
+            for b_id in members:
+                if a_id == b_id:
+                    continue
+                pa_, pb_ = sd_assigned[a_id][1], sd_assigned[b_id][1]
+                if (pb_, b_id) >= (pa_, a_id):
+                    continue
+                if _round_half_up(_cosine(sd_e[a_id], sd_e[b_id]), 5) >= sd_eps:
+                    sd_removed.add(a_id)
+                    break
+    _write(
+        out / "semdedup.parquet",
+        [
+            {
+                "vec_id": vid,
+                "cluster_id": sd_assigned[vid][0],
+                "cent_sim": sd_assigned[vid][1],
+                "keep": 0 if vid in sd_removed else 1,
+            }
+            for vid in sorted(sd_assigned)
+        ],
+        pa.schema(
+            [("vec_id", _I64), ("cluster_id", _I64), ("cent_sim", _F64), ("keep", _I32)]
+        ),
+    )
+
 
 def _build_media(out: Path, n: int = 200) -> None:
     from docling_core_spark.operators.multimodal import (
@@ -924,6 +1008,7 @@ EXPECTED_QUERIES = {
     "similarity_ann_lsh": "ORDER BY cos_sim DESC, vec_id ASC",
     "similarity_ivf_kmeans": "ORDER BY cos_sim DESC, vec_id ASC",
     "embedding_cosine_dedup": "ORDER BY vec_a, vec_b",
+    "semdedup": "ORDER BY vec_id",
     "extract_markdown": "ORDER BY url",
     "extract_plain_text": "ORDER BY url",
     "extract_html": "ORDER BY url",
