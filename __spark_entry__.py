@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         classifier,
         decontam,
         dedup,
+        dsir,
         lm,
         packing,
         pii,
@@ -352,6 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (new r8 flagship; single-process-expected oracle via the pure-
         # python twin in operators/classifier.py)
         "quality_classifier_score": lambda s, d: classifier.classifier_score(_docs(s, d)),
+        # DSIR importance resampling (Xie 2023): hashed-ngram target/raw
+        # models, log-ratio weights, Gumbel top-k selection (new r8 flagship)
+        "dsir_select": lambda s, d: dsir.dsir_select(_docs(s, d)),
         # PII scrub over a deterministically PII-bearing demo corpus (the
         # raw synthetic text has no PII — vacuous otherwise)
         "pii_redact": lambda s, d: pii.pii_redact(pii.pii_demo_docs(_docs(s, d))),
@@ -398,7 +402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     pair-count hash-agg over the distinct-word table; tokenize
         #     broadcast-joins the replayed word->tokens dict to the corpus
         "bpe_train": lambda s, d: bpe.bpe_train(_docs(s, d)),
-        "bpe_tokenize": lambda s, d: bpe.bpe_tokenize(_docs(s, d)),
         "code_chunks_python": lambda s, d: _synth_op(s, d, "code"),
         "code_chunks_java": lambda s, d: _synth_op(s, d, "code:java"),
         "code_chunks_ts": lambda s, d: _synth_op(s, d, "code:ts"),
@@ -450,6 +453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untrained IVF probe; similarity_ivf_kmeans is the strictly-stronger
         # trained variant of the same machinery (demoted r8)
         "similarity_ivf_topk": lambda s, d: similarity.ivf_topk(_emb(s, d)),
+        # merge-replay tokenization; extract_chunks_bpe exercises the same
+        # trained-merges application end-to-end in-window (demoted r8)
+        "bpe_tokenize": lambda s, d: bpe.bpe_tokenize(_docs(s, d)),
         # JS shares the TS chunker (reference _JavaScriptFunctionChunker ==
         # TS with the JS grammar); code_chunks_ts above covers the family
         "code_chunks_js": lambda s, d: _synth_op(s, d, "code:js"),
@@ -489,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
     from docling_core_spark.operators import (
         decontam,
         dedup,
+        dsir,
         lm,
         pii,
         profile,
@@ -528,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_report": textstats.curation_report_sql(),
         "latest_crawl": textstats.latest_crawl_sql(),
         "decontaminate": decontam.decontaminate_sql(),
+        "dsir_select": dsir.dsir_select_sql(),
         "lm_perplexity_score": lm.lm_score_sql(),
         "lm_train": lm.lm_train_sql(),
         "pii_redact": "WITH pii_demo AS ("

@@ -192,6 +192,9 @@ def main() -> None:
     from docling_core_spark.operators import lm
 
     timed("lm_perplexity", lambda: lm.lm_score(docs_tbl).count())
+    from docling_core_spark.operators import dsir
+
+    timed("dsir_select", lambda: dsir.dsir_select(docs_tbl).count())
     from docling_core_spark.operators import classifier
 
     timed(
