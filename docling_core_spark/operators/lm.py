@@ -171,14 +171,23 @@ def lm_score(
     seed: str = LM_REF_SEED,
     lam: float = LM_LAMBDA,
     alpha: float = LM_ALPHA,
+    model=None,
 ) -> DataFrame:
     """Per-document perplexity under the corpus-trained bigram LM.
 
     p(w2|w1) = lam * c(w1,w2)/c(w1)  +  (1-lam) * (c(w2)+alpha)/(N+alpha*V)
     nll = -ln p;  (doc_id, n_bigrams, avg_nll, ppl) with avg_nll/ppl
     rounded at 1e-6; empty/one-token docs score (0, 0.0, 1.0).
+
+    ``model`` (the (vocab, uni, bi, consts) tuple from ``_model_frames``,
+    typically cached) scores against a separately trained LM — the CCNet
+    deployment shape (train once on the trusted corpus, score every crawl
+    batch/stream against it) and what ``lm_score_stream`` passes per
+    micro-batch.
     """
-    vocab, uni, bi, consts = _model_frames(docs, vocab_size, rate, seed)
+    vocab, uni, bi, consts = (
+        model if model is not None else _model_frames(docs, vocab_size, rate, seed)
+    )
 
     bigrams = _bigram_rows(docs)
     v1 = F.broadcast(vocab.withColumnRenamed("w", "v1"))

@@ -259,3 +259,56 @@ def pii_redact_stream(docs_stream: DataFrame) -> DataFrame:
     from docling_core_spark.operators.pii import pii_redact
 
     return pii_redact(docs_stream, canonical=False)
+
+
+def quality_classifier_stream(
+    docs_stream: DataFrame,
+    output: str,
+    checkpoint: str,
+    model: tuple,
+    trigger_seconds: int = 10,
+):
+    """Streaming quality-classifier scoring via foreachBatch: the model
+    (weights, bias) trains OFFLINE on the batch corpus — the fastText/GPT-3
+    deployment shape — and each micro-batch scores map-side against it
+    (operators/classifier.py, one-row broadcast weight array, no shuffle).
+    Stateless: replays emit identical rows (deterministic arithmetic)."""
+    from docling_core_spark.operators.classifier import classifier_score
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = classifier_score(batch_df, dims=len(model[0]), model=model)
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def lm_score_stream(
+    docs_stream: DataFrame,
+    output: str,
+    checkpoint: str,
+    model: tuple,
+    trigger_seconds: int = 10,
+):
+    """Streaming CCNet perplexity scoring via foreachBatch: the bigram LM
+    (the (vocab, uni, bi, consts) frames from lm._model_frames, cached by
+    the caller) trains ONCE on the trusted corpus; each micro-batch takes
+    the five broadcast joins map-side + one per-batch doc_id rollup —
+    correct per document because the rollup is per-doc (a doc's bigrams
+    live in one micro-batch with document-level ingestion)."""
+    from docling_core_spark.operators.lm import lm_score
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = lm_score(batch_df, model=model)
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

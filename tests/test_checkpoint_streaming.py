@@ -280,3 +280,65 @@ def test_streaming_mix_corpora_parity(spark, tmp_path):
     want = sorted(map(tuple, mix_corpora(spark.read.parquet(src)).collect()))
     assert got == want
     assert got  # the demo corpus selects a nonempty mix
+
+
+def test_streaming_classifier_score_parity(spark, tmp_path):
+    """The fastText/GPT-3 deployment shape: the quality classifier trains
+    OFFLINE on the batch corpus, then every micro-batch scores map-side
+    against the broadcast (weights, bias) — row-identical to the batch
+    scorer over the same rows."""
+    from docling_core_spark.operators.classifier import _train, classifier_score
+    from docling_core_spark.streaming.stream import quality_classifier_stream
+
+    src = str(tmp_path / "cls_src")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60).select(
+        "doc_id", "text"
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    dims, iterations, lr = 256, 3, 0.5
+    w, b, _, _ = _train(docs, dims, iterations, lr)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "cls_out")
+    q = quality_classifier_stream(
+        stream, out_dir, str(tmp_path / "cls_ckpt"), model=(w, b)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out_dir).drop("_batch_id").collect()))
+    want = sorted(
+        map(tuple, classifier_score(docs, dims=dims, model=(w, b)).collect())
+    )
+    assert got == want
+    assert len(got) == 60
+    assert len({r[3] for r in got}) == 2  # both classes predicted
+
+
+def test_streaming_lm_score_parity(spark, tmp_path):
+    """The CCNet deployment shape: the bigram LM trains ONCE on the trusted
+    corpus (_model_frames, cached), then each crawl micro-batch is scored
+    against it — row-identical to the batch scorer over the same rows."""
+    from docling_core_spark.operators.lm import _model_frames, lm_score
+    from docling_core_spark.streaming.stream import lm_score_stream
+
+    src = str(tmp_path / "lm_src")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60).select(
+        "doc_id", "text"
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    model = tuple(f.localCheckpoint(eager=False) for f in _model_frames(docs))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "lm_out")
+    q = lm_score_stream(stream, out_dir, str(tmp_path / "lm_ckpt"), model=model)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out_dir).drop("_batch_id").collect()))
+    want = sorted(map(tuple, lm_score(docs, model=model).collect()))
+    assert got == want
+    assert len(got) == 60
+    assert any(r[1] > 0 for r in got)  # bigram-bearing docs scored
