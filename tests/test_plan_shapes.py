@@ -246,3 +246,71 @@ def test_extract_chunks_bpe_sort_is_gated(spark, monkeypatch):
     assert "Exchange rangepartitioning" not in plan
     monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "1")
     assert "Exchange rangepartitioning" in _plan(e._extract_chunks_bpe(spark, SF_DIR))
+
+
+def test_lm_score_model_joins_are_broadcast(docs):
+    """CCNet scoring: the crawl-side bigram stream joins the five model
+    relations (vocab x2, uni x2, bi) + the consts row with BROADCAST joins
+    only — the corpus never shuffles on content (the only hash exchanges
+    are the model-training aggregations and the per-doc rollup), and there
+    is no window or sort-merge join anywhere."""
+    from docling_core_spark.operators.lm import lm_score
+
+    plan = _plan(lm_score(docs))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "partial_" in plan  # map-side partials on every keyed agg
+
+
+def test_classifier_scoring_is_map_side(docs, monkeypatch):
+    """Offline-trained model + score = ONE scan, ZERO data shuffles: the
+    weights ride a broadcast, features fold per row, no window.  This is
+    the fastText deployment shape the streaming wrapper relies on."""
+    from docling_core_spark.operators.classifier import classifier_score
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(classifier_score(docs, dims=256, model=([0.0] * 256, 0.1)))
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_dsir_select_topk_is_take_ordered(docs, monkeypatch):
+    """DSIR's Gumbel top-k compiles to TakeOrdered (per-partition heaps +
+    driver merge of k rows), never a global sort, and the bucket-model /
+    flag joins are windowless; the localCheckpoint diamond cut bounds the
+    plan (ExistingRDD present)."""
+    from docling_core_spark.operators.dsir import dsir_select
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(dsir_select(docs))
+    assert "Window" not in plan
+    assert plan.count("TakeOrdered") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_exact_substring_dedup_is_windowless(docs):
+    """Lee-2021 span dedup: ONE fingerprint hash-agg with map-side
+    partials picks keepers (min-struct, combines locally on hot
+    boilerplate); no window functions and no sort-merge joins anywhere —
+    the whole pipeline is hash-agg + broadcast/hash joins."""
+    from docling_core_spark.operators.dedup import exact_substring_dedup
+
+    plan = _plan(exact_substring_dedup(docs))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_semdedup_is_windowless_and_capped(emb):
+    """SemDeDup: centroid folds ride broadcasts, the within-cluster pair
+    join is the only content shuffle (cluster_id-keyed, cap_hot_buckets
+    bounds the hot cluster first), and there is no window anywhere."""
+    from docling_core_spark.operators.similarity import semdedup
+
+    plan = _plan(semdedup(emb))
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
