@@ -252,6 +252,7 @@ def _synth_op(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + pipeline ops."""
     from docling_core_spark.operators import (
+        bloom,
         bpe,
         classifier,
         decontam,
@@ -266,6 +267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textstats,
     )
     from docling_core_spark.operators.extract import explode_chunks
+
+    def _bloom_query(s, d):
+        corpus = dedup.with_synthetic_duplicates(textstats.c4_demo_docs(_docs(s, d)))
+        return bloom.bloom_para_dedup(
+            corpus, corpus.filter(F.col("doc_id") % 3 == 0)
+        )
 
     return {
         # ================================================================
@@ -372,6 +379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substring": lambda s, d: dedup.exact_substring_dedup(
             dedup.with_synthetic_duplicates(_docs(s, d))
         ),
+        # BFF bloom-filter paragraph dedup (Dolma, Soldaini 2024): filter
+        # built over the doc_id%3 reference slice of the line-structured
+        # duplicate-bearing demo corpus, every doc flagged map-side against
+        # the broadcast bitset (new r8; single-process-expected oracle via
+        # the py twin — a position set is membership-identical to the bitset)
+        "bloom_para_dedup": _bloom_query,
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_duplicates(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_duplicates(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.duplicate_clusters(_docs(s, d)),
@@ -411,7 +424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
         # --- profiler aggregates (A1/A2) ---
         "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),
-        "profile_by_lang": lambda s, d: profile.group_profile(_docs(s, d)),
         # --- end-to-end C5 integration (in the driver window since r8):
         # train BPE on the corpus, then chunk the extracted docs with the
         # trained subword tokenizer (merge list ships to executors via the
@@ -438,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_concatenate_by_lang": lambda s, d: _docops(s, d, "concat"),
         # C family keeps python/java/ts in-window (demoted r8, same reason)
         "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
+        # A2 grouped-profile variant (profile_collection_stats is the
+        # in-window A2 representative; demoted r8 for bloom_para_dedup)
+        "profile_by_lang": lambda s, d: profile.group_profile(_docs(s, d)),
         # the model-dump variant: lm_perplexity_score retrains the identical
         # model internally, so its hash covers the training math (demoted r8)
         "lm_train": lambda s, d: lm.lm_train(_docs(s, d)),

@@ -214,6 +214,15 @@ def main() -> None:
             dedup.with_synthetic_duplicates(textstats.c4_demo_docs(docs_tbl))
         ).count(),
     )
+    from docling_core_spark.operators import bloom
+
+    def _bloom_run():
+        corpus = dedup.with_synthetic_duplicates(textstats.c4_demo_docs(docs_tbl))
+        return bloom.bloom_para_dedup(
+            corpus, corpus.filter(F.col("doc_id") % 3 == 0)
+        ).count()
+
+    timed("bloom_para_dedup", _bloom_run)
     timed(
         "winnowing_fingerprints",
         lambda: textstats.winnowing_fingerprints(docs_tbl).count(),

@@ -1,0 +1,230 @@
+"""Bloom-filter paragraph dedup — the BFF shape (Bloom 1970; Dolma's
+"Bloom Filter Filtering", Soldaini et al. 2024, arXiv:2402.00159).
+
+Incremental crawl dedup at BOUNDED memory: exact dedup keys a shuffle on
+content fingerprints (state grows with the corpus); the bloom filter keeps
+a fixed ``m_bits`` bitset no matter how many paragraphs it has absorbed,
+trading a tunable false-positive rate ((1 - e^(-kn/m))^k) for that bound.
+Deployment shape: build the filter ONCE over the reference corpus (the
+prior crawl / already-kept data), then flag the paragraphs of every new
+batch or micro-batch map-side against the broadcast filter — the same
+train-once / score-forever pattern as the CCNet LM and quality-classifier
+scorers (operators/lm.py, classifier.py).
+
+Scale shape (100 TB):
+- the k bit positions per paragraph compute JVM-side — seed-chained
+  ``F.xxhash64(para, lit(i))`` + ``pmod`` (the minhash hash family,
+  dedup.py:241) — no Python in the hash path;
+- the build is ONE ``mapInPandas`` pass emitting an m/8-byte numpy bitset
+  per partition (vectorized ``bitwise_or.at``), OR-combined with RDD
+  ``treeAggregate`` (log-depth combine; the driver receives tree-fan-in
+  partials, never all partitions);
+- the probe is map-side: the filter broadcasts once, membership is a
+  vectorized numpy bit-test over the Arrow batch, and the only shuffle is
+  the per-doc rollup (count/sum partials combine map-side);
+- the filter is insertion-order independent (bitset OR is commutative and
+  idempotent), so the distributed build is bit-identical to a
+  single-process build under ANY partitioning — the pure-python oracle
+  twin (oracle_expected._build_bloom) relies on exactly this.
+
+The reference repo has no corpus-dedup surface (this module extends the
+pipeline family beyond SURVEY.md §2, like dedup.py/decontam.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from docling_core_spark.operators.canon import canonical_order
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB filter for the demo scale; 100 TB runs
+BLOOM_K = 5             # size m to the kept-paragraph count (m ≈ 10n·k/ln2)
+BLOOM_SEEN_THRESHOLD = 0.5
+
+
+def _paragraphs(docs: DataFrame) -> DataFrame:
+    """(doc_id, para): trimmed non-empty lines — the Dolma dedup unit."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    return docs.select("doc_id", F.explode(lines).alias("para"))
+
+
+def _positions(col, m_bits: int, k: int):
+    """array<long> of the k bloom bit positions for one paragraph."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)).cast("long")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    paras: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> bytes:
+    """Distributed filter build: returns the m_bits/8-byte bitset.
+
+    One scan; each partition folds its paragraphs into a local bitset
+    (vectorized), partials OR-combine in a log-depth tree.  Result is
+    independent of partitioning and row order.
+    """
+    nbytes = m_bits // 8
+    pos_df = paras.select(_positions(F.col("para"), m_bits, k).alias("pos"))
+
+    def to_bits(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["pos"]]
+            )
+            np.bitwise_or.at(bits, arr >> 3, (1 << (arr & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    part_rows = pos_df.mapInPandas(to_bits, "bits binary").rdd.map(
+        lambda r: r["bits"]
+    )
+
+    def _or(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    zero = np.zeros(nbytes, dtype=np.uint8).tobytes()
+    return part_rows.treeAggregate(zero, _or, _or, depth=2)
+
+
+def bloom_probe_flags(
+    paras: DataFrame, filter_bytes: bytes, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """(doc_id, seen int): per-paragraph membership against the broadcast
+    filter — map-side, vectorized bit test per Arrow batch."""
+    bc = paras.sparkSession.sparkContext.broadcast(filter_bytes)
+    with_pos = paras.select(
+        "doc_id", _positions(F.col("para"), m_bits, k).alias("pos")
+    )
+
+    def probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(a, dtype=np.int64) for a in pdf["pos"]])
+            seen = ((bits[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1).all(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "seen": seen.astype(np.int32)}
+            )
+
+    return with_pos.mapInPandas(probe, "doc_id long, seen int")
+
+
+def bloom_flag_docs(
+    docs: DataFrame,
+    filter_bytes: bytes,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    threshold: float = BLOOM_SEEN_THRESHOLD,
+    canonical: Optional[bool] = None,
+) -> DataFrame:
+    """(doc_id, n_paras, n_seen, seen_frac, keep) for ``docs`` against an
+    already-built filter — the score-forever half: map-side probe + one
+    per-doc rollup (this is what the streaming wrapper runs per batch)."""
+    flags = bloom_probe_flags(_paragraphs(docs), filter_bytes, m_bits, k)
+    agg = flags.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum("seen").cast("long").alias("n_seen"),
+    )
+    # keep compares the RAW ratio (bit-identical int/int division in both
+    # engines); the rounded value is display-precision for the boundary only
+    ratio = F.col("n_seen") / F.greatest(F.col("n_paras"), F.lit(1))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.coalesce(F.round(ratio, 6), F.lit(0.0)).alias("seen_frac"),
+            F.coalesce(ratio < F.lit(float(threshold)), F.lit(True)).alias(
+                "keep"
+            ),
+        )
+        .transform(lambda d: canonical_order(d, "doc_id", canonical=canonical))
+    )
+
+
+def bloom_para_dedup(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    threshold: float = BLOOM_SEEN_THRESHOLD,
+    canonical: Optional[bool] = None,
+) -> DataFrame:
+    """(doc_id, n_paras, n_seen, seen_frac, keep): flag each document by the
+    fraction of its paragraphs already present in the reference corpus's
+    bloom filter; ``keep`` = seen_frac < threshold (paragraph-free docs
+    keep).  ``seen`` is approximate in the bloom direction only: a set bit
+    may be a false positive, a clear bit is always a true negative."""
+    filt = bloom_build(_paragraphs(ref_docs), m_bits, k)
+    return bloom_flag_docs(docs, filt, m_bits, k, threshold, canonical)
+
+
+# ---------------------------------------------------------------------------
+# Pure-python twin (oracle_expected._build_bloom runs this; keep in LOCKSTEP
+# with the Spark path above)
+# ---------------------------------------------------------------------------
+
+
+def py_paragraphs(text: str) -> list[str]:
+    return [p.strip() for p in text.split("\n") if p.strip()]
+
+
+def py_positions(para: str, m_bits: int, k: int) -> list[int]:
+    from docling_core_spark.functions.xxhash import spark_xxhash64
+
+    return [spark_xxhash64(para, i) % m_bits for i in range(k)]
+
+
+def py_bloom_dedup(
+    doc_rows: list[tuple[int, str]],
+    ref_ids: set[int],
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    threshold: float = BLOOM_SEEN_THRESHOLD,
+) -> list[dict]:
+    """Single-process expected output of bloom_para_dedup where
+    ref_docs = docs filtered to ref_ids.  A python set of positions is
+    membership-identical to the bitset (both record exactly the inserted
+    positions)."""
+    filt: set[int] = set()
+    for doc_id, text in doc_rows:
+        if doc_id in ref_ids:
+            for para in py_paragraphs(text):
+                filt.update(py_positions(para, m_bits, k))
+    out = []
+    for doc_id, text in doc_rows:
+        paras = py_paragraphs(text)
+        n_seen = sum(
+            1
+            for para in paras
+            if all(p in filt for p in py_positions(para, m_bits, k))
+        )
+        frac = n_seen / max(len(paras), 1)
+        out.append(
+            {
+                "doc_id": doc_id,
+                "n_paras": len(paras),
+                "n_seen": n_seen,
+                "seen_frac": frac if paras else 0.0,
+                "keep": (frac < threshold) if paras else True,
+            }
+        )
+    return out

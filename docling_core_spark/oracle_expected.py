@@ -949,6 +949,56 @@ def _build_warc_ingest(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_bloom(sf_dir: str, out: Path) -> None:
+    """Expected bloom paragraph dedup: the pure-python twin in
+    operators/bloom.py replays the IDENTICAL position hashes
+    (functions/xxhash.spark_xxhash64) over the same demo corpus — a python
+    set of positions is membership-identical to the distributed bitset
+    (insertion-order-independent OR, the module's determinism contract)."""
+    import duckdb
+
+    from docling_core_spark.operators.bloom import py_bloom_dedup
+
+    con = duckdb.connect()
+    doc_rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    # c4_demo_docs twin (textstats.c4_demo_docs)
+    def demo_text(doc_id: int, text: str) -> str:
+        base = text.replace(" value ", ".\n")
+        if doc_id % 7 == 0:
+            base = "enable javascript in your browser\n" + base
+        if doc_id % 13 == 0:
+            base = base + " { var x = 1; }"
+        return base
+
+    demo = [(d, demo_text(d, t)) for d, t in doc_rows]
+    # with_synthetic_duplicates twin (dedup.py:33; round-6 mirror contract)
+    rate, seed, offset = 0.1, "dup42", 1_000_000
+    threshold = int(rate * (1 << 60))
+    clones = [
+        (d + offset, t)
+        for d, t in demo
+        if int(hashlib.md5(f"{d}{seed}".encode()).hexdigest()[:15], 16) < threshold
+    ]
+    corpus = demo + clones
+    ref_ids = {d for d, _ in corpus if d % 3 == 0}
+    rows = py_bloom_dedup(corpus, ref_ids)
+    for r in rows:
+        r["seen_frac"] = _round_half_up(r["seen_frac"], 6)
+    rows.sort(key=lambda r: r["doc_id"])
+    _write(
+        out / "bloom_para_dedup.parquet",
+        rows,
+        pa.schema(
+            [("doc_id", _I64), ("n_paras", _I64), ("n_seen", _I64),
+             ("seen_frac", _F64), ("keep", pa.bool_())]
+        ),
+    )
+
+
 def _build_classifier(sf_dir: str, out: Path) -> None:
     """Expected quality-classifier model + scores: the pure-python twin in
     operators/classifier.py runs the IDENTICAL quantized-gradient training
@@ -994,6 +1044,7 @@ def _build_classifier(sf_dir: str, out: Path) -> None:
 
 EXPECTED_QUERIES = {
     "quality_classifier_train": "ORDER BY dim",
+    "bloom_para_dedup": "ORDER BY doc_id",
     "quality_classifier_score": "ORDER BY doc_id",
     "code_chunks_python": "ORDER BY doc_id, chunk_idx",
     "code_chunks_java": "ORDER BY doc_id, chunk_idx",
@@ -1051,6 +1102,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_extract_bpe(sf_dir, tmp)
         _build_warc_ingest(sf_dir, tmp)
         _build_classifier(sf_dir, tmp)
+        _build_bloom(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
         try:
             os.rename(tmp, out)

@@ -312,3 +312,38 @@ def lm_score_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def bloom_dedup_stream(
+    docs_stream: DataFrame,
+    output: str,
+    checkpoint: str,
+    filter_bytes: bytes,
+    m_bits: int = None,
+    k: int = None,
+    trigger_seconds: int = 10,
+):
+    """Streaming BFF dedup via foreachBatch: the bloom filter builds ONCE
+    over the reference corpus (operators/bloom.bloom_build — the Dolma
+    deployment shape: the kept history IS the filter, bounded at m_bits no
+    matter how much history) and every crawl micro-batch flags its
+    paragraphs map-side against the broadcast bitset + one per-doc rollup
+    (bloom_flag_docs).  Stateless given the filter: replays emit identical
+    rows (the bitset is immutable and the probe is deterministic)."""
+    from docling_core_spark.operators import bloom as _bloom
+
+    m = m_bits if m_bits is not None else _bloom.BLOOM_M_BITS
+    kk = k if k is not None else _bloom.BLOOM_K
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = _bloom.bloom_flag_docs(
+            batch_df, filter_bytes, m, kk, canonical=False
+        )
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
