@@ -370,6 +370,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact dedup runs over a duplicate-BEARING input (corpus + re-keyed
         # 10% clone subset, same in the oracle) so the positive paths —
         # group assembly, id cap, "|"-join — are value-hashed, not vacuous
+        # RefinedWeb-style URL filtering (Penedo 2023 §G.1): the first,
+        # cheapest curation stage — blocklist domains + soft bad-word URL
+        # scoring + structural heuristics, map-only, before any content
+        # parse (new r8; deterministic messy-URL demo mix in both engines)
+        "url_filter": lambda s, d: textstats.url_filter(
+            _docs(s, d).select(
+                "doc_id",
+                textstats.url_filter_demo_expr(F.col("doc_id")).alias("url"),
+            )
+        ),
         "dedup_exact": lambda s, d: dedup.exact_duplicates(
             dedup.with_synthetic_duplicates(_docs(s, d))
         ),
@@ -392,7 +402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_corpus": lambda s, d: dedup.near_dedup_corpus(_docs(s, d)),
         # --- similarity search ---
         "similarity_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
-        "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         # trained-index variant: Lloyd-refined centroids (iterative k-means
         # with exact quantized-integer arithmetic — hash-checkable)
         "similarity_ivf_kmeans": lambda s, d: similarity.ivf_kmeans_topk(_emb(s, d)),
@@ -486,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": lambda s, d: textstats.text_clean(_docs(s, d)),
         "url_normalized": lambda s, d: textstats.url_normalized(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        # SRP-bucketed ANN (similarity_ivf_kmeans is the in-window trained
+        # bucketed-ANN representative; demoted r8 for url_filter)
+        "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         "rel_events_hourly": relational.events_sessionized,
         # relational coverage demos (Catalyst-native path, not a docling or
         # pipeline surface) — demoted r8 to make room for the round-7
@@ -545,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         + "), "
         + textstats.c4_span_dedup_sql("dup_docs").strip()[len("WITH ") :],
         "url_normalized": textstats.url_normalized_sql(),
+        "url_filter": textstats.url_filter_sql(),
         "host_quality_stats": textstats.host_quality_stats_sql(),
         "mix_corpora": textstats.mix_corpora_sql(),
         "curation_report": textstats.curation_report_sql(),

@@ -224,6 +224,15 @@ def main() -> None:
 
     timed("bloom_para_dedup", _bloom_run)
     timed(
+        "url_filter",
+        lambda: textstats.url_filter(
+            docs_tbl.select(
+                "doc_id",
+                textstats.url_filter_demo_expr(F.col("doc_id")).alias("url"),
+            )
+        ).count(),
+    )
+    timed(
         "winnowing_fingerprints",
         lambda: textstats.winnowing_fingerprints(docs_tbl).count(),
     )

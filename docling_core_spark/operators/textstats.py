@@ -1480,3 +1480,195 @@ SELECT doc_id, url,
 FROM np
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# URL filtering (RefinedWeb, Penedo 2023 §G.1: the FIRST curation stage —
+# cheapest filter first, before any content is parsed.  Blocklist domains +
+# soft bad-word URL scoring + structural heuristics.)
+# ---------------------------------------------------------------------------
+
+# registrable-domain blocklist (UT1-style; real deployments broadcast the
+# multi-million-entry UT1 list — same plan shape, an IN literal here)
+URL_BLOCKLIST = ("tracker-net.example", "spamfarm.example")
+# soft-score word list (RefinedWeb weights matches in the host double)
+URL_BADWORDS = ("casino", "poker", "viagra", "xxx", "free-download")
+URL_MAX_BADWORD_SCORE = 2
+URL_MAX_DIGIT_FRAC = 0.4
+URL_MAX_HOST_LEN = 40
+URL_MAX_PATH_DEPTH = 12
+
+_BADWORD_RE = "(" + "|".join(URL_BADWORDS) + ")"
+
+
+def url_filter_demo_expr(doc_id):
+    """Deterministic URL mix exercising every rule (same CASE chain in the
+    DuckDB oracle): blocklisted ad domains, bad-word paths, digit-stuffed
+    hosts, over-deep paths, and clean article URLs."""
+    sid = doc_id.cast("string")
+    return (
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(F.lit("http://ads.tracker-net.example/banner/"), sid),
+        )
+        .when(
+            doc_id % 7 == 3,
+            F.concat(
+                F.lit("https://files.example.com/free-casino-poker/"),
+                sid,
+                F.lit("/download"),
+            ),
+        )
+        .when(
+            doc_id % 5 == 2,
+            F.concat(
+                F.lit("http://x"), sid, F.lit("9876543210.example.net/p/"), sid
+            ),
+        )
+        .when(
+            doc_id % 13 == 4,
+            F.concat(
+                F.lit("https://deep.example.org"),
+                F.lit("/a/b/c/d/e/f/g/h/i/j/k/l/m/n/"),
+                sid,
+            ),
+        )
+        .when(
+            doc_id % 17 == 6,
+            F.concat(
+                F.lit(
+                    "https://very-long-keyword-stuffed-subdomain-chain.example.net/q/"
+                ),
+                sid,
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://www.example.com/articles/"), sid))
+    )
+
+
+def url_filter(docs_with_url: DataFrame, canonical=None) -> DataFrame:
+    """(doc_id, url, host, reg_domain, blocked_domain, badword_score,
+    digit_frac, host_len, path_depth, keep, reject_reasons): RefinedWeb-style
+    URL filtering — runs before any content parse, so at crawl scale it
+    prunes fetches the rest of the pipeline never pays for.
+
+    Scale shape: map-only Catalyst (regex + arithmetic per row, no joins,
+    no shuffle — the blocklist is an IN literal here and a broadcast
+    left-join flag for the multi-million-entry UT1 list, either way
+    map-side).  The registrable domain is the last two dot-labels (the
+    public-suffix-list refinement changes the extraction expression only).
+    """
+    url = F.col("url")
+    low = F.lower(url)
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)", 1)
+    )
+    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    path = F.regexp_extract(
+        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""),
+        r"^([^?#]*)",
+        1,
+    )
+    blocked = reg_domain.isin(*URL_BLOCKLIST)
+    host_hits = F.regexp_count(host, F.lit(_BADWORD_RE))
+    rest_hits = F.regexp_count(low, F.lit(_BADWORD_RE)) - host_hits
+    badword_score = (host_hits * 2 + rest_hits).cast("int")
+    host_len = F.length(host)
+    digit_frac = (
+        (host_len - F.length(F.regexp_replace(host, r"[0-9]", ""))).cast("double")
+        / F.greatest(host_len, F.lit(1)).cast("double")
+    )
+    path_depth = (
+        F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    ).cast("int")
+
+    rules = [
+        ("blocklist", ~blocked),
+        ("badwords", badword_score < URL_MAX_BADWORD_SCORE),
+        ("digit_host", digit_frac <= URL_MAX_DIGIT_FRAC),
+        ("host_len", host_len <= URL_MAX_HOST_LEN),
+        ("path_depth", path_depth <= URL_MAX_PATH_DEPTH),
+    ]
+    keep = None
+    for _, cond in rules:
+        keep = cond if keep is None else (keep & cond)
+    reject_reasons = F.concat_ws(
+        ",", *[F.when(~cond, F.lit(tag)) for tag, cond in rules]
+    )
+    return docs_with_url.select(
+        "doc_id",
+        url.alias("url"),
+        host.alias("host"),
+        reg_domain.alias("reg_domain"),
+        blocked.alias("blocked_domain"),
+        badword_score.alias("badword_score"),
+        F.round(digit_frac, 6).alias("digit_frac"),
+        host_len.cast("int").alias("host_len"),
+        path_depth.alias("path_depth"),
+        keep.alias("keep"),
+        reject_reasons.alias("reject_reasons"),
+    ).transform(lambda d: canonical_order(d, "doc_id", canonical=canonical))
+
+
+def url_filter_demo_sql(table: str = "documents") -> str:
+    """url_filter_demo_expr as a DuckDB CTE body."""
+    return f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'http://ads.tracker-net.example/banner/' || doc_id
+              WHEN doc_id % 7 = 3 THEN 'https://files.example.com/free-casino-poker/' || doc_id || '/download'
+              WHEN doc_id % 5 = 2 THEN 'http://x' || doc_id || '9876543210.example.net/p/' || doc_id
+              WHEN doc_id % 13 = 4 THEN 'https://deep.example.org/a/b/c/d/e/f/g/h/i/j/k/l/m/n/' || doc_id
+              WHEN doc_id % 17 = 6 THEN 'https://very-long-keyword-stuffed-subdomain-chain.example.net/q/' || doc_id
+              ELSE 'https://www.example.com/articles/' || doc_id END AS url
+  FROM {table}
+"""
+
+
+def url_filter_rules_sql(url_table: str) -> str:
+    """The url_filter rule chain over any (doc_id, url) relation — same
+    regexes, same thresholds as the Spark expressions."""
+    bl = ", ".join(f"'{d}'" for d in URL_BLOCKLIST)
+    bw = _BADWORD_RE
+    return f"""
+WITH parts AS (
+  SELECT doc_id, url, lower(url) AS low,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)', 1)) AS host,
+         regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''), '^([^?#]*)', 1) AS path
+  FROM {url_table}
+),
+sig AS (
+  SELECT doc_id, url, host,
+         regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+         regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({bl}) AS blocked_domain,
+         CAST(len(regexp_extract_all(host, '{bw}')) * 2
+              + len(regexp_extract_all(low, '{bw}'))
+              - len(regexp_extract_all(host, '{bw}')) AS INT) AS badword_score,
+         CAST(length(host) - length(regexp_replace(host, '[0-9]', '', 'g')) AS DOUBLE)
+           / CAST(greatest(length(host), 1) AS DOUBLE) AS digit_frac_raw,
+         CAST(length(host) AS INT) AS host_len,
+         CAST(length(path) - length(regexp_replace(path, '/', '', 'g')) AS INT) AS path_depth
+  FROM parts
+)
+SELECT doc_id, url, host, reg_domain, blocked_domain, badword_score,
+       round(digit_frac_raw, 6) AS digit_frac, host_len, path_depth,
+       (NOT blocked_domain AND badword_score < {URL_MAX_BADWORD_SCORE}
+        AND digit_frac_raw <= {URL_MAX_DIGIT_FRAC} AND host_len <= {URL_MAX_HOST_LEN}
+        AND path_depth <= {URL_MAX_PATH_DEPTH}) AS keep,
+       concat_ws(',',
+         CASE WHEN blocked_domain THEN 'blocklist' END,
+         CASE WHEN badword_score >= {URL_MAX_BADWORD_SCORE} THEN 'badwords' END,
+         CASE WHEN digit_frac_raw > {URL_MAX_DIGIT_FRAC} THEN 'digit_host' END,
+         CASE WHEN host_len > {URL_MAX_HOST_LEN} THEN 'host_len' END,
+         CASE WHEN path_depth > {URL_MAX_PATH_DEPTH} THEN 'path_depth' END) AS reject_reasons
+FROM sig
+ORDER BY doc_id
+"""
+
+
+def url_filter_sql(table: str = "documents") -> str:
+    """DuckDB oracle for url_filter over the demo URL mix."""
+    return url_filter_rules_sql("demo").replace(
+        "\nWITH parts AS (",
+        f"\nWITH demo AS ({url_filter_demo_sql(table)}),\nparts AS (",
+        1,
+    )

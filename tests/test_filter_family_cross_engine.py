@@ -226,3 +226,48 @@ def test_url_normalize_idempotent(spark):
     twice = once.select("n1", url_normalize_expr(F.col("n1")).alias("n2"))
     for r in twice.collect():
         assert r["n1"] == r["n2"], r
+
+
+def test_url_filter_cross_engine_adversarial(spark, tmp_path_factory):
+    """url_filter rules over handcrafted edge URLs: Spark and DuckDB agree
+    on every column — scheme-less, empty, port-bearing, uppercase badwords,
+    IP hosts, userinfo-free weirdness, query/fragment boundaries."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.operators.textstats import (
+        url_filter,
+        url_filter_rules_sql,
+    )
+
+    cases = [
+        "http://ads.tracker-net.example/banner/1",
+        "https://sub.SPAMFARM.example/x",          # case-folded blocklist hit
+        "https://files.example.com/FREE-CASINO-poker/9",  # uppercase badwords
+        "http://casino.example.net/clean",          # badword in host: weight 2
+        "https://www.example.com/articles/7?q=casino#poker",  # query+fragment hits
+        "http://93.184.216.34/path",               # IP-literal host (digit_frac)
+        "http://x1234567890.example.net:8080/p",   # port stripped from host
+        "https://a.example.org" + "/s" * 20,       # deep path
+        "https://" + "l" * 50 + ".example.io/",    # long host
+        "example.com/no-scheme",                   # scheme-less: empty host
+        "",                                        # empty URL
+        "https://example.com",                     # no path at all
+        "https://example.com/?",                   # empty query
+    ]
+    rows = [(i, c) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = sorted(map(tuple, url_filter(df, canonical=False).collect()))
+
+    pq = str(tmp_path_factory.mktemp("urlf") / "urls.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW urls AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(url_filter_rules_sql("urls")).fetchall()))
+    con.close()
+    assert got == want
+    # the edge set actually exercises both outcomes
+    keeps = [r[9] for r in got]
+    assert any(keeps) and not all(keeps)

@@ -78,10 +78,22 @@ def test_canonical_off_drops_sort(docs, monkeypatch):
         url_normalized,
     )
 
-    from docling_core_spark.operators.textstats import winnowing_fingerprints
+    from docling_core_spark.operators.textstats import (
+        url_filter,
+        url_filter_demo_expr,
+        winnowing_fingerprints,
+    )
+    from pyspark.sql import functions as F
+
+    def url_filter_demo(d):
+        return url_filter(
+            d.select(
+                "doc_id", url_filter_demo_expr(F.col("doc_id")).alias("url")
+            )
+        )
 
     monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
-    for op in (language_id, quality_scores, gopher_quality_filter, text_clean, url_normalized, pii_redact, winnowing_fingerprints):
+    for op in (language_id, quality_scores, gopher_quality_filter, text_clean, url_normalized, pii_redact, winnowing_fingerprints, url_filter_demo):
         plan = _plan(op(docs))
         assert "Sort" not in plan
         assert "Exchange" not in plan  # map-only end to end
