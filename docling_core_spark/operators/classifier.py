@@ -122,16 +122,26 @@ def _train(
                 (_score_col(b) - F.col("label").cast("double")) * F.lit(float(_Q))
             ).cast("long").alias("qc"),
         )
+        # ONE action per iteration: the bias gradient rides the same dim
+        # aggregation under sentinel dim -1 (each doc contributes its qc
+        # exactly once there, so sum(qg at -1) == sum(qc) — identical math
+        # to a separate global agg, half the driver round trips)
         grad_rows = (
-            scored.select(F.explode("dims").alias("dim"), "qc")
+            scored.select(
+                F.explode(
+                    F.concat(F.col("dims"), F.array(F.lit(-1)))
+                ).alias("dim"),
+                "qc",
+            )
             .groupBy("dim")
             .agg(F.sum("qc").alias("qg"))
             .collect()
         )
-        qb = scored.agg(F.sum("qc").alias("q")).first()["q"] or 0
         for r in grad_rows:
-            w[r["dim"]] -= lr * (r["qg"] / _Q) / n
-        b -= lr * (qb / _Q) / n
+            if r["dim"] == -1:
+                b -= lr * (r["qg"] / _Q) / n
+            else:
+                w[r["dim"]] -= lr * (r["qg"] / _Q) / n
     return w, b, n, feats
 
 
