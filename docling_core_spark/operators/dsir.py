@@ -46,11 +46,14 @@ def _hash60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def _bucket_rows(docs: DataFrame, buckets: int) -> DataFrame:
+def _bucket_rows(docs: DataFrame, buckets: int, hash_fn: str = "md5") -> DataFrame:
     """(doc_id, bucket) one row per unigram AND bigram occurrence (hashed).
 
     The token array materializes into its own projection first (no-CSE
-    rule), bigrams via the shifted-slice zip (the element_at trap)."""
+    rule), bigrams via the shifted-slice zip (the element_at trap).
+    ``hash_fn="xxhash64"`` is the pure-scale gram hash (JVM-native, no
+    md5+conv string work — the dedup.py toggle pattern); md5-60 stays the
+    DuckDB-oracle path."""
     toks = docs.select(
         "doc_id",
         F.filter(norm_words(F.col("text")), lambda x: x != F.lit("")).alias("ws"),
@@ -63,9 +66,12 @@ def _bucket_rows(docs: DataFrame, buckets: int) -> DataFrame:
     grams = toks.select(
         "doc_id", F.explode(F.concat(F.col("ws"), bigrams)).alias("g")
     )
-    return grams.select(
-        "doc_id", F.pmod(_hash60(F.col("g")), F.lit(buckets)).cast("int").alias("bucket")
+    bucket = (
+        F.pmod(F.xxhash64(F.col("g")), F.lit(buckets))
+        if hash_fn == "xxhash64"
+        else F.pmod(_hash60(F.col("g")), F.lit(buckets))
     )
+    return grams.select("doc_id", bucket.cast("int").alias("bucket"))
 
 
 def dsir_select(
@@ -75,10 +81,14 @@ def dsir_select(
     rate: float = DSIR_RATE,
     seed: str = DSIR_SEED,
     k: int = DSIR_K,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, log_ratio, gumbel_key, selected): importance weights under
-    the target/raw hashed-ngram models + Gumbel top-k selection flags."""
-    rows = _bucket_rows(docs, buckets)
+    the target/raw hashed-ngram models + Gumbel top-k selection flags.
+    ``hash_fn="xxhash64"`` swaps the gram hash for the JVM-native one (the
+    pure-scale path, same plan shape; the target-gate and Gumbel hashes
+    stay md5 — per-doc, not per-gram, so they are not the hot path)."""
+    rows = _bucket_rows(docs, buckets, hash_fn)
     # diamond cut: the bucket rows feed the raw model AND the per-doc counts
     rows = rows.localCheckpoint(eager=False)
     tgt_gate = _hash60(F.concat(F.col("doc_id").cast("string"), F.lit(seed)))

@@ -71,3 +71,16 @@ def test_plan_shape(docs):
     # join), so the final plan reads an RDD-backed scan — the aggregates
     # with partials live in the checkpointed subplan (pinned by parity)
     assert "ExistingRDD" in plan
+
+
+def test_xxhash64_toggle_same_shape(docs):
+    """The pure-scale gram hash (JVM xxhash64, the dedup.py toggle pattern)
+    keeps the contract: same schema, exactly k selected, md5 stays the
+    oracle path.  Bucket assignment differs by design (different hash
+    family), so only structural properties are compared."""
+    out = dsir_select(docs, hash_fn="xxhash64")
+    assert out.columns == ["doc_id", "log_ratio", "gumbel_key", "selected"]
+    assert out.filter("selected = 1").count() == 100
+    assert out.count() == docs.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "TakeOrderedAndProject" in plan
