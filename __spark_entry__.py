@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decontam,
         dedup,
         dsir,
+        fineweb,
         lm,
         packing,
         pii,
@@ -342,10 +343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": lambda s, d: textstats.mix_corpora(_docs(s, d)),
         # one-row run-level metrics side table (one scan, one global agg)
         "curation_report": lambda s, d: textstats.curation_report(_docs(s, d)),
-        # newest fetch per url over a multi-crawl demo (max-struct agg)
-        "latest_crawl": lambda s, d: textstats.latest_crawl(
-            textstats.recrawl_demo_docs(_docs(s, d))
-        ),
         # benchmark decontamination: every 50th doc plays the eval set; the
         # overlap counts + keep flag are value-hashed against DuckDB
         "decontaminate": lambda s, d: decontam.decontaminate(
@@ -379,6 +376,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id",
                 textstats.url_filter_demo_expr(F.col("doc_id")).alias("url"),
             )
+        ),
+        # FineWeb/RefinedWeb end-to-end curation in ONE call: url filter ->
+        # clean -> Gopher -> C4 lines -> exact-dup representative -> PII,
+        # one scan one exchange, every stage the standalone operator (new
+        # r8; composed DuckDB oracle over the same stage SQL builders)
+        "fineweb_prep": lambda s, d: fineweb.fineweb_prep(
+            fineweb.fineweb_demo_docs(_docs(s, d))
         ),
         "dedup_exact": lambda s, d: dedup.exact_duplicates(
             dedup.with_synthetic_duplicates(_docs(s, d))
@@ -498,6 +502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SRP-bucketed ANN (similarity_ivf_kmeans is the in-window trained
         # bucketed-ANN representative; demoted r8 for url_filter)
         "similarity_ann_lsh": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        # newest fetch per url over a multi-crawl demo (same keyed
+        # partial-agg rollup family as the in-window host_quality_stats;
+        # demoted r8 for fineweb_prep)
+        "latest_crawl": lambda s, d: textstats.latest_crawl(
+            textstats.recrawl_demo_docs(_docs(s, d))
+        ),
         "rel_events_hourly": relational.events_sessionized,
         # relational coverage demos (Catalyst-native path, not a docling or
         # pipeline surface) — demoted r8 to make room for the round-7
@@ -523,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
         decontam,
         dedup,
         dsir,
+        fineweb,
         lm,
         pii,
         profile,
@@ -558,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         + textstats.c4_span_dedup_sql("dup_docs").strip()[len("WITH ") :],
         "url_normalized": textstats.url_normalized_sql(),
         "url_filter": textstats.url_filter_sql(),
+        "fineweb_prep": fineweb.fineweb_prep_sql(),
         "host_quality_stats": textstats.host_quality_stats_sql(),
         "mix_corpora": textstats.mix_corpora_sql(),
         "curation_report": textstats.curation_report_sql(),

@@ -223,6 +223,12 @@ def main() -> None:
         ).count()
 
     timed("bloom_para_dedup", _bloom_run)
+    from docling_core_spark.operators import fineweb
+
+    timed(
+        "fineweb_prep",
+        lambda: fineweb.fineweb_prep(fineweb.fineweb_demo_docs(docs_tbl)).count(),
+    )
     timed(
         "url_filter",
         lambda: textstats.url_filter(

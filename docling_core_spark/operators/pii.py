@@ -36,7 +36,7 @@ IP_TOKEN = "[IP]"
 PHONE_TOKEN = "[PHONE]"
 
 
-def pii_redact(docs: DataFrame, canonical=None) -> DataFrame:
+def pii_redact(docs: DataFrame, canonical=None, passthrough=()) -> DataFrame:
     """(doc_id, redacted_text, n_emails, n_ips, n_phones, any_pii).
 
     Counts are per-category non-overlapping match counts on the original
@@ -55,6 +55,7 @@ def pii_redact(docs: DataFrame, canonical=None) -> DataFrame:
     n_phones = F.regexp_count(text, F.lit(PHONE_RE)).cast("long")
     return docs.select(
         "doc_id",
+        *passthrough,
         redacted.alias("redacted_text"),
         n_emails.alias("n_emails"),
         n_ips.alias("n_ips"),

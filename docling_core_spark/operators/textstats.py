@@ -502,7 +502,7 @@ ORDER BY doc_id
 """
 
 
-def text_clean(docs: DataFrame, canonical=None) -> DataFrame:
+def text_clean(docs: DataFrame, canonical=None, passthrough=()) -> DataFrame:
     """Canonical text cleanup for a training corpus: strip C0/C1 control
     characters (newline/tab excepted), squash horizontal whitespace runs,
     collapse 3+ newlines to a paragraph break, trim.  Map-only Catalyst.
@@ -521,6 +521,7 @@ def text_clean(docs: DataFrame, canonical=None) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *passthrough,
         cleaned.alias("clean_text"),
         F.length(cleaned).cast("long").alias("n_chars_clean"),
         (F.length(text) - F.length(cleaned)).cast("long").alias("removed_chars"),
@@ -660,7 +661,7 @@ C4_MIN_LINE_WORDS = 3
 C4_POLICY_MARKERS = ["javascript", "cookie", "privacy policy", "terms of use"]
 
 
-def c4_line_filter(docs: DataFrame, canonical=None) -> DataFrame:
+def c4_line_filter(docs: DataFrame, canonical=None, passthrough=()) -> DataFrame:
     """C4 line rules, re-expressed as array HOFs over the line list:
 
     - keep only lines ending in terminal punctuation (. ! ? ")
@@ -694,6 +695,7 @@ def c4_line_filter(docs: DataFrame, canonical=None) -> DataFrame:
     kept_text = F.when(doc_ok, F.array_join(kept, "\n")).otherwise(F.lit(""))
     return docs.select(
         "doc_id",
+        *passthrough,
         kept_text.alias("filtered_text"),
         F.size(lines).cast("long").alias("n_lines"),
         F.when(doc_ok, F.size(kept)).otherwise(0).cast("long").alias("n_kept_lines"),
@@ -1546,7 +1548,7 @@ def url_filter_demo_expr(doc_id):
     )
 
 
-def url_filter(docs_with_url: DataFrame, canonical=None) -> DataFrame:
+def url_filter(docs_with_url: DataFrame, canonical=None, passthrough=()) -> DataFrame:
     """(doc_id, url, host, reg_domain, blocked_domain, badword_score,
     digit_frac, host_len, path_depth, keep, reject_reasons): RefinedWeb-style
     URL filtering — runs before any content parse, so at crawl scale it
@@ -1597,6 +1599,7 @@ def url_filter(docs_with_url: DataFrame, canonical=None) -> DataFrame:
     )
     return docs_with_url.select(
         "doc_id",
+        *passthrough,
         url.alias("url"),
         host.alias("host"),
         reg_domain.alias("reg_domain"),

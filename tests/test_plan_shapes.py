@@ -326,3 +326,21 @@ def test_semdedup_is_windowless_and_capped(emb):
     plan = _plan(semdedup(emb))
     assert "Window" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_fineweb_prep_is_one_scan_one_exchange(docs, monkeypatch):
+    """The full published curation stack (url -> clean -> Gopher -> C4 ->
+    dedup representative -> PII) compiles to ONE scan and ONE hash
+    exchange: stages 1-4 and 6 are map-side, the fingerprint min_by agg is
+    the only shuffle and keeps map-side partials — the corpus_prep
+    contract extended to the end-to-end FineWeb chain."""
+    from docling_core_spark.operators import fineweb as fw
+
+    monkeypatch.setenv("SPARK_GRAFT_CANONICAL", "0")
+    plan = _plan(fw.fineweb_prep(fw.fineweb_demo_docs(docs)))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min_by" in plan
