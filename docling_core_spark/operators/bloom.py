@@ -228,3 +228,39 @@ def py_bloom_dedup(
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deployment helpers: sizing and incremental merge
+# ---------------------------------------------------------------------------
+
+
+def bloom_size(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for a target false-positive rate: the standard optima
+    m = -n·ln(p)/ln(2)^2 and k = (m/n)·ln(2), with m rounded UP to a whole
+    number of bytes (the bitset ships as bytes) and k >= 1.
+
+    10^9 kept paragraphs at 1% fpp -> ~1.2 GB filter, 7 hashes — one
+    broadcast per executor, the BFF economics at crawl scale."""
+    import math
+
+    n = max(expected_items, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round((m / n) * math.log(2)))
+    return m, k
+
+
+def bloom_merge(*filters: bytes) -> bytes:
+    """OR together same-sized filters — the incremental crawl story: the
+    history filter for crawl N+1 is merge(history_N, build(kept_N)).
+    Commutative, associative, idempotent; sizes must match (same m_bits)."""
+    if not filters:
+        raise ValueError("no filters to merge")
+    sizes = {len(f) for f in filters}
+    if len(sizes) != 1:
+        raise ValueError(f"filter sizes differ: {sorted(sizes)}")
+    acc = np.frombuffer(filters[0], dtype=np.uint8).copy()
+    for f in filters[1:]:
+        acc |= np.frombuffer(f, dtype=np.uint8)
+    return acc.tobytes()

@@ -166,3 +166,30 @@ def test_streaming_bloom_dedup_parity(spark, corpus, tmp_path):
     )
     assert got == want
     assert any(r[1] > 0 for r in got)
+
+
+def test_bloom_size_formulas():
+    from docling_core_spark.operators import bloom
+
+    m, k = bloom.bloom_size(1000, 0.01)
+    assert m % 8 == 0 and 9000 < m < 10200  # ~9.59 kbit for n=1000 p=0.01
+    assert k == 7
+    m1, k1 = bloom.bloom_size(0, 0.01)  # degenerate: never zero-sized
+    assert m1 >= 8 and k1 >= 1
+
+
+def test_bloom_merge_is_incremental_build(corpus):
+    """merge(build(A), build(B)) == build(A ∪ B): the crawl-N+1 history
+    update needs no rebuild over all history."""
+    from docling_core_spark.operators import bloom
+    from pyspark.sql import functions as F
+
+    pa_ = bloom._paragraphs(corpus.filter(F.col("doc_id") % 3 == 0))
+    pb = bloom._paragraphs(corpus.filter(F.col("doc_id") % 3 == 1))
+    both = bloom._paragraphs(corpus.filter(F.col("doc_id") % 3 < 2))
+    fa, fb = bloom.bloom_build(pa_), bloom.bloom_build(pb)
+    assert bloom.bloom_merge(fa, fb) == bloom.bloom_build(both)
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom.bloom_merge(fa, fa[:-8])
