@@ -347,3 +347,12 @@ def bloom_dedup_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def url_filter_stream(pages_stream: DataFrame) -> DataFrame:
+    """Streaming URL filtering (stateless map): the first curation stage
+    runs on the crawl frontier itself — flag/drop documents by URL before
+    any content parse.  Same operator as batch (textstats.url_filter)."""
+    from docling_core_spark.operators.textstats import url_filter
+
+    return url_filter(pages_stream, canonical=False)

@@ -342,3 +342,38 @@ def test_streaming_lm_score_parity(spark, tmp_path):
     assert got == want
     assert len(got) == 60
     assert any(r[1] > 0 for r in got)  # bigram-bearing docs scored
+
+
+def test_streaming_url_filter_parity(spark, tmp_path):
+    """Stateless URL filtering on the stream: row-identical to batch."""
+    from pyspark.sql import functions as SF
+
+    from docling_core_spark.operators.textstats import (
+        url_filter,
+        url_filter_demo_expr,
+    )
+    from docling_core_spark.streaming.stream import url_filter_stream
+
+    src = str(tmp_path / "uf_src")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60).select(
+        "doc_id", url_filter_demo_expr(SF.col("doc_id")).alias("url")
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        url_filter_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("uf_stream")
+        .option("checkpointLocation", str(tmp_path / "uf_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("uf_stream")
+    assert out.count() == 60
+    batch = url_filter(spark.read.parquet(src), canonical=False)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+    assert out.filter("NOT keep").count() > 0
