@@ -193,3 +193,33 @@ def test_bloom_merge_is_incremental_build(corpus):
 
     with pytest.raises(ValueError):
         bloom.bloom_merge(fa, fa[:-8])
+
+
+def test_unicode_paragraph_parity(spark):
+    """Non-ASCII paragraphs hash identically in both engines: the twin's
+    spark_xxhash64 hashes UTF-8 BYTES, exactly what JVM xxhash64 sees —
+    CJK, RTL, combining marks, emoji, and the \\x0B probe all agree."""
+    from docling_core_spark.operators import bloom
+
+    texts = [
+        "héllo wörld ünïcode.\nplain ascii line.",
+        "中文段落测试内容。\n中文段落测试内容。",
+        "مرحبا بالعالم النص\nhybrid عربي ascii",
+        "é combining acute\nemoji 🌍🚀 paragraph",
+        "vertical\x0btab probe\nsecond line",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_seen"], r["keep"])
+        for r in bloom.bloom_para_dedup(docs, ref, canonical=False).collect()
+    }
+    doc_rows = [(i, t) for i, t in enumerate(texts)]
+    exp = bloom.py_bloom_dedup(doc_rows, {0, 2, 4})
+    for e in exp:
+        assert got[e["doc_id"]] == (e["n_paras"], e["n_seen"], e["keep"])
+    # the CJK self-dup doc is flagged (both its identical paragraphs seen)
+    assert got[2] == (2, 2, False)
