@@ -45,14 +45,28 @@ BLOOM_M_BITS = 1 << 20  # 128 KiB filter for the demo scale; 100 TB runs
 BLOOM_K = 5             # size m to the kept-paragraph count (m ≈ 10n·k/ln2)
 BLOOM_SEEN_THRESHOLD = 0.5
 
+# paragraph trim class: the Java \s set, spelled out on BOTH engines (the
+# textstats.WS precedent) — F.trim strips ASCII space only and python
+# str.strip() strips all unicode whitespace; either alone would break the
+# Spark/twin LOCKSTEP on CRLF, tabs, or \x0B edges
+_TRIM_RE = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
+_TRIM_CHARS = " \t\n\x0b\x0c\r"
 
-def _paragraphs(docs: DataFrame) -> DataFrame:
-    """(doc_id, para): trimmed non-empty lines — the Dolma dedup unit."""
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+
+def _lines_expr():
+    """array<string> of trimmed non-empty lines — the Dolma dedup unit."""
+    return F.filter(
+        F.transform(
+            F.split(F.col("text"), "\n"),
+            lambda x: F.regexp_replace(x, _TRIM_RE, ""),
+        ),
         lambda x: F.length(x) > 0,
     )
-    return docs.select("doc_id", F.explode(lines).alias("para"))
+
+
+def _paragraphs(docs: DataFrame) -> DataFrame:
+    """(doc_id, para): one row per paragraph (docs without any vanish)."""
+    return docs.select("doc_id", F.explode(_lines_expr()).alias("para"))
 
 
 def _positions(col, m_bits: int, k: int):
@@ -74,6 +88,8 @@ def bloom_build(
     (vectorized), partials OR-combine in a log-depth tree.  Result is
     independent of partitioning and row order.
     """
+    if m_bits % 8 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
     nbytes = m_bits // 8
     pos_df = paras.select(_positions(F.col("para"), m_bits, k).alias("pos"))
 
@@ -101,12 +117,38 @@ def bloom_build(
     return part_rows.treeAggregate(zero, _or, _or, depth=2)
 
 
+def _as_broadcast(df: DataFrame, filt):
+    """Accept raw bytes or an existing pyspark Broadcast (the streaming
+    wrapper broadcasts ONCE and reuses it across micro-batches instead of
+    re-shipping a crawl-scale filter every trigger)."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(filt, Broadcast):
+        return filt
+    return df.sparkSession.sparkContext.broadcast(filt)
+
+
+def _check_filter(filt, m_bits: int) -> None:
+    """A filter built at one m_bits probed at another is silently wrong
+    (in-range indexes, random membership) or an executor IndexError —
+    fail fast on the driver instead."""
+    from pyspark.broadcast import Broadcast
+
+    nbytes = len(filt.value) if isinstance(filt, Broadcast) else len(filt)
+    if nbytes * 8 != m_bits:
+        raise ValueError(
+            f"filter is {nbytes * 8} bits but m_bits={m_bits}; "
+            "probe with the m_bits the filter was built with"
+        )
+
+
 def bloom_probe_flags(
-    paras: DataFrame, filter_bytes: bytes, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+    paras: DataFrame, filter_bytes, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
 ) -> DataFrame:
     """(doc_id, seen int): per-paragraph membership against the broadcast
     filter — map-side, vectorized bit test per Arrow batch."""
-    bc = paras.sparkSession.sparkContext.broadcast(filter_bytes)
+    _check_filter(filter_bytes, m_bits)
+    bc = _as_broadcast(paras, filter_bytes)
     with_pos = paras.select(
         "doc_id", _positions(F.col("para"), m_bits, k).alias("pos")
     )
@@ -127,7 +169,7 @@ def bloom_probe_flags(
 
 def bloom_flag_docs(
     docs: DataFrame,
-    filter_bytes: bytes,
+    filter_bytes,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
     threshold: float = BLOOM_SEEN_THRESHOLD,
@@ -135,29 +177,62 @@ def bloom_flag_docs(
 ) -> DataFrame:
     """(doc_id, n_paras, n_seen, seen_frac, keep) for ``docs`` against an
     already-built filter — the score-forever half: map-side probe + one
-    per-doc rollup (this is what the streaming wrapper runs per batch)."""
-    flags = bloom_probe_flags(_paragraphs(docs), filter_bytes, m_bits, k)
+    per-doc rollup (this is what the streaming wrapper runs per batch).
+
+    ONE scan: explode_outer keeps a null-paragraph row for paragraph-free
+    documents, so no second read of ``docs`` is needed to resurrect them
+    (the diamond-reuse trap — a joined-back `docs.select` would compile and
+    scan the whole upstream subtree twice)."""
+    _check_filter(filter_bytes, m_bits)
+    bc = _as_broadcast(docs, filter_bytes)
+    outer = docs.select("doc_id", F.explode_outer(_lines_expr()).alias("para"))
+    with_pos = outer.select(
+        "doc_id",
+        F.when(
+            F.col("para").isNotNull(), _positions(F.col("para"), m_bits, k)
+        ).alias("pos"),
+    )
+
+    def probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mask = pdf["pos"].notna().to_numpy()
+            vals = np.full(len(pdf), -1, dtype=np.int64)
+            if mask.any():
+                mat = np.vstack(
+                    [np.asarray(a, dtype=np.int64) for a in pdf["pos"][mask]]
+                )
+                vals[mask] = (
+                    (bits[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
+                ).all(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "seen": pd.array(
+                        [None if v < 0 else int(v) for v in vals], dtype="Int32"
+                    ),
+                }
+            )
+
+    flags = with_pos.mapInPandas(probe, "doc_id long, seen int")
+    # count("seen")/sum skip the null rows, so paragraph-free docs roll up
+    # to (0, 0) without a join back
     agg = flags.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_paras"),
-        F.sum("seen").cast("long").alias("n_seen"),
+        F.count("seen").cast("long").alias("n_paras"),
+        F.coalesce(F.sum("seen"), F.lit(0)).cast("long").alias("n_seen"),
     )
     # keep compares the RAW ratio (bit-identical int/int division in both
     # engines); the rounded value is display-precision for the boundary only
     ratio = F.col("n_seen") / F.greatest(F.col("n_paras"), F.lit(1))
-    return (
-        docs.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
-            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
-            F.coalesce(F.round(ratio, 6), F.lit(0.0)).alias("seen_frac"),
-            F.coalesce(ratio < F.lit(float(threshold)), F.lit(True)).alias(
-                "keep"
-            ),
-        )
-        .transform(lambda d: canonical_order(d, "doc_id", canonical=canonical))
-    )
+    return agg.select(
+        "doc_id",
+        "n_paras",
+        "n_seen",
+        F.round(ratio, 6).alias("seen_frac"),
+        (ratio < F.lit(float(threshold))).alias("keep"),
+    ).transform(lambda d: canonical_order(d, "doc_id", canonical=canonical))
 
 
 def bloom_para_dedup(
@@ -184,7 +259,12 @@ def bloom_para_dedup(
 
 
 def py_paragraphs(text: str) -> list[str]:
-    return [p.strip() for p in text.split("\n") if p.strip()]
+    # _TRIM_CHARS, not bare strip(): python strip() removes ALL unicode
+    # whitespace while the Spark side trims the Java \s class — bare strip
+    # diverges on NBSP-edged paragraphs (and F.trim would on CRLF/tabs)
+    return [
+        p.strip(_TRIM_CHARS) for p in text.split("\n") if p.strip(_TRIM_CHARS)
+    ]
 
 
 def py_positions(para: str, m_bits: int, k: int) -> list[int]:
@@ -204,6 +284,8 @@ def py_bloom_dedup(
     ref_docs = docs filtered to ref_ids.  A python set of positions is
     membership-identical to the bitset (both record exactly the inserted
     positions)."""
+    import decimal
+
     filt: set[int] = set()
     for doc_id, text in doc_rows:
         if doc_id in ref_ids:
@@ -218,12 +300,20 @@ def py_bloom_dedup(
             if all(p in filt for p in py_positions(para, m_bits, k))
         )
         frac = n_seen / max(len(paras), 1)
+        # mirror Spark F.round (BigDecimal HALF_UP on the shortest repr) —
+        # builtin round() is half-to-even and diverges on exact binary
+        # ties like 1/128
+        frac6 = float(
+            decimal.Decimal(repr(frac)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
         out.append(
             {
                 "doc_id": doc_id,
                 "n_paras": len(paras),
                 "n_seen": n_seen,
-                "seen_frac": frac if paras else 0.0,
+                "seen_frac": frac6 if paras else 0.0,
                 "keep": (frac < threshold) if paras else True,
             }
         )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from docling_core_spark.operators.canon import canonical_order
-from docling_core_spark.operators.pii import pii_redact
+from docling_core_spark.operators.pii import pii_redact, pii_redact_sql
 from docling_core_spark.operators.textstats import (
     c4_demo_docs,
     c4_demo_docs_sql,
@@ -35,9 +35,9 @@ from docling_core_spark.operators.textstats import (
     text_clean_sql,
     url_filter,
     url_filter_demo_expr,
+    url_filter_demo_sql,
     url_filter_rules_sql,
 )
-from docling_core_spark.operators.pii import pii_redact_sql
 
 
 def fineweb_demo_docs(docs: DataFrame) -> DataFrame:
@@ -68,16 +68,12 @@ def fineweb_demo_docs(docs: DataFrame) -> DataFrame:
 
 
 def fineweb_demo_docs_sql(table: str = "documents") -> str:
-    """fineweb_demo_docs as a DuckDB CTE body."""
+    """fineweb_demo_docs as a DuckDB CTE body.  The URL column composes
+    textstats.url_filter_demo_sql (the single SQL source of truth for the
+    demo URL mix, kept in lockstep with url_filter_demo_expr there)."""
     return f"""
-  SELECT doc_id,
-         CASE WHEN doc_id % 11 = 0 THEN 'http://ads.tracker-net.example/banner/' || doc_id
-              WHEN doc_id % 7 = 3 THEN 'https://files.example.com/free-casino-poker/' || doc_id || '/download'
-              WHEN doc_id % 5 = 2 THEN 'http://x' || doc_id || '9876543210.example.net/p/' || doc_id
-              WHEN doc_id % 13 = 4 THEN 'https://deep.example.org/a/b/c/d/e/f/g/h/i/j/k/l/m/n/' || doc_id
-              WHEN doc_id % 17 = 6 THEN 'https://very-long-keyword-stuffed-subdomain-chain.example.net/q/' || doc_id
-              ELSE 'https://www.example.com/articles/' || doc_id END AS url,
-         CASE WHEN doc_id % 5 = 0
+  SELECT t.doc_id, u.url,
+         CASE WHEN t.doc_id % 5 = 0
               THEN t1 || chr(10) || 'server at 93.184.216.34 responded quickly.'
               ELSE t1 END AS text
   FROM (
@@ -86,7 +82,8 @@ def fineweb_demo_docs_sql(table: str = "documents") -> str:
                 THEN c4text || chr(10) || 'contact user' || doc_id || '@example.com today please.'
                 ELSE c4text END AS t1
     FROM (SELECT doc_id, text AS c4text FROM ({c4_demo_docs_sql(table)}))
-  )
+  ) t
+  JOIN ({url_filter_demo_sql(table)}) u USING (doc_id)
 """
 
 

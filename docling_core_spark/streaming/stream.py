@@ -334,11 +334,12 @@ def bloom_dedup_stream(
 
     m = m_bits if m_bits is not None else _bloom.BLOOM_M_BITS
     kk = k if k is not None else _bloom.BLOOM_K
+    # broadcast ONCE; every micro-batch reuses it (re-broadcasting a
+    # crawl-scale filter per 10 s trigger would re-ship GBs per trigger)
+    bc = docs_stream.sparkSession.sparkContext.broadcast(filter_bytes)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = _bloom.bloom_flag_docs(
-            batch_df, filter_bytes, m, kk, canonical=False
-        )
+        out = _bloom.bloom_flag_docs(batch_df, bc, m, kk, canonical=False)
         out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
 
     return (

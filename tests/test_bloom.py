@@ -38,7 +38,7 @@ def test_parity_with_python_twin(corpus):
         assert got[e["doc_id"]] == (
             e["n_paras"],
             e["n_seen"],
-            round(e["seen_frac"], 6),
+            e["seen_frac"],
             e["keep"],
         )
     # non-vacuous: reference docs self-hit, clones of reference docs hit
@@ -223,3 +223,47 @@ def test_unicode_paragraph_parity(spark):
         assert got[e["doc_id"]] == (e["n_paras"], e["n_seen"], e["keep"])
     # the CJK self-dup doc is flagged (both its identical paragraphs seen)
     assert got[2] == (2, 2, False)
+
+
+def test_whitespace_edge_parity_regression(spark):
+    """Round-8 review finding (confirmed divergence): CRLF endings, tab
+    edges, tab-only lines, and power-of-two seen fractions must agree
+    between Spark and the twin — pins the shared Java-\\s trim class and
+    the HALF_UP twin rounding."""
+    from docling_core_spark.operators import bloom
+
+    texts = [
+        "hello world\r\nsecond line\n\tindented tail",
+        "\t\nonly tabs and blanks\r\n \t ",
+        "a.\x0bvertical edge\x0b\nb.",
+        " nbsp edge \nplain",  # NBSP is NOT in the trim class
+    ] + ["one two\n" * 128]  # 128 identical paragraphs -> 1/128 frac ties
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_seen"], r["seen_frac"], r["keep"])
+        for r in bloom.bloom_para_dedup(docs, ref, canonical=False).collect()
+    }
+    doc_rows = [(i, t) for i, t in enumerate(texts)]
+    exp = bloom.py_bloom_dedup(doc_rows, {0, 2, 4})
+    for e in exp:
+        assert got[e["doc_id"]] == (
+            e["n_paras"],
+            e["n_seen"],
+            e["seen_frac"],
+            e["keep"],
+        ), e["doc_id"]
+
+
+def test_probe_rejects_mismatched_filter(spark, corpus):
+    """A filter built at one m_bits probed at another fails FAST on the
+    driver — silent random membership (or executor IndexError) otherwise."""
+    from docling_core_spark.operators import bloom
+
+    filt = bloom.bloom_build(bloom._paragraphs(corpus.limit(5)), m_bits=1 << 16)
+    with pytest.raises(ValueError):
+        bloom.bloom_flag_docs(corpus.limit(5), filt, m_bits=1 << 20)
+    with pytest.raises(ValueError):
+        bloom.bloom_build(bloom._paragraphs(corpus.limit(5)), m_bits=100)
