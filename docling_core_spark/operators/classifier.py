@@ -54,21 +54,30 @@ CLS_MIN_WORDS = 40
 _Q = 1_000_000_000  # gradient quantization grid (1e-9 units)
 
 
-def _label_expr():
-    """Deterministic weak label (1 = quality): >=1 distinct en stopword AND
-    >= CLS_MIN_WORDS normalized words.  Not a claim about true quality —
-    the point is a reproducible, balanced training signal computable
-    identically in Spark and pure python."""
-    n_words = F.size(F.filter(norm_words(F.col("text")), lambda x: x != F.lit("")))
-    return (
-        (lang_score_expr(F.col("text"), "en") >= 1) & (n_words >= F.lit(CLS_MIN_WORDS))
-    ).cast("int")
-
-
 def _features(docs: DataFrame, dims: int) -> DataFrame:
-    """(doc_id, label, dims: sorted distinct int array) — binary hashed BoW."""
-    ws = F.filter(norm_words(F.col("text")), lambda x: x != F.lit(""))
-    base = docs.select("doc_id", _label_expr().alias("label"), ws.alias("ws"))
+    """(doc_id, label, dims: sorted distinct int array) — binary hashed BoW.
+
+    label is the deterministic weak signal (1 = quality): >=1 distinct en
+    stopword AND >= CLS_MIN_WORDS normalized words — not a claim about
+    true quality, just a reproducible balanced target computable
+    identically in Spark and pure python.
+
+    NULL text coalesces to "" FIRST (the twin's `text or ""`): without it
+    Spark would carry NULL dims/labels — the doc silently drops from the
+    gradients while the twin scores it, breaking bit-for-bit lockstep.
+    The token array materializes into its own projection (no-CSE rule)
+    and the label's word count reads that attribute, not a second
+    norm_words evaluation."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    base = docs.select("doc_id", txt.alias("t")).select(
+        "doc_id",
+        "t",
+        F.filter(norm_words(F.col("t")), lambda x: x != F.lit("")).alias("ws"),
+    )
+    label = (
+        (lang_score_expr(F.col("t"), "en") >= 1)
+        & (F.size("ws") >= F.lit(CLS_MIN_WORDS))
+    ).cast("int")
     dim_of = F.transform(
         F.col("ws"),
         lambda t: F.pmod(
@@ -76,7 +85,7 @@ def _features(docs: DataFrame, dims: int) -> DataFrame:
         ).cast("int"),
     )
     return base.select(
-        "doc_id", "label", F.array_sort(F.array_distinct(dim_of)).alias("dims")
+        "doc_id", label.alias("label"), F.array_sort(F.array_distinct(dim_of)).alias("dims")
     )
 
 
@@ -89,15 +98,23 @@ def _with_weights(feats: DataFrame, w: list[float]) -> DataFrame:
     return feats.crossJoin(F.broadcast(wrow))
 
 
-def _score_col(bias: float):
+def _z_col(bias: float):
     """Left-to-right fold of the sorted dims against the broadcast weight
-    array attribute + algebraic sigmoid (deterministic; see module
-    docstring)."""
-    z = F.aggregate(
+    array attribute: the linear term z.  Callers MUST materialize this
+    into its own projection before referencing it more than once — the
+    interpreted HOF fold gets no common-subexpression elimination (the
+    round-6 no-CSE rule), so an expression like sigmoid(z) would run the
+    whole O(|dims|) fold twice per row."""
+    return F.aggregate(
         F.col("dims"),
         F.lit(float(bias)),
         lambda acc, d: acc + F.element_at(F.col("warr"), d + 1),
     )
+
+
+def _sigmoid(z):
+    """Algebraic sigmoid over a MATERIALIZED z attribute (deterministic;
+    see module docstring)."""
     return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
 
 
@@ -115,11 +132,17 @@ def _train(
     if n == 0:
         return w, b, 0, feats
     for _ in range(iterations):
-        scored = _with_weights(feats, w).select(
+        # z materializes into its own projection first (no-CSE: the fold
+        # would otherwise re-run per reference inside the sigmoid)
+        zdf = _with_weights(feats, w).select(
+            "doc_id", "label", "dims", _z_col(b).alias("z")
+        )
+        scored = zdf.select(
             "doc_id",
             "dims",
             (
-                (_score_col(b) - F.col("label").cast("double")) * F.lit(float(_Q))
+                (_sigmoid(F.col("z")) - F.col("label").cast("double"))
+                * F.lit(float(_Q))
             ).cast("long").alias("qc"),
         )
         # ONE action per iteration: the bias gradient rides the same dim
@@ -166,26 +189,45 @@ def classifier_train(
 
 def classifier_score(
     docs: DataFrame,
-    dims: int = CLS_DIMS,
+    dims: Optional[int] = None,
     iterations: int = CLS_ITERATIONS,
     lr: float = CLS_LR,
     threshold: float = 0.5,
     model: Optional[tuple[list[float], float]] = None,
 ) -> DataFrame:
     """(doc_id, label, score, pred): train (or take `model`), then score
-    every document map-side — broadcast weights, fold, no shuffle."""
+    every document map-side — broadcast weights, fold, no shuffle.
+
+    With an explicit ``model``, ``dims`` defaults to ``len(weights)`` —
+    hashing features at a different dimensionality than the model was
+    trained at would score against misaligned weight slots (silently wrong
+    when smaller, ANSI ARRAY_INDEX_OUT_OF_BOUNDS when larger), so a
+    mismatch raises.  The train path reuses the checkpointed feature frame
+    from training instead of re-scanning the corpus."""
     if model is None:
-        w, b, _, _ = _train(docs, dims, iterations, lr)
+        w, b, _, feats = _train(
+            docs, dims if dims is not None else CLS_DIMS, iterations, lr
+        )
     else:
         w, b = model
-    feats = _with_weights(_features(docs, dims), w)
-    score = _score_col(b)
+        if dims is None:
+            dims = len(w)
+        elif dims != len(w):
+            raise ValueError(
+                f"dims={dims} but the model has {len(w)} weights; "
+                "score with the dims the model was trained at"
+            )
+        feats = _features(docs, dims)
+    zdf = _with_weights(feats, w).select(
+        "doc_id", "label", _z_col(b).alias("z")
+    )
+    sdf = zdf.select("doc_id", "label", _sigmoid(F.col("z")).alias("s"))
     return (
-        feats.select(
+        sdf.select(
             "doc_id",
             "label",
-            F.round(score, 6).alias("score"),
-            (score >= F.lit(float(threshold))).cast("int").alias("pred"),
+            F.round("s", 6).alias("score"),
+            (F.col("s") >= F.lit(float(threshold))).cast("int").alias("pred"),
         )
         .transform(lambda d: canonical_order(d, "doc_id"))
     )

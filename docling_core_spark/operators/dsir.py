@@ -40,6 +40,7 @@ DSIR_RATE = 0.1
 DSIR_SEED = "dsirtgt"
 DSIR_K = 100
 _GUMBEL_SEED = "dsirg"
+_GUMBEL_MOD = 1 << 52  # u mantissa bits: (h % 2^52) + 0.5 is double-exact
 
 
 def _hash60(col):
@@ -99,6 +100,11 @@ def dsir_select(
         .agg(F.count("*").alias("ct"))
     )
     raw = rows.groupBy("bucket").agg(F.count("*").alias("cq"))
+    # second diamond cut: target and raw each feed consts AND model —
+    # without this the two full-gram bucket aggregations execute twice
+    # (<= buckets rows each, so the checkpoints are tiny)
+    target = target.localCheckpoint(eager=False)
+    raw = raw.localCheckpoint(eager=False)
     consts = (
         target.agg(F.sum("ct").alias("nt"))
         .crossJoin(raw.agg(F.sum("cq").alias("nq")))
@@ -134,12 +140,17 @@ def dsir_select(
         .join(weights, "doc_id", "left")
         .select("doc_id", F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio"))
     )
+    # u from the LOW 52 hash bits: every value of (h % 2^52) + 0.5 is
+    # exactly representable as a double (<= 2^53), so u < 1 strictly —
+    # dividing the raw 60-bit hash would round the top 128 values to
+    # exactly 1.0, where -ln(-ln(u)) is NULL in Spark but +inf in DuckDB
     u = (
-        _hash60(F.concat(F.col("doc_id").cast("string"), F.lit(_GUMBEL_SEED))).cast(
-            "double"
-        )
+        F.pmod(
+            _hash60(F.concat(F.col("doc_id").cast("string"), F.lit(_GUMBEL_SEED))),
+            F.lit(_GUMBEL_MOD),
+        ).cast("double")
         + F.lit(0.5)
-    ) / F.lit(float(_HASH60_MAX))
+    ) / F.lit(float(_GUMBEL_MOD))
     keyed = weights.select(
         "doc_id",
         "log_ratio",
@@ -225,8 +236,8 @@ weights AS (
 keyed AS (
   SELECT doc_id, log_ratio,
          round(log_ratio + (-ln(-ln(
-           ((('0x' || substr(md5(doc_id || '{_GUMBEL_SEED}'), 1, 15))::BIGINT)::DOUBLE + 0.5)
-           / {float(_HASH60_MAX)}
+           (((('0x' || substr(md5(doc_id || '{_GUMBEL_SEED}'), 1, 15))::BIGINT) % {_GUMBEL_MOD})::DOUBLE + 0.5)
+           / {float(_GUMBEL_MOD)}
          ))), 6) AS gumbel_key
   FROM weights
 ),

@@ -270,9 +270,15 @@ def test_lm_score_model_joins_are_broadcast(docs):
 
     plan = _plan(lm_score(docs))
     assert "Window" not in plan
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 6
-    assert "partial_" in plan  # map-side partials on every keyed agg
+    # content-side joins all broadcast; the single allowed SMJ is the
+    # final doc_id join-back (key-only, stats-blind planned form of the
+    # checkpointed model side — AQE converts at runtime)
+    assert plan.count("SortMergeJoin") <= 1
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "doc_id" in line
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "partial_" in plan  # map-side partials on the per-doc rollup
 
 
 def test_classifier_scoring_is_map_side(docs, monkeypatch):
