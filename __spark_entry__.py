@@ -586,10 +586,12 @@ def oracle_sql() -> dict[str, str]:
         + dedup.with_synthetic_duplicates_sql()
         + ") "
         + dedup.exact_duplicates_sql("dup_docs"),
-        "dedup_exact_substring": "WITH dup_docs AS ("
-        + dedup.with_synthetic_duplicates_sql()
-        + "), "
-        + dedup.exact_substring_dedup_sql("dup_docs").strip()[len("WITH ") :],
+        "dedup_exact_substring": dedup.exact_substring_dedup_sql(
+            "dup_docs",
+            leading_ctes="dup_docs AS ("
+            + dedup.with_synthetic_duplicates_sql()
+            + "),\n",
+        ),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_against": dedup.dedup_against_sql(),
         "dedup_simhash": dedup.simhash_duplicates_sql(),

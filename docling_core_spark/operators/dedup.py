@@ -761,7 +761,17 @@ def exact_substring_dedup(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> Da
     no driver loops.
     """
     L = span_tokens
-    base = docs.select("doc_id", norm_words(F.col("text")).alias("ws"))
+    # empty tokens filtered like the oracle's list_filter (x <> ''): an
+    # all-punctuation doc must normalize to ZERO tokens in both engines,
+    # not Spark [''] vs DuckDB [] (latent divergence at span_tokens=1).
+    # base is deliberately NOT checkpointed: it is corpus-sized, so
+    # materializing it trades pipelined re-scans (which Spark runs inside
+    # one job) for block-manager storage of the whole working set —
+    # measured 10x slower at sf0.01.  The diamond rule cuts SMALL frames.
+    base = docs.select(
+        "doc_id",
+        F.filter(norm_words(F.col("text")), lambda x: x != F.lit("")).alias("ws"),
+    )
     eligible = base.filter(F.size("ws") >= L)
     wins = (
         eligible.select(
@@ -775,6 +785,10 @@ def exact_substring_dedup(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> Da
         .filter(F.col("c") > 1)
         .select("fp", "keep")
     )
+    # flagged/removed are duplicated-volume-sized; each feeds two
+    # consumers — cut them too (wins itself stays uncut: its three
+    # references re-run only the explode+hash over the MATERIALIZED
+    # arrays, while storing it would cost ~32 bytes x L per token)
     flagged = (
         wins.join(dup_fps, "fp")
         .filter(
@@ -783,9 +797,15 @@ def exact_substring_dedup(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> Da
         )
         .select("doc_id", "pos")
     )
-    removed = flagged.select(
-        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias("tpos")
-    ).distinct()
+    removed = (
+        flagged.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
     # merged-span count from sorted flagged starts: a start opens a new
     # maximal span iff its gap to the previous start exceeds L (all windows
     # share length L, so the merged end is always last_start + L)
@@ -809,10 +829,18 @@ def exact_substring_dedup(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> Da
     removed_counts = removed.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_removed_tokens")
     )
-    toks = base.select("doc_id", F.posexplode("ws").alias("tpos0", "w")).select(
-        "doc_id", (F.col("tpos0") + 1).alias("tpos"), "w"
+    # rebuild ONLY the docs that lost tokens: the untouched (vast) majority
+    # gets kept_text = array_join(ws, ' ') map-side for free — exploding
+    # the whole corpus to token rows and re-sorting every doc made the
+    # "fan-out proportional to duplicated volume" claim false for this
+    # stage (round-8 review finding)
+    removed_docs = removed.select("doc_id").distinct()
+    toks = (
+        base.join(removed_docs, "doc_id")
+        .select("doc_id", F.posexplode("ws").alias("tpos0", "w"))
+        .select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "w")
     )
-    kept = (
+    rebuilt = (
         toks.join(removed, ["doc_id", "tpos"], "left_anti")
         .groupBy("doc_id")
         .agg(
@@ -822,35 +850,48 @@ def exact_substring_dedup(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> Da
                     lambda s: s["w"],
                 ),
                 " ",
-            ).alias("kept_text")
+            ).alias("rebuilt_text")
         )
     )
     totals = wins.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_windows"))
+    # n_removed_tokens > 0 distinguishes "nothing removed -> joined" from
+    # "everything removed -> ''" (a doc whose only window is a dup
+    # non-keeper loses ALL tokens and has no rebuilt row)
+    n_rm = F.coalesce("n_removed_tokens", F.lit(0))
     return (
-        docs.select("doc_id")
+        base.select("doc_id", F.array_join("ws", " ").alias("joined"))
         .join(totals, "doc_id", "left")
         .join(span_stats, "doc_id", "left")
         .join(removed_counts, "doc_id", "left")
-        .join(kept, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.coalesce("n_removed_spans", F.lit(0)).alias("n_removed_spans"),
-            F.coalesce("n_removed_tokens", F.lit(0)).alias("n_removed_tokens"),
-            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            n_rm.alias("n_removed_tokens"),
+            F.when(n_rm > 0, F.coalesce("rebuilt_text", F.lit("")))
+            .otherwise(F.col("joined"))
+            .alias("kept_text"),
         )
         .transform(lambda d: canonical_order(d, "doc_id"))
     )
 
 
 def exact_substring_dedup_sql(
-    table: str = "documents", span_tokens: int = SPAN_TOKENS
+    table: str = "documents",
+    span_tokens: int = SPAN_TOKENS,
+    leading_ctes: str = "",
 ) -> str:
-    """DuckDB oracle (windows are fine oracle-side; Spark uses min-struct)."""
+    """DuckDB oracle (windows are fine oracle-side; Spark uses min-struct).
+
+    ``leading_ctes``: extra CTE definitions (each ending with a comma) to
+    prepend inside the WITH — callers compose input-synthesis fragments
+    here instead of string-slicing the returned SQL (which silently breaks
+    on any leading-whitespace/keyword change)."""
     L = span_tokens
     return f"""
-WITH base AS (
+WITH {leading_ctes}base AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(regexp_replace(lower(text),
            '[^a-z0-9 ]', '', 'g')), ' +'), x -> x <> '') AS ws

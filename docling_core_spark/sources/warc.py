@@ -177,53 +177,86 @@ def warc_response_rows(data: bytes) -> Iterator[dict]:
 # ---------------------------------------------------------------------------
 
 
-def scan_gzip_member_offsets(fileobj, chunk_size: int = 1 << 20) -> Iterator[int]:
-    """Yield the byte offset of every gzip member start in a concatenated-
-    member stream (the Common Crawl per-record layout), streaming.
+class UnalignedMemberError(Exception):
+    """A gzip member's decompressed output does not start with the required
+    prefix — the archive's members are not record-aligned, so member
+    boundaries are NOT safe split points."""
 
-    One sequential decompression pass with the OUTPUT DISCARDED: memory is
-    O(chunk_size), independent of file or record size — this is the cheap
-    index scan that makes range splits possible.  Stops at the first byte
-    run that is not a valid gzip member (corrupt tail tolerance, same
-    contract as the record parser).
+
+def scan_gzip_member_offsets(
+    fileobj,
+    chunk_size: int = 1 << 20,
+    member_prefix: Optional[bytes] = None,
+) -> Iterator[int]:
+    """Yield the byte offset of every COMPLETE gzip member in a
+    concatenated-member stream (the Common Crawl per-record layout),
+    streaming.
+
+    One sequential decompression pass with the output DISCARDED in bounded
+    slices (``decompress(data, max_length)``): memory is O(chunk_size)
+    even against a gzip-bomb member — this is the cheap index scan that
+    makes range splits possible.  Stops at the first byte run that is not
+    a valid gzip member (corrupt tail tolerance: a truncated/garbled tail
+    is simply not yielded, and the PREVIOUS split absorbs those bytes —
+    the record parser isolates them).
+
+    ``member_prefix``: when set (warc_split_rows passes b"WARC/"), every
+    member's decompressed output must START with it; otherwise
+    UnalignedMemberError raises.  This is what makes member boundaries
+    safe split points — a pigz/bgzf-style archive whose members cut
+    records mid-stream MUST fall back to a whole-file split or the split
+    reader silently loses records.
     """
-    member_start = 0  # absolute offset of the member being consumed
-    consumed = 0  # compressed bytes of that member consumed so far
-    d = None  # active decompressobj; None = awaiting a new member
-    first = True
+    buf = b""  # unconsumed compressed bytes; abs_pos = offset of buf[0]
+    abs_pos = 0
+    eof = False
     while True:
-        chunk = fileobj.read(chunk_size)
-        if not chunk:
-            return
-        if first:
-            while len(chunk) < 2:
-                more = fileobj.read(chunk_size)
-                if not more:
-                    return
-                chunk += more
-            if chunk[:2] != b"\x1f\x8b":
-                return  # not a gzip stream at all
-            first = False
-        while chunk:
-            if d is None:
-                if len(chunk) >= 2 and chunk[:2] != b"\x1f\x8b":
-                    return  # trailing non-gzip garbage: offsets so far good
-                # (a 1-byte chunk straddling a boundary is fed through;
-                # zlib buffers partial headers and errors on real garbage)
-                yield member_start
-                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-                consumed = 0
+        while not eof and len(buf) < 2:
+            more = fileobj.read(chunk_size)
+            if not more:
+                eof = True
+            else:
+                buf += more
+        if len(buf) < 2:
+            return  # EOF (possibly one stray trailing byte — not a member)
+        if buf[:2] != b"\x1f\x8b":
+            return  # non-gzip garbage: offsets so far are good
+        member_start = abs_pos
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        head = b""
+        want = len(member_prefix) if member_prefix else 0
+        while True:
             try:
-                d.decompress(chunk)
+                out = d.decompress(buf, 1 << 16)
+                # NB: once eof is reached mid-call, zlib does NOT clear
+                # unconsumed_tail (the leftover also lands in unused_data)
+                # — looping on the tail alone spins forever on any member
+                # whose output exceeds the 64 KiB slice
+                while d.unconsumed_tail and not d.eof:
+                    if len(head) < want:
+                        head = (head + out)[: want]
+                    out = d.decompress(d.unconsumed_tail, 1 << 16)
+                if len(head) < want:
+                    head = (head + out)[: want]
             except zlib.error:
-                return  # corrupt member: offsets so far are good
-            if not d.eof:
-                consumed += len(chunk)
+                return  # corrupt member: not yielded; prior offsets good
+            if d.eof:
+                consumed = len(buf) - len(d.unused_data)
+                abs_pos += consumed
+                buf = d.unused_data
                 break
-            tail = d.unused_data
-            member_start += consumed + (len(chunk) - len(tail))
-            d = None
-            chunk = tail
+            abs_pos += len(buf)
+            buf = b""
+            more = fileobj.read(chunk_size)
+            if not more:
+                return  # truncated final member: not yielded
+            buf = more
+        if member_prefix and not head.startswith(member_prefix):
+            raise UnalignedMemberError(
+                f"gzip member at offset {member_start} does not start with "
+                f"{member_prefix!r}"
+            )
+        yield member_start
 
 
 def warc_split_rows(
@@ -239,8 +272,14 @@ def warc_split_rows(
     size = os.path.getsize(local_path)
     if size == 0:
         return []
-    with open(local_path, "rb") as f:
-        offsets = list(scan_gzip_member_offsets(f))
+    try:
+        with open(local_path, "rb") as f:
+            offsets = list(scan_gzip_member_offsets(f, member_prefix=b"WARC/"))
+    except UnalignedMemberError:
+        # members cut records mid-stream (pigz/bgzf-style framing): member
+        # boundaries are NOT safe split points — whole-file split, never
+        # silent record loss
+        return [(local_path, 0, size)]
     if not offsets:
         return [(local_path, 0, size)]
     bounds = offsets + [size]
@@ -406,13 +445,17 @@ def warc_split_index_df(spark, path: str, target_split_bytes: int = 64 << 20):
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
+                local = _strip_file_scheme(p)
                 try:
-                    for sp, off, ln in warc_split_rows(
-                        _strip_file_scheme(p), target_split_bytes
-                    ):
+                    for sp, off, ln in warc_split_rows(local, target_split_bytes):
                         rows.append({"path": sp, "offset": off, "length": ln})
-                except Exception:  # noqa: BLE001 — unreadable file: no splits
-                    pass
+                except Exception:  # noqa: BLE001 — index scan failed
+                    # fall back to ONE whole-file split, never a silent
+                    # drop: the range reader handles (0, -1) as "read to
+                    # EOF", so a file the local scanner cannot size or
+                    # stream (permissions, races, non-posix paths) still
+                    # parses exactly like the no-index path
+                    rows.append({"path": local, "offset": 0, "length": -1})
             yield pd.DataFrame(rows, columns=["path", "offset", "length"])
 
     files = spark.read.format("binaryFile").load(path).select("path")

@@ -92,3 +92,23 @@ def test_plan_no_window_partial_agg(spark):
     )
     assert "Window" not in plan
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_fully_removed_doc_keeps_empty_text(spark):
+    """A doc whose ONLY window is a duplicate non-keeper loses every token:
+    kept_text must be '' (not the original text — the round-8 review's
+    rebuild-scope rewrite must not fall back to `joined` for cut docs)."""
+    from docling_core_spark.operators.dedup import exact_substring_dedup
+
+    text = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in exact_substring_dedup(docs, span_tokens=4).collect()
+    }
+    assert out[1]["kept_text"] == text  # keeper (min doc_id, min pos)
+    assert out[2]["n_removed_tokens"] == 4
+    assert out[2]["kept_text"] == ""  # every token removed
+    assert out[3]["kept_text"] == "totally different words here"
