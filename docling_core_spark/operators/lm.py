@@ -125,18 +125,15 @@ def _model_frames(
         F.sum("c1").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("v_eff"),
     )
-    # diamond cut on the MULTIPLY-referenced frames only: vocab fans out
-    # 5x in lm_score (v1/v2 here + v1/v2/vu in scoring) and uni 3x
-    # (consts/u1/u2) — each broadcast would otherwise compile its OWN copy
-    # of the reference-slice scan + tokenize + aggs (no ReusedExchange for
-    # re-referenced Python DataFrames, the round-5/7 rule).  bi and consts
-    # are referenced once each, so checkpointing them only adds
-    # materialization jobs (measured at sf0.1: all-four ~4.5 s, these two
-    # ~2.4 s, none ~0.9 s — the no-cut form wins at demo scale on fixed
-    # job overhead but re-runs the slice scan 8-10x, which at a 10 TB
-    # reference slice is the whole game).
-    vocab = vocab.localCheckpoint(eager=False)
-    uni = uni.localCheckpoint(eager=False)
+    # Deliberately NOT checkpointed: vocab fans out 5x and uni 3x across
+    # the train+score convenience path, so each broadcast re-compiles the
+    # slice scan + aggs (the diamond rule) — but cutting them trades those
+    # pipelined-parallel re-scans for SERIAL materialization jobs, measured
+    # 3-10x slower at sf0.1 AND sf1 (0.9 -> 2.4-4.5 s).  The production
+    # CCNet shape never hits this diamond at all: train once, cache the
+    # frames (callers localCheckpoint them — lm_score_stream's contract),
+    # and pass model= to every scoring call, which skips _model_frames
+    # entirely.  The in-call retrain path is the demo/oracle convenience.
     return vocab, uni, bi, consts
 
 

@@ -41,28 +41,22 @@ def test_score_plan_no_window_no_content_shuffle(docs):
     # every join the corpus bigrams take is a broadcast join — a sort-merge
     # join on CONTENT would mean the corpus shuffled on grams.  The one
     # allowed SMJ is the final doc_id join-back (key-only, co-partitioned
-    # with the per-doc rollup; planned SMJ because the checkpointed model
-    # side has no stats pre-execution — AQE converts it at runtime)
+    # with the per-doc rollup), which appears when a caller passes
+    # RDD-backed cached model frames (no stats pre-execution)
     assert plan.count("SortMergeJoin") <= 1
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "doc_id" in line
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    # the model frames are checkpoint-cut (round-8: vocab/uni/bi/consts fan
-    # out into ~10 references; without the cut each broadcast re-runs the
-    # reference-slice scan + aggs — no ReusedExchange for Python diamonds)
-    assert "ExistingRDD" in plan
 
 
 def test_train_partial_agg(docs):
     from docling_core_spark.operators.lm import _bigram_rows
 
     plan = _plan(lm_train(docs))
-    # the model subtrees sit behind the checkpoint cut in the final plan
-    assert "ExistingRDD" in plan
-    # the count aggregations themselves keep map-side partials — pinned on
-    # the un-cut aggregation shape (the dsir test_plan_shape pattern: the
-    # checkpointed subplan's values are covered by oracle parity)
+    # unigram/bigram counts keep map-side partial aggregation
+    assert "partial_count" in plan or "partial_sum" in plan
+    # and the raw bigram agg shape, pinned directly
     agg_plan = _plan(
         _bigram_rows(docs).groupBy("w1", "w2").agg(F.count("*").alias("c"))
     )
