@@ -1562,12 +1562,17 @@ def url_filter(docs_with_url: DataFrame, canonical=None, passthrough=()) -> Data
     """
     url = F.col("url")
     low = F.lower(url)
+    # authority stops at /, ? or # (a fragment-only URL must not leak '#f'
+    # into the host); userinfo strips at the LAST '@' and the port at the
+    # trailing ':digits' — otherwise 'http://u:p@spamfarm.example/' parses
+    # host='u' and a blocklisted domain walks straight through
+    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     host = F.lower(
-        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)", 1)
+        F.regexp_replace(F.regexp_replace(auth, r"^.*@", ""), r":[0-9]*$", "")
     )
     reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     path = F.regexp_extract(
-        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""),
+        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
         r"^([^?#]*)",
         1,
     )
@@ -1635,8 +1640,10 @@ def url_filter_rules_sql(url_table: str) -> str:
     return f"""
 WITH parts AS (
   SELECT doc_id, url, lower(url) AS low,
-         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]+)', 1)) AS host,
-         regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', ''), '^([^?#]*)', 1) AS path
+         lower(regexp_replace(regexp_replace(
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+           '^.*@', ''), ':[0-9]*$', '')) AS host,
+         regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1) AS path
   FROM {url_table}
 ),
 sig AS (

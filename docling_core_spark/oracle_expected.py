@@ -985,9 +985,7 @@ def _build_bloom(sf_dir: str, out: Path) -> None:
     ]
     corpus = demo + clones
     ref_ids = {d for d, _ in corpus if d % 3 == 0}
-    rows = py_bloom_dedup(corpus, ref_ids)
-    for r in rows:
-        r["seen_frac"] = _round_half_up(r["seen_frac"], 6)
+    rows = py_bloom_dedup(corpus, ref_ids)  # twin owns the HALF_UP rounding
     rows.sort(key=lambda r: r["doc_id"])
     _write(
         out / "bloom_para_dedup.parquet",

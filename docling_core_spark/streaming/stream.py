@@ -10,9 +10,27 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import pandas as pd  # module scope: pandas_udf resolves "pd.Series" hints here
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from docling_core_spark.operators.extract import extract_pages, split_skew
+
+
+def _write_batch(df: DataFrame, batch_id: int, output: str) -> None:
+    """Replay-idempotent micro-batch sink: each batch writes its OWN
+    partition with dynamic overwrite, so a batch replayed after a partial
+    append (task retry mid-write, restart between write and checkpoint
+    commit) REPLACES its rows instead of duplicating them — this is what
+    makes the wrappers' "replays emit identical rows" claims actually
+    hold at the sink, not just at the transform."""
+    (
+        df.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(output)
+    )
 
 
 def stream_extract(
@@ -30,7 +48,7 @@ def stream_extract(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_pages(split_skew(batch_df), chunker=chunker, emit_doc_json=False)
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+        _write_batch(out, batch_id, output)
 
     return (
         pages_stream.writeStream.foreachBatch(process)
@@ -180,7 +198,7 @@ def decontaminate_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = decontaminate(batch_df, bench_docs)
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+        _write_batch(out, batch_id, output)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -207,7 +225,7 @@ def pack_sequences_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = pack_sequences(batch_df)
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+        _write_batch(out, batch_id, output)
 
     return (
         chunks_stream.writeStream.foreachBatch(process)
@@ -238,7 +256,7 @@ def mix_corpora_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = mix_corpora(batch_df, weights=weights, token_budget=token_budget)
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+        _write_batch(out, batch_id, output)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -277,7 +295,7 @@ def quality_classifier_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = classifier_score(batch_df, dims=len(model[0]), model=model)
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+        _write_batch(out, batch_id, output)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -304,7 +322,7 @@ def lm_score_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = lm_score(batch_df, model=model)
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+        _write_batch(out, batch_id, output)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -334,13 +352,17 @@ def bloom_dedup_stream(
 
     m = m_bits if m_bits is not None else _bloom.BLOOM_M_BITS
     kk = k if k is not None else _bloom.BLOOM_K
+    # fail fast on the DRIVER, before broadcasting or starting the query —
+    # a size mismatch discovered inside process() would kill the stream
+    # asynchronously after startup
+    _bloom._check_filter(filter_bytes, m)
     # broadcast ONCE; every micro-batch reuses it (re-broadcasting a
     # crawl-scale filter per 10 s trigger would re-ship GBs per trigger)
     bc = docs_stream.sparkSession.sparkContext.broadcast(filter_bytes)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = _bloom.bloom_flag_docs(batch_df, bc, m, kk, canonical=False)
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(output)
+        _write_batch(out, batch_id, output)
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -350,10 +372,15 @@ def bloom_dedup_stream(
     )
 
 
-def url_filter_stream(pages_stream: DataFrame) -> DataFrame:
+def url_filter_stream(pages_stream: DataFrame, passthrough=()) -> DataFrame:
     """Streaming URL filtering (stateless map): the first curation stage
     runs on the crawl frontier itself — flag/drop documents by URL before
-    any content parse.  Same operator as batch (textstats.url_filter)."""
+    any content parse.  Same operator as batch (textstats.url_filter).
+
+    Input contract: (doc_id, url, ...) rows; name the payload columns the
+    kept pages must carry downstream (html/text/...) in ``passthrough`` —
+    url_filter projects doc_id + the URL signals otherwise, and a frontier
+    filter that drops the page bytes would leave nothing to parse."""
     from docling_core_spark.operators.textstats import url_filter
 
-    return url_filter(pages_stream, canonical=False)
+    return url_filter(pages_stream, canonical=False, passthrough=passthrough)

@@ -254,6 +254,11 @@ def test_url_filter_cross_engine_adversarial(spark, tmp_path_factory):
         "",                                        # empty URL
         "https://example.com",                     # no path at all
         "https://example.com/?",                   # empty query
+        # round-8 review: blocklist-evasion decorations must NOT work
+        "http://user:pw@spamfarm.example/x",       # userinfo hides the host
+        "https://spamfarm.example#frag",           # fragment, no path
+        "http://a@b@tracker-net.example/x",        # double-@ (strip to LAST)
+        "https://sub.tracker-net.example:8443/p",  # port on blocked domain
     ]
     rows = [(i, c) for i, c in enumerate(cases)]
     df = spark.createDataFrame(rows, "doc_id long, url string")
@@ -271,3 +276,8 @@ def test_url_filter_cross_engine_adversarial(spark, tmp_path_factory):
     # the edge set actually exercises both outcomes
     keeps = [r[9] for r in got]
     assert any(keeps) and not all(keeps)
+    # every decorated blocklist URL is actually blocked
+    by_id = {r[0]: r for r in got}
+    for i, c in enumerate(cases):
+        if "spamfarm" in c or "tracker-net" in c:
+            assert by_id[i][4] is True and by_id[i][9] is False, c
