@@ -166,24 +166,44 @@ def bpe_train(
     ``_fault_after_round`` is the test chaos hook: raise after committing
     round k, the window a real crash leaves behind.
     """
-    from docling_core_spark.sources.checkpoint import commit_round, last_committed_round
+    from docling_core_spark.sources.checkpoint import commit_round, committed_rounds
 
     spark = docs.sparkSession
     if words is None:
         words = word_freqs(docs)
 
+    def _as_df(ms):
+        return spark.createDataFrame(
+            ms, "rank int, left string, right string, merged string, pair_count bigint"
+        ).transform(lambda d: canonical_order(d, "rank"))
+
+    # delta log: each round commits ONLY its new merges (the full-list form
+    # was quadratic in num_merges — ~30 GB of driver JSON at a 32k vocab);
+    # resume concatenates the committed deltas in round order.  params pins
+    # the knobs that change the merge SEQUENCE (a different batch size
+    # selects different disjoint batches); num_merges itself is NOT a param
+    # because BPE merges are prefix-stable — the first k merges of a longer
+    # run are exactly a k-merge run, so a shorter request slices and a
+    # longer request keeps training.
+    ckpt_params = {
+        "op": "bpe",
+        "merges_per_round": merges_per_round,
+        "min_pair_count": min_pair_count,
+    }
     merges: list[tuple[int, str, str, str, int]] = []
     round_no = 0
+    exhausted = False
     if checkpoint_dir is not None:
-        rec = last_committed_round(checkpoint_dir)
-        if rec is not None:
-            merges = [tuple(m) for m in rec["merges"]]
-            round_no = rec["round"]
-            if rec.get("done"):
-                return spark.createDataFrame(
-                    merges,
-                    "rank int, left string, right string, merged string, pair_count bigint",
-                ).transform(lambda d: canonical_order(d, "rank"))
+        recs = committed_rounds(checkpoint_dir, params=ckpt_params)
+        if recs:
+            for rec in recs:
+                merges.extend(tuple(m) for m in rec["delta"])
+            round_no = recs[-1]["round"]
+            exhausted = bool(recs[-1].get("exhausted"))
+        if len(merges) >= num_merges:
+            return _as_df(merges[:num_merges])
+        if exhausted:
+            return _as_df(merges)  # corpus has no more mergeable pairs
     if merges:
         words = (
             apply_merges(words, [(a, b) for _, a, b, _, _ in merges])
@@ -236,10 +256,14 @@ def bpe_train(
         if not batch:
             if checkpoint_dir is not None:
                 commit_round(
-                    checkpoint_dir, round_no + 1, {"merges": merges, "done": True}
+                    checkpoint_dir,
+                    round_no + 1,
+                    {"delta": [], "exhausted": True},
+                    params=ckpt_params,
                 )
             break
         col = F.col("symbols")
+        round_delta_from = len(merges)
         for a, b, cnt in batch:
             merges.append((len(merges), a, b, a + b, cnt))
             if k == 1:
@@ -272,15 +296,14 @@ def bpe_train(
             commit_round(
                 checkpoint_dir,
                 round_no,
-                {"merges": merges, "done": len(merges) >= num_merges},
+                {"delta": merges[round_delta_from:]},
+                params=ckpt_params,
             )
         if _fault_after_round is not None and round_no >= _fault_after_round:
             raise RuntimeError(
                 f"injected fault after committed round {round_no} (chaos hook)"
             )
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count bigint"
-    ).transform(lambda d: canonical_order(d, "rank"))
+    return _as_df(merges)
 
 
 class BPETokenizer:

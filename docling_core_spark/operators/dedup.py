@@ -364,10 +364,16 @@ def duplicate_clusters(
     start_i = 0
     converged = False
     labels = None
-    if checkpoint_dir is not None:
-        from docling_core_spark.sources.checkpoint import last_committed_round, round_state_path
+    from docling_core_spark.sources.checkpoint import (
+        commit_round,
+        last_committed_round,
+        prune_round_state,
+        round_state_path,
+    )
 
-        rec = last_committed_round(checkpoint_dir)
+    _ckpt_params = {"op": "cc", "convergence_check_every": convergence_check_every}
+    if checkpoint_dir is not None:
+        rec = last_committed_round(checkpoint_dir, params=_ckpt_params)
         if rec is not None:
             start_i = rec["round"]
             converged = bool(rec.get("converged"))
@@ -410,14 +416,14 @@ def duplicate_clusters(
             if changed == 0:
                 converged = True
             if checkpoint_dir is not None:
-                from docling_core_spark.sources.checkpoint import (
-                    commit_round,
-                    round_state_path,
-                )
-
                 state = round_state_path(checkpoint_dir, i, "labels")
                 labels.write.mode("overwrite").parquet(state)
-                commit_round(checkpoint_dir, i, {"converged": converged})
+                commit_round(
+                    checkpoint_dir, i, {"converged": converged}, params=_ckpt_params
+                )
+                # superseded rounds' state is dead storage (only the last
+                # committed round is ever read on resume)
+                prune_round_state(checkpoint_dir, i)
                 if _fault_after_round is not None and i >= _fault_after_round:
                     raise RuntimeError(
                         f"injected fault after committed round {i} (chaos hook)"

@@ -276,7 +276,10 @@ def kmeans_refined_centroids(
         # bit-identical to an uninterrupted run.
         from docling_core_spark.sources.checkpoint import last_committed_round, round_state_path
 
-        rec = last_committed_round(checkpoint_dir)
+        rec = last_committed_round(
+            checkpoint_dir,
+            params={"op": "kmeans", "n_centroids": n_centroids, "iterations": iterations},
+        )
         if rec is not None:
             start_it = rec["round"]
             cents = embeddings.sparkSession.read.parquet(
@@ -344,11 +347,21 @@ def kmeans_refined_centroids(
             )
         )
         if checkpoint_dir is not None:
-            from docling_core_spark.sources.checkpoint import commit_round, round_state_path
+            from docling_core_spark.sources.checkpoint import (
+                commit_round,
+                prune_round_state,
+                round_state_path,
+            )
 
             state = round_state_path(checkpoint_dir, _it + 1, "centroids")
             cents.write.mode("overwrite").parquet(state)
-            commit_round(checkpoint_dir, _it + 1, {})
+            commit_round(
+                checkpoint_dir,
+                _it + 1,
+                {},
+                params={"op": "kmeans", "n_centroids": n_centroids, "iterations": iterations},
+            )
+            prune_round_state(checkpoint_dir, _it + 1)
             # re-read: durability AND the per-round plan cut in one step
             cents = embeddings.sparkSession.read.parquet(state)
             if _fault_after_round is not None and _it + 1 >= _fault_after_round:

@@ -22,6 +22,7 @@ At cluster scale the same protocol maps onto Iceberg
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 from typing import Callable, Optional
@@ -148,26 +149,105 @@ def round_state_path(out_dir: str, round_no: int, name: str) -> str:
     return str(Path(out_dir) / "state" / f"round_{round_no:06d}_{name}")
 
 
-def last_committed_round(out_dir: str) -> Optional[dict]:
-    """The record of the highest committed round, or None for a fresh run.
+def committed_rounds(out_dir: str, params: Optional[dict] = None) -> list[dict]:
+    """All committed round records in round order.
 
-    Rounds commit sequentially with zero-padded names, so lexicographic
-    order is numeric order and the last file is the resume point.
+    Crash tolerance: a TRAILING truncated/corrupt record (power loss can
+    make the rename durable before the data blocks) is dropped — the
+    previous committed round is the safe resume point; a corrupt record in
+    the MIDDLE of the log means real damage and raises.
+
+    ``params``: the caller's operator parameters.  Every record that
+    carries a "params" field must match exactly — resuming a checkpoint
+    dir written by a different operator or with different knobs would
+    otherwise silently continue from incompatible state (the same guard
+    the bucket protocol applies to n_buckets).
     """
     p = _rounds_path(out_dir)
     if not p.is_dir():
-        return None
+        return []
     files = sorted(p.glob("round_*.json"))
-    if not files:
-        return None
-    return json.loads(files[-1].read_text())
+    recs: list[Optional[dict]] = []
+    for f in files:
+        try:
+            recs.append(json.loads(f.read_text()))
+        except (json.JSONDecodeError, OSError):
+            recs.append(None)
+    while recs and recs[-1] is None:
+        recs.pop()
+    if any(r is None for r in recs):
+        raise ValueError(
+            f"corrupt round record mid-log under {p} — the checkpoint dir "
+            "is damaged beyond the trailing-crash case; inspect or delete it"
+        )
+    if params is not None:
+        for r in recs:
+            got = r.get("params")
+            if got is not None and got != params:
+                raise ValueError(
+                    f"checkpoint dir {out_dir} was written with params {got}; "
+                    f"resume requested {params} — refusing to mix state"
+                )
+    return recs  # type: ignore[return-value]
 
 
-def commit_round(out_dir: str, round_no: int, meta: dict) -> None:
-    """Atomically record round ``round_no`` as complete (write-then-rename,
-    same crash contract as the bucket commit)."""
+def last_committed_round(
+    out_dir: str, params: Optional[dict] = None
+) -> Optional[dict]:
+    """The record of the highest committed round, or None for a fresh run.
+
+    Rounds commit sequentially with zero-padded names, so lexicographic
+    order is numeric order and the last (readable) file is the resume
+    point.  See committed_rounds for the crash-tolerance and params
+    contract."""
+    recs = committed_rounds(out_dir, params=params)
+    return recs[-1] if recs else None
+
+
+def commit_round(
+    out_dir: str, round_no: int, meta: dict, params: Optional[dict] = None
+) -> None:
+    """Atomically AND durably record round ``round_no`` as complete:
+    write + fsync the record, rename, fsync the directory — without the
+    fsyncs a machine crash (the multi-hour-job failure mode this protocol
+    exists for) can leave a durable rename pointing at zero-length data.
+    ``params`` (JSON-scalar dict) is stored for the resume-compatibility
+    check in committed_rounds."""
     p = _rounds_path(out_dir)
     p.mkdir(parents=True, exist_ok=True)
+    rec = {"round": round_no, **meta}
+    if params is not None:
+        rec["params"] = params
     tmp = p / f".round_{round_no:06d}.json.tmp"
-    tmp.write_text(json.dumps({"round": round_no, **meta}))
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(rec))
+        fh.flush()
+        os.fsync(fh.fileno())
     tmp.rename(p / f"round_{round_no:06d}.json")
+    try:
+        dfd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # non-posix dir fsync: rename atomicity still holds
+
+
+def prune_round_state(out_dir: str, before_round: int) -> None:
+    """Best-effort removal of state directories for rounds < before_round:
+    only the LAST committed round's state is ever read on resume, so
+    superseded rounds are dead storage (a full labels/centroid copy per
+    convergence check otherwise accretes forever).  Crash-safe: called
+    AFTER the superseding commit, and a crash mid-prune just leaves
+    garbage the next prune retries."""
+    import re
+    import shutil
+
+    state = Path(out_dir) / "state"
+    if not state.is_dir():
+        return
+    for d in state.iterdir():
+        m = re.match(r"round_(\d+)_", d.name)
+        if m and int(m.group(1)) < before_round:
+            shutil.rmtree(d, ignore_errors=True)

@@ -104,3 +104,119 @@ def test_kmeans_resumes_from_committed_centroids(spark, tmp_path):
     )
     assert got == want
     assert len(_rounds(ckpt)) == 5
+
+
+def test_resume_continues_not_restarts(spark, tmp_path):
+    """Round-8 review: the old assertions could not distinguish a real
+    resume from a silent restart-at-zero (deterministic results + rename
+    overwrite made both look identical).  Pin continuation directly: the
+    pre-crash round records must be byte-identical after the resumed call."""
+    from docling_core_spark.operators.bpe import bpe_train
+    from docling_core_spark.sources.checkpoint import _rounds_path
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(150)
+    ckpt = tmp_path / "bpe2"
+    with pytest.raises(RuntimeError, match="injected fault"):
+        bpe_train(docs, num_merges=10, checkpoint_dir=str(ckpt), _fault_after_round=4)
+    pre = {
+        p.name: (p.read_bytes(), p.stat().st_mtime_ns)
+        for p in _rounds_path(str(ckpt)).glob("round_*.json")
+    }
+    assert len(pre) == 4
+    bpe_train(docs, num_merges=10, checkpoint_dir=str(ckpt)).collect()
+    post = {
+        p.name: (p.read_bytes(), p.stat().st_mtime_ns)
+        for p in _rounds_path(str(ckpt)).glob("round_*.json")
+    }
+    assert len(post) == 10
+    for name, v in pre.items():
+        assert post[name] == v  # untouched: continued, never rewritten
+
+
+def test_bpe_num_merges_prefix_semantics(spark, tmp_path):
+    """BPE merges are prefix-stable, so a checkpoint dir trained to 12
+    merges serves ANY request: a shorter num_merges slices the prefix, a
+    longer one keeps training — never a silently-wrong count."""
+    from docling_core_spark.operators.bpe import bpe_train
+    from docling_core_spark.sources.checkpoint import _rounds_path
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(150)
+    ckpt = tmp_path / "bpe3"
+    with pytest.raises(RuntimeError, match="injected fault"):
+        bpe_train(docs, num_merges=12, checkpoint_dir=str(ckpt), _fault_after_round=8)
+    # shorter request against the 8-merge log: exactly 6 rows, = fresh run
+    got6 = [
+        tuple(r)
+        for r in bpe_train(docs, num_merges=6, checkpoint_dir=str(ckpt)).collect()
+    ]
+    want6 = [tuple(r) for r in bpe_train(docs, num_merges=6).collect()]
+    assert got6 == want6 and len(got6) == 6
+    assert len(sorted(_rounds_path(str(ckpt)).glob("round_*.json"))) == 8
+    # longer request keeps training past the log
+    got12 = [
+        tuple(r)
+        for r in bpe_train(docs, num_merges=12, checkpoint_dir=str(ckpt)).collect()
+    ]
+    want12 = [tuple(r) for r in bpe_train(docs, num_merges=12).collect()]
+    assert got12 == want12 and len(got12) == 12
+
+
+def test_params_mismatch_refuses_resume(spark, tmp_path):
+    """A checkpoint dir written with different operator knobs (or by a
+    different operator) must raise, not silently continue from
+    incompatible state."""
+    from docling_core_spark.operators.bpe import bpe_train
+    from docling_core_spark.operators.similarity import kmeans_refined_centroids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    ckpt = str(tmp_path / "mix")
+    bpe_train(docs, num_merges=3, checkpoint_dir=ckpt)
+    with pytest.raises(ValueError, match="params"):
+        bpe_train(docs, num_merges=6, merges_per_round=4, checkpoint_dir=ckpt)
+    with pytest.raises(ValueError, match="params"):
+        kmeans_refined_centroids(emb, iterations=3, checkpoint_dir=ckpt)
+
+
+def test_corrupt_trailing_record_falls_back(spark, tmp_path):
+    """Power loss can leave a durable rename pointing at truncated data:
+    a zero-length trailing record must NOT brick resume — the previous
+    committed round is the safe resume point.  Mid-log corruption raises."""
+    from docling_core_spark.operators.bpe import bpe_train
+    from docling_core_spark.sources.checkpoint import (
+        _rounds_path,
+        committed_rounds,
+        last_committed_round,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(150)
+    ckpt = str(tmp_path / "bpe4")
+    with pytest.raises(RuntimeError, match="injected fault"):
+        bpe_train(docs, num_merges=8, checkpoint_dir=ckpt, _fault_after_round=5)
+    files = sorted(_rounds_path(ckpt).glob("round_*.json"))
+    files[-1].write_bytes(b"")  # simulate torn write on the last record
+    rec = last_committed_round(ckpt)
+    assert rec["round"] == 4  # fell back one round
+    got = [tuple(r) for r in bpe_train(docs, num_merges=8, checkpoint_dir=ckpt).collect()]
+    want = [tuple(r) for r in bpe_train(docs, num_merges=8).collect()]
+    assert got == want
+    # mid-log corruption is real damage: refuse loudly
+    files = sorted(_rounds_path(ckpt).glob("round_*.json"))
+    files[2].write_bytes(b"{broken")
+    with pytest.raises(ValueError, match="corrupt"):
+        committed_rounds(ckpt)
+
+
+def test_kmeans_state_pruned_to_last_round(spark, tmp_path):
+    """Superseded per-round state directories are dead storage and get
+    pruned as the loop advances (review finding: a 25-iteration run
+    retained every labels/centroid copy forever)."""
+    from pathlib import Path
+
+    from docling_core_spark.operators.similarity import kmeans_refined_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    ckpt = tmp_path / "km2"
+    kmeans_refined_centroids(emb, iterations=4, checkpoint_dir=str(ckpt))
+    state_dirs = sorted(p.name for p in (Path(ckpt) / "state").iterdir())
+    assert state_dirs == ["round_000004_centroids"]
