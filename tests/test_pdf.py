@@ -1,0 +1,328 @@
+"""PDF first-mile source tests (sources/pdf.py).
+
+Round-trip proofs (writer -> parser), both xref framings, hostile-input
+isolation, page-range split parity, and the Spark mapInPandas surface —
+the same contract battery as tests/test_warc.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from docling_core_spark.sources.pdf import (
+    PdfError,
+    _Lexer,
+    _page_rows,
+    build_pdf,
+    demo_pdf_dir,
+    doc_to_pdf_pages,
+    parse_pdf,
+    pdf_page_count,
+    pdf_pages_df,
+    pdf_segmented_pages,
+    pdf_text_pages,
+)
+
+PAGES = [
+    {
+        "width": 612,
+        "height": 792,
+        "texts": [
+            (72, 72, 18, "Heading One"),
+            (72, 100, 10, "body line one with several words"),
+            (72, 114, 10, "second line (with) \\ specials"),
+        ],
+    },
+    {"width": 612, "height": 792, "texts": [(72, 72, 10, "page two only line")]},
+    {"width": 400, "height": 500, "texts": [(30, 40, 12, "third page")]},
+]
+
+EXPECTED_TEXTS = [
+    "Heading One\nbody line one with several words\nsecond line (with) \\ specials",
+    "page two only line",
+    "third page",
+]
+
+
+# ---------------------------------------------------------------------------
+# object-level lexer
+# ---------------------------------------------------------------------------
+
+
+class TestLexer:
+    def test_literal_string_escapes(self):
+        lex = _Lexer(rb"(a\(b\)c \\ \n\t \101 \x)")
+        assert lex.parse_object() == b"a(b)c \\ \n\t A x"
+
+    def test_literal_string_line_continuation(self):
+        assert _Lexer(b"(ab\\\ncd)").parse_object() == b"abcd"
+        assert _Lexer(b"(ab\\\r\ncd)").parse_object() == b"abcd"
+
+    def test_hex_string(self):
+        assert _Lexer(b"<48 65 6C6C 6F>").parse_object() == b"Hello"
+        assert _Lexer(b"<486>").parse_object() == b"H`"  # odd digit pads 0
+
+    def test_name_hash_escape(self):
+        assert str(_Lexer(b"/A#20B").parse_object()) == "A B"
+
+    def test_nested_containers_and_ref(self):
+        obj = _Lexer(b"<< /K [1 2.5 /N (s) 3 0 R true null] >>").parse_object()
+        arr = obj["K"]
+        assert arr[0] == 1 and arr[1] == 2.5 and str(arr[2]) == "N"
+        assert arr[3] == b"s" and arr[4].num == 3 and arr[5] is True
+        assert arr[6] is None
+
+    def test_comment_skipped(self):
+        assert _Lexer(b"% comment\n42").parse_object() == 42
+
+    def test_number_vs_ref_disambiguation(self):
+        # two ints NOT followed by R stay two ints
+        lex = _Lexer(b"[1 2 3]")
+        assert lex.parse_object() == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("xref_stream", [False, True])
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_text_round_trip(self, xref_stream, compress):
+        data = build_pdf(PAGES, xref_stream=xref_stream, compress=compress)
+        pages = pdf_text_pages(data)
+        assert [p["text"] for p in pages] == EXPECTED_TEXTS
+        assert [p["page_no"] for p in pages] == [1, 2, 3]
+        assert pages[2]["width"] == 400.0 and pages[2]["height"] == 500.0
+        # heading keeps its larger font size
+        assert pages[0]["cells"][0]["size"] == 18.0
+        assert pages[0]["cells"][1]["size"] == 10.0
+
+    def test_page_count_metadata_only(self):
+        assert pdf_page_count(build_pdf(PAGES)) == 3
+
+    @pytest.mark.parametrize("xref_stream", [False, True])
+    def test_page_range(self, xref_stream):
+        data = build_pdf(PAGES, xref_stream=xref_stream)
+        rng = pdf_text_pages(data, page_range=(2, 3))
+        assert [p["page_no"] for p in rng] == [2, 3]
+        assert [p["text"] for p in rng] == EXPECTED_TEXTS[1:]
+
+    def test_framings_agree(self):
+        a = pdf_text_pages(build_pdf(PAGES, xref_stream=False))
+        b = pdf_text_pages(build_pdf(PAGES, xref_stream=True))
+        assert a == b
+
+    def test_segmented_pages_shape(self):
+        from docling_core_spark.model.page import geometry_height, geometry_width
+
+        sp = pdf_segmented_pages(build_pdf(PAGES))
+        assert len(sp) == 3
+        assert geometry_width(sp[0]["dimension"]) == 612.0
+        assert geometry_height(sp[0]["dimension"]) == 792.0
+        cells = sp[0]["textline_cells"]
+        assert [c["text"] for c in cells][0] == "Heading One"
+        assert sp[0]["has_lines"] and not sp[0]["has_chars"]
+        # bottom-left origin: first (top) line has the LARGEST y
+        ys = [c["rect"]["r_y0"] for c in cells]
+        assert ys == sorted(ys, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# content-stream semantics
+# ---------------------------------------------------------------------------
+
+
+def _single_page_pdf(content: bytes) -> bytes:
+    """Wrap a raw content stream in a minimal one-page PDF."""
+    data = build_pdf([{"width": 612, "height": 792, "texts": []}], compress=False)
+    # splice: replace the (empty) content stream body
+    old = b"stream\nBT\nET\nendstream"
+    new = b"stream\n" + content + b"\nendstream"
+    assert old in data
+    out = data.replace(old, new)
+    # fix the Length entry of the content object
+    out = out.replace(
+        b"<< /Length 5 >>", b"<< /Length %d >>" % (len(content) + 1)
+    )
+    return out
+
+
+class TestContentStream:
+    def test_tj_array_kerning_joins_without_space(self):
+        content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm [(Hel) -50 (lo)] TJ ET"
+        pages = pdf_text_pages(_single_page_pdf(content))
+        assert pages[0]["text"] == "Hello"
+
+    def test_td_advances_lines(self):
+        content = (
+            b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (first) Tj "
+            b"0 -14 Td (second) Tj ET"
+        )
+        pages = pdf_text_pages(_single_page_pdf(content))
+        assert pages[0]["text"] == "first\nsecond"
+
+    def test_tl_tstar_and_quote(self):
+        content = (
+            b"BT /F1 10 Tf 14 TL 1 0 0 1 72 700 Tm (a) Tj T* (b) Tj (c) ' ET"
+        )
+        pages = pdf_text_pages(_single_page_pdf(content))
+        assert pages[0]["text"] == "a\nb\nc"
+
+    def test_cm_translation_applies(self):
+        content = (
+            b"q 1 0 0 1 0 -100 cm "
+            b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (moved) Tj ET Q"
+        )
+        pages = pdf_text_pages(_single_page_pdf(content))
+        assert pages[0]["cells"][0]["y"] == 600.0
+
+    def test_corrupt_content_isolated_to_page(self):
+        # page 1 content is garbage; page 2 parses
+        data = build_pdf(PAGES, compress=False)
+        # break page 1's stream bytes (keep framing valid)
+        i = data.find(b"stream\nBT")
+        data = data[: i + 8] + b"\xff\xfe\xfd" + data[i + 11 :]
+        pages = pdf_text_pages(data)
+        assert len(pages) == 3
+        assert pages[1]["text"] == EXPECTED_TEXTS[1]
+
+    def test_same_baseline_fragments_merge_with_space(self):
+        content = (
+            b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (left) Tj "
+            b"1 0 0 1 200 700 Tm (right) Tj ET"
+        )
+        pages = pdf_text_pages(_single_page_pdf(content))
+        assert pages[0]["text"] == "left right"
+        assert len(pages[0]["cells"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# hostile inputs / recovery
+# ---------------------------------------------------------------------------
+
+
+class TestHostile:
+    @pytest.mark.parametrize(
+        "data",
+        [
+            b"",
+            b"not a pdf at all",
+            b"%PDF-1.4\ngarbage no objects",
+            b"%PDF-1.4\n" + b"\x00" * 512,
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n",  # no pages
+        ],
+    )
+    def test_unparseable_raises_pdferror(self, data):
+        with pytest.raises(PdfError):
+            pdf_text_pages(data)
+
+    def test_page_rows_isolates_hostile_file(self):
+        assert _page_rows("x.pdf", b"hostile \x00 bytes") == []
+
+    def test_truncated_file(self):
+        data = build_pdf(PAGES)
+        with pytest.raises(PdfError):
+            pdf_text_pages(data[:100])
+
+    def test_corrupt_xref_reconstruction(self):
+        """Destroying the xref table forces the brute-force object scan."""
+        data = build_pdf(PAGES, compress=False)
+        i = data.find(b"xref")
+        corrupted = data[:i] + b"X" * 4 + data[i + 4 :]
+        pages = pdf_text_pages(corrupted)
+        assert [p["text"] for p in pages] == EXPECTED_TEXTS
+
+    def test_bad_startxref_offset(self):
+        data = build_pdf(PAGES, compress=False)
+        i = data.rfind(b"startxref")
+        j = data.find(b"\n", i + 10)
+        corrupted = data[: i + 10] + b"999999999" + data[j:]
+        pages = pdf_text_pages(corrupted)
+        assert [p["text"] for p in pages] == EXPECTED_TEXTS
+
+    def test_cyclic_page_tree_terminates(self):
+        data = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+        )
+        with pytest.raises(PdfError):  # no pages reachable
+            pdf_text_pages(data)
+
+
+# ---------------------------------------------------------------------------
+# demo corpus + Spark surface
+# ---------------------------------------------------------------------------
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+def _expected_rows(d: str) -> list[tuple]:
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".pdf"):
+            continue
+        with open(os.path.join(d, fn), "rb") as f:
+            data = f.read()
+        for p in pdf_text_pages(data):
+            out.append((fn, p["page_no"], len(p["cells"]), p["text"]))
+    return sorted(out)
+
+
+class TestDemoCorpus:
+    def test_deterministic_and_both_framings(self):
+        d = demo_pdf_dir(SF_DIR)
+        files = sorted(f for f in os.listdir(d) if f.endswith(".pdf"))
+        assert len(files) >= 2
+        heads = []
+        for fn in files:
+            with open(os.path.join(d, fn), "rb") as f:
+                heads.append(f.read())
+        # alternating framing: odd files carry an xref stream
+        assert b"/Type /XRef" not in heads[0]
+        assert b"/Type /XRef" in heads[1]
+        # same dir again -> digest-keyed cache hit
+        assert demo_pdf_dir(SF_DIR) == d
+
+    def test_doc_to_pdf_pages_pagination(self):
+        pages = doc_to_pdf_pages(7, " ".join(["word"] * 2000))
+        assert len(pages) > 1
+        assert pages[0]["texts"][0][3] == "Document 7"
+        assert pages[0]["texts"][0][2] == 18.0  # heading size
+
+
+class TestSparkSurface:
+    def test_pages_df_matches_local_parse(self, spark):
+        d = demo_pdf_dir(SF_DIR)
+        df = pdf_pages_df(spark, d + "/*.pdf")
+        got = sorted(
+            (r.path, r.page_no, r.n_cells, r.text) for r in df.collect()
+        )
+        assert got == _expected_rows(d)
+        assert len(got) > 0
+
+    def test_split_parity(self, spark):
+        """Page-range splits produce byte-identical rows to whole-file."""
+        d = demo_pdf_dir(SF_DIR)
+        whole = sorted(
+            (r.path, r.page_no, r.n_cells, r.text)
+            for r in pdf_pages_df(spark, d + "/*.pdf").collect()
+        )
+        split = sorted(
+            (r.path, r.page_no, r.n_cells, r.text)
+            for r in pdf_pages_df(spark, d + "/*.pdf", split_pages=3).collect()
+        )
+        assert split == whole
+
+    def test_hostile_file_isolated(self, spark, tmp_path):
+        good = build_pdf(PAGES)
+        (tmp_path / "good.pdf").write_bytes(good)
+        (tmp_path / "bad.pdf").write_bytes(b"hostile \x00\x01\x02 not a pdf")
+        (tmp_path / "trunc.pdf").write_bytes(good[:120])
+        df = pdf_pages_df(spark, str(tmp_path) + "/*.pdf")
+        rows = df.collect()
+        assert sorted({r.path for r in rows}) == ["good.pdf"]
+        assert len(rows) == 3
