@@ -153,6 +153,28 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF first-mile layout parse (sources/pdf.py): deterministic demo
+    PDFs (built from the sf documents table, alternating classic-xref and
+    xref-stream framing) -> one row per page with reading-order text.
+    Runs through the page-range split path (split_pages) so the driver
+    hash covers the intra-file parallel reader; rows are identical to the
+    whole-file parse by the split-parity contract (tests/test_pdf.py).
+    The oracle parses the SAME files with the same pure-python parser
+    single-process."""
+    from docling_core_spark.sources.pdf import demo_pdf_dir, pdf_pages_df
+
+    _ensure_package(spark)
+    path = demo_pdf_dir(sf_dir)
+    return _ord(
+        pdf_pages_df(spark, path + "/*.pdf", split_pages=8).select(
+            "path", "page_no", "width", "height", "n_cells", "text"
+        ),
+        "path",
+        "page_no",
+    )
+
+
 def _media(spark: SparkSession, op: str) -> DataFrame:
     _ensure_package(spark)
     from docling_core_spark.operators.multimodal import (
@@ -435,8 +457,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministically synthesized geometry; single-process oracle
         "visualize_svg": lambda s, d: _synth_op(s, d, "viz"),
         "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
-        # --- profiler aggregates (A1/A2) ---
-        "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),
         # --- end-to-end C5 integration (in the driver window since r8):
         # train BPE on the corpus, then chunk the extracted docs with the
         # trained subword tokenizer (merge list ships to executors via the
@@ -447,6 +467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- WARC first-mile ingestion (sources/warc.py): .warc.gz segments
         # -> pages table, files as the parallel unit (driver window r8) ---
         "warc_ingest": _warc_ingest,
+        # --- PDF first-mile layout parse (sources/pdf.py): PDF bytes ->
+        # positioned line cells -> reading-order page text, page-range
+        # splits for jumbo files (driver window r8; the north rule names
+        # "PDF/layout parse" beside the HTML path) ---
+        "pdf_extract": _pdf_extract,
         # --- multimodal plumbing (real PNG/JPEG header decode + stubbed
         #     pixel features, deterministic) ---
         "media_image_metadata": lambda s, d: _media(s, "meta"),
@@ -463,8 +488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_concatenate_by_lang": lambda s, d: _docops(s, d, "concat"),
         # C family keeps python/java/ts in-window (demoted r8, same reason)
         "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
-        # A2 grouped-profile variant (profile_collection_stats is the
-        # in-window A2 representative; demoted r8 for bloom_para_dedup)
+        # A2 collection-stats variants (extract_collection_profile is the
+        # in-window A2 representative; stats demoted r8 for pdf_extract,
+        # by-lang demoted r8 for bloom_para_dedup)
+        "profile_collection_stats": lambda s, d: profile.collection_stats(_docs(s, d)),
         "profile_by_lang": lambda s, d: profile.group_profile(_docs(s, d)),
         # the model-dump variant: lm_perplexity_score retrains the identical
         # model internally, so its hash covers the training math (demoted r8)

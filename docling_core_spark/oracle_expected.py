@@ -949,6 +949,49 @@ def _build_warc_ingest(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_pdf_extract(sf_dir: str, out: Path) -> None:
+    """Expected PDF extraction rows: parse the SAME deterministic demo PDFs
+    with the same pure-python parser (sources/pdf.py), single-process —
+    verifying distributed page-range-split parse == single-process parse."""
+    import os
+
+    from docling_core_spark.sources.pdf import demo_pdf_dir, pdf_text_pages
+
+    d = demo_pdf_dir(sf_dir)
+    rows = []
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".pdf"):
+            continue
+        with open(os.path.join(d, fn), "rb") as f:
+            data = f.read()
+        for p in pdf_text_pages(data):
+            rows.append(
+                {
+                    "path": fn,
+                    "page_no": p["page_no"],
+                    "width": p["width"],
+                    "height": p["height"],
+                    "n_cells": len(p["cells"]),
+                    "text": p["text"],
+                }
+            )
+    rows.sort(key=lambda r: (r["path"], r["page_no"]))
+    _write(
+        out / "pdf_extract.parquet",
+        rows,
+        pa.schema(
+            [
+                ("path", _S),
+                ("page_no", _I32),
+                ("width", _F64),
+                ("height", _F64),
+                ("n_cells", _I32),
+                ("text", _S),
+            ]
+        ),
+    )
+
+
 def _build_bloom(sf_dir: str, out: Path) -> None:
     """Expected bloom paragraph dedup: the pure-python twin in
     operators/bloom.py replays the IDENTICAL position hashes
@@ -1077,6 +1120,7 @@ EXPECTED_QUERIES = {
     "bpe_tokenize": "ORDER BY doc_id",
     "extract_chunks_bpe": "ORDER BY url, chunk_idx",
     "warc_ingest": "ORDER BY url",
+    "pdf_extract": "ORDER BY path, page_no",
 }
 
 
@@ -1099,6 +1143,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_bpe(sf_dir, tmp)
         _build_extract_bpe(sf_dir, tmp)
         _build_warc_ingest(sf_dir, tmp)
+        _build_pdf_extract(sf_dir, tmp)
         _build_classifier(sf_dir, tmp)
         _build_bloom(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
