@@ -153,6 +153,29 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristic boilerplate removal (operators/boilerplate.py,
+    jusText-style link-density/length/context block scoring) over the
+    synthetic pages.  Stopword gates open for the word-salad corpus
+    (module docstring; round-5 min_stopword_hits precedent) — link
+    density, length, context resolution, and heading rescue carry the
+    demo.  Map-only stage; oracle = same classifier single-process."""
+    from docling_core_spark.operators.boilerplate import main_content_df
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    _ensure_package(spark)
+    return _ord(
+        main_content_df(
+            web_pages_df(spark, sf_dir),
+            stopwords_low=0.0,
+            stopwords_high=0.0,
+            length_low=25,
+            length_high=120,
+        ),
+        "url",
+    )
+
+
 def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF first-mile layout parse (sources/pdf.py): deterministic demo
     PDFs (built from the sf documents table, alternating classic-xref and
@@ -456,7 +479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- SVG visualizer overlays (layout/table/kv/reading-order) over
         # deterministically synthesized geometry; single-process oracle
         "visualize_svg": lambda s, d: _synth_op(s, d, "viz"),
-        "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
         # --- end-to-end C5 integration (in the driver window since r8):
         # train BPE on the corpus, then chunk the extracted docs with the
         # trained subword tokenizer (merge list ships to executors via the
@@ -472,6 +494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # splits for jumbo files (driver window r8; the north rule names
         # "PDF/layout parse" beside the HTML path) ---
         "pdf_extract": _pdf_extract,
+        # --- DOM-heuristic main-content extraction (jusText-style block
+        # scoring; the north rule names "DOM heuristics" beside the tag
+        # strip) ---
+        "main_content": _main_content,
         # --- multimodal plumbing (real PNG/JPEG header decode + stubbed
         #     pixel features, deterministic) ---
         "media_image_metadata": lambda s, d: _media(s, "meta"),
@@ -480,6 +506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators already represented above.  Every entry here is still
         # oracle-checked locally by tests/test_oracle_parity.py.
         # ================================================================
+        # S5 annotation-kv variant (extract_doclang is the in-window S5
+        # representative; field-kv is additionally GT-tested — demoted r8
+        # for main_content)
+        "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
         # stubbed-decode media variants (metadata above covers the plumbing)
         "media_image_features": lambda s, d: _media(s, "features"),
         "media_video_frames": lambda s, d: _media(s, "frames"),

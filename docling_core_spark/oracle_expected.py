@@ -949,6 +949,50 @@ def _build_warc_ingest(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_main_content(sf_dir: str, out: Path) -> None:
+    """Expected DOM-heuristic main-content rows: the same pure-python
+    jusText-style classifier (operators/boilerplate.py) over the same
+    synthetic pages, single-process, with the corpus-fitted demo knobs
+    (the module docstring documents why the stopword gates open here)."""
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.operators.boilerplate import main_content_sql_rows
+    from docling_core_spark.sources.web_pages import synth_rows
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pylist()
+    pages = synth_rows(
+        [r["doc_id"] for r in docs],
+        [r["text"] for r in docs],
+        [r["lang"] for r in docs],
+    )
+    rows = list(
+        main_content_sql_rows(
+            ((r["url"], r["html"]) for r in pages),
+            stopwords_low=0.0,
+            stopwords_high=0.0,
+            length_low=25,
+            length_high=120,
+        )
+    )
+    rows.sort(key=lambda r: r["url"])
+    _write(
+        out / "main_content.parquet",
+        rows,
+        pa.schema(
+            [
+                ("url", _S),
+                ("n_paragraphs", _I32),
+                ("n_good", _I32),
+                ("n_chars", _I32),
+                ("n_chars_good", _I32),
+                ("main_text", _S),
+            ]
+        ),
+    )
+
+
 def _build_pdf_extract(sf_dir: str, out: Path) -> None:
     """Expected PDF extraction rows: parse the SAME deterministic demo PDFs
     with the same pure-python parser (sources/pdf.py), single-process —
@@ -1121,6 +1165,7 @@ EXPECTED_QUERIES = {
     "extract_chunks_bpe": "ORDER BY url, chunk_idx",
     "warc_ingest": "ORDER BY url",
     "pdf_extract": "ORDER BY path, page_no",
+    "main_content": "ORDER BY url",
 }
 
 
@@ -1144,6 +1189,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_extract_bpe(sf_dir, tmp)
         _build_warc_ingest(sf_dir, tmp)
         _build_pdf_extract(sf_dir, tmp)
+        _build_main_content(sf_dir, tmp)
         _build_classifier(sf_dir, tmp)
         _build_bloom(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
