@@ -626,14 +626,70 @@ class _DocHTMLParser(HTMLParser):
             self._emit_pre()
 
 
+# WHATWG encoding-label -> python codec for the labels that matter on the
+# open web; legacy single-byte western labels map to cp1252 per the spec
+_CHARSET_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "us-ascii": "cp1252", "ascii": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "iso-8859-1": "cp1252", "iso8859-1": "cp1252",
+    "l1": "cp1252", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "x-user-defined": "cp1252",
+    "iso-8859-2": "iso8859-2", "iso-8859-5": "iso8859-5",
+    "iso-8859-7": "iso8859-7", "iso-8859-9": "cp1254",
+    "iso-8859-15": "iso8859-15",
+    "windows-1250": "cp1250", "windows-1251": "cp1251",
+    "windows-1253": "cp1253", "windows-1254": "cp1254",
+    "windows-1256": "cp1256", "koi8-r": "koi8-r", "koi8-u": "koi8-u",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "euc-jp": "euc-jp", "iso-2022-jp": "iso2022_jp",
+    "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030", "big5": "big5",
+    "euc-kr": "euc-kr",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+
+
+def sniff_encoding(data: bytes) -> str:
+    """WHATWG-style encoding sniff: BOM, then a <meta charset> /
+    http-equiv content-type scan of the first 1024 bytes, else utf-8.
+
+    Returns a python codec name.  Unknown labels fall back to utf-8 —
+    with errors="replace" downstream that is the web-scale total-function
+    contract (a mislabeled page degrades, never fails a task)."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"  # python's utf-16 codec reads and strips the BOM
+    m = _META_CHARSET_RE.search(data[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        return _CHARSET_LABELS.get(label, "utf-8")
+    return "utf-8"
+
+
+def decode_html_bytes(data: bytes) -> str:
+    """html:binary -> str via the sniffed encoding (total function)."""
+    codec = sniff_encoding(bytes(data))
+    try:
+        return bytes(data).decode(codec, errors="replace")
+    except (LookupError, ValueError):  # defensive: codec table drift
+        return bytes(data).decode("utf-8", errors="replace")
+
+
 def parse_html(html: str | bytes, name: str = "document", main_content_only: bool = True) -> Doc:
     """Parse page HTML into a Doc (main-content extraction).
 
     main_content_only=True drops nav/header/footer/aside subtrees entirely
     (boilerplate strip); False keeps them on the furniture content layer.
+    Bytes input is decoded via the WHATWG-style charset sniff (BOM ->
+    <meta charset> -> utf-8), errors replaced — the html:binary column of
+    the input table decodes per page, never per corpus.
     """
     if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_html_bytes(html)
     doc = Doc(name=name)
     parser = _DocHTMLParser(doc, main_content_only=main_content_only)
     try:
