@@ -647,14 +647,40 @@ _CHARSET_LABELS = {
     "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
 }
 
-_META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+_META_TAG_RE = re.compile(rb"<meta\b([^>]*)>", re.IGNORECASE)
+_ATTR_RE = re.compile(
+    rb"""([a-zA-Z][a-zA-Z0-9_\-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)"""
 )
+_CONTENT_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+
+
+def _meta_charset_label(head: bytes) -> Optional[str]:
+    """The first meta-declared charset label, per the WHATWG prescan:
+    a ``charset`` ATTRIBUTE, or the ``content`` attribute of an
+    http-equiv=content-type meta — never 'charset=' text inside an
+    unrelated attribute value (e.g. a description mentioning encodings)."""
+    for m in _META_TAG_RE.finditer(head):
+        attrs = {}
+        for name, val in _ATTR_RE.findall(m.group(1)):
+            v = val.strip(b"\"'")
+            attrs.setdefault(name.lower(), v)
+        if b"charset" in attrs:
+            return attrs[b"charset"].decode("ascii", "replace").strip().lower()
+        if (
+            attrs.get(b"http-equiv", b"").lower() == b"content-type"
+            and b"content" in attrs
+        ):
+            c = _CONTENT_CHARSET_RE.search(attrs[b"content"])
+            if c:
+                return c.group(1).decode("ascii", "replace").strip().lower()
+    return None
 
 
 def sniff_encoding(data: bytes) -> str:
     """WHATWG-style encoding sniff: BOM, then a <meta charset> /
-    http-equiv content-type scan of the first 1024 bytes, else utf-8.
+    http-equiv content-type prescan of the first 1024 bytes, else utf-8.
 
     Returns a python codec name.  Unknown labels fall back to utf-8 —
     with errors="replace" downstream that is the web-scale total-function
@@ -663,10 +689,14 @@ def sniff_encoding(data: bytes) -> str:
         return "utf-8-sig"
     if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return "utf-16"  # python's utf-16 codec reads and strips the BOM
-    m = _META_CHARSET_RE.search(data[:1024])
-    if m:
-        label = m.group(1).decode("ascii", "replace").strip().lower()
-        return _CHARSET_LABELS.get(label, "utf-8")
+    label = _meta_charset_label(data[:1024])
+    if label:
+        codec = _CHARSET_LABELS.get(label, "utf-8")
+        # WHATWG: a meta-declared UTF-16 is treated as UTF-8 — the meta tag
+        # was readable as ASCII bytes, which proves the stream is not UTF-16
+        if codec.startswith("utf-16"):
+            return "utf-8"
+        return codec
     return "utf-8"
 
 

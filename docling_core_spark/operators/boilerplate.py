@@ -58,7 +58,7 @@ BLOCK_TAGS = frozenset(
     header hr legend li main menu nav ol optgroup option p pre section
     select table td textarea tfoot th thead tr ul""".split()
 )
-_SKIP_TAGS = frozenset(("script", "style", "noscript", "template", "head"))
+_SKIP_TAGS = frozenset(("script", "style", "noscript", "template", "title"))
 _HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
 # ~120-entry English function-word list (classic public IR stoplist core);
@@ -122,6 +122,10 @@ class _Segmenter(HTMLParser):
         self._link_depth = 0
         self._skip_depth = 0
         self._heading_depth = 0
+        # <head> content is metadata, but </head>/<head> are omittable in
+        # HTML5 — track it as a FLAG cleared by <body> or any flow block,
+        # never as a depth (a stuck depth would silently skip whole pages)
+        self._in_head = False
 
     def _flush(self) -> None:
         text = _WS_RE.sub(" ", "".join(self._buf)).strip()
@@ -137,7 +141,12 @@ class _Segmenter(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
             return
+        if tag == "head":
+            self._in_head = True
+            return
         if tag in BLOCK_TAGS:
+            if self._in_head and tag != "html":
+                self._in_head = False  # flow content implies </head>
             self._flush()
             if tag in _HEADING_TAGS:
                 self._heading_depth += 1
@@ -152,6 +161,9 @@ class _Segmenter(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
+        if tag == "head":
+            self._in_head = False
+            return
         if tag in BLOCK_TAGS:
             self._flush()
             if tag in _HEADING_TAGS:
@@ -160,7 +172,7 @@ class _Segmenter(HTMLParser):
             self._link_depth = max(0, self._link_depth - 1)
 
     def handle_data(self, data: str) -> None:
-        if self._skip_depth:
+        if self._skip_depth or self._in_head:
             return
         self._buf.append(data)
         if self._link_depth:
@@ -193,14 +205,16 @@ def classify_paragraphs(
     # 1) context-free
     for p in paragraphs:
         length = len(p.text)
-        if "©" in p.text or "(c)" in p.text.lower()[:40]:
-            p.cf_class = "bad"
+        if "©" in p.text:  # the © mark only — "(c)" false-positives on
+            p.cf_class = "bad"  # legal/list numbering like "section 12(c)"
         elif p.link_density > max_link_density:
             p.cf_class = "bad"
         elif length < length_low:
             p.cf_class = "bad" if p.link_chars > 0 else "short"
         else:
-            sd = p.stop_density
+            # with both stopword gates open (the word-salad demo config)
+            # the density can never matter — skip the per-word regex work
+            sd = p.stop_density if stopwords_high > 0 or stopwords_low > 0 else 1.0
             if sd >= stopwords_high:
                 p.cf_class = "good" if length > length_high else "neargood"
             elif sd >= stopwords_low:
@@ -262,9 +276,13 @@ def main_content(html: str, **thresholds) -> dict:
 def main_content_sql_rows(rows: Iterator[tuple], **thresholds) -> Iterator[dict]:
     """(url, html) tuples -> result dicts; the single-process oracle twin
     and the UDF share this exact loop."""
+    from docling_core_spark.functions.html_parse import decode_html_bytes
+
     for url, html in rows:
         if isinstance(html, (bytes, bytearray, memoryview)):
-            html = bytes(html).decode("utf-8", errors="replace")
+            # same charset sniff as the extract path — the two first-mile
+            # consumers of html:binary must agree on the page text
+            html = decode_html_bytes(bytes(html))
         r = main_content(html or "", **thresholds)
         r["url"] = url
         yield r

@@ -429,7 +429,11 @@ class PdfDoc:
             raise PdfError("missing %PDF header")
         try:
             self._load_xref_chain()
-        except PdfError:
+        except Exception:  # noqa: BLE001 — a corrupt xref/objstm can
+            # surface zlib.error/TypeError/..., not just PdfError; ANY
+            # failure here must reach the reconstruction fallback (a
+            # partially-loaded trailer Root is kept — it names the right
+            # catalog when the scan finds several)
             self._xref.clear()
         if not self._xref or "Root" not in self.trailer:
             self._reconstruct()
@@ -496,8 +500,10 @@ class PdfDoc:
                 num = start + k
                 if kind == b"n" and num not in self._xref:
                     self._xref[num] = ("at", off)
-                lex.pos += 20 if len(ent) == 20 and ent[19] in b"\r\n " else 20
-            # normalize position: entries are fixed 20 bytes from first
+                # entries are fixed 20 bytes per spec; nonstandard 19-byte
+                # writers land in the reconstruction fallback via the int()
+                # parse failure above
+                lex.pos += 20
 
     def _load_xref_stream(self, lex: _Lexer) -> dict:
         # 'N G obj' header
@@ -613,7 +619,12 @@ class PdfDoc:
         out: dict[int, Any] = {}
         st = self.get_object(stm_num)
         if isinstance(st, Stream) and str(st.dict.get("Type")) == "ObjStm":
-            data = _decode_stream(self, st)
+            try:
+                data = _decode_stream(self, st)
+            except Exception:  # noqa: BLE001 — corrupt objstm payload:
+                # its objects resolve to None, the file stays parseable
+                self._objstm_cache[stm_num] = out
+                return out
             n = int(self.resolve(st.dict.get("N", 0)) or 0)
             first = int(self.resolve(st.dict.get("First", 0)) or 0)
             head = _Lexer(data[:first])
@@ -707,8 +718,17 @@ class PdfDoc:
 
 
 def parse_pdf(data: bytes) -> PdfDoc:
-    """Parse PDF bytes into a lazily-resolved document."""
-    return PdfDoc(bytes(data))
+    """Parse PDF bytes into a lazily-resolved document.
+
+    Raises :class:`PdfError` for ANY unparseable input — lower-level
+    exceptions (zlib.error from corrupt streams, recursion limits, ...)
+    are normalized so callers have one failure type to isolate on."""
+    try:
+        return PdfDoc(bytes(data))
+    except PdfError:
+        raise
+    except Exception as e:  # noqa: BLE001 — normalize hostile-input errors
+        raise PdfError(f"unparseable pdf: {type(e).__name__}: {e}") from e
 
 
 # ---------------------------------------------------------------------------
@@ -746,11 +766,6 @@ def _decode_show(raw: bytes, font: Optional[dict]) -> Optional[str]:
         return raw.decode("cp1252")
     except UnicodeDecodeError:
         return raw.decode("latin-1")
-
-
-_TEXT_OPS = frozenset(
-    b"BT ET Tf Td TD Tm T* TL Tc Tw Tz Ts Tj TJ ' \" q Q cm".split()
-)
 
 
 def extract_page_cells(content: bytes, fonts: dict[str, dict]) -> list[dict]:

@@ -181,3 +181,49 @@ class TestSparkSurface:
         df = main_content_df(pages)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # map-only: no shuffle
+
+
+class TestReviewRegressions:
+    """Round-8 review findings (omitted </head>, (c) false positive,
+    charset-sniff agreement with the extract path)."""
+
+    def test_omitted_head_end_tag(self):
+        html = (
+            "<html><head><title>t</title>"  # no </head>, no <body> open tag
+            "<p>the body paragraph of the page with plenty of length and "
+            "the usual function words that make it count as content, and "
+            "it keeps going for long enough to clear the high length bound "
+            "of the classifier so that it is context-free good</p>"
+        )
+        r = main_content(html)
+        assert r["n_paragraphs"] >= 1
+        assert "body paragraph" in r["main_text"]
+        assert "t" not in [p for p in r["main_text"].split("\n")]  # title skipped
+
+    def test_title_skipped_even_without_head(self):
+        paras = segment_paragraphs("<title>site name</title><p>content here</p>")
+        assert [p.text for p in paras] == ["content here"]
+
+    def test_paren_c_is_not_copyright(self):
+        html = (
+            "<p>Under section 12(c) the parties agree that the terms of the "
+            "present contract are to be read with all of the usual words</p>"
+        )
+        p = classify_paragraphs(segment_paragraphs(html))[0]
+        assert p.cf_class != "bad" or p.link_density > 0  # not the © rule
+
+    def test_copyright_mark_still_bad(self):
+        p = classify_paragraphs(segment_paragraphs("<p>© 2024 example.org</p>"))[0]
+        assert p.cf_class == "bad"
+
+    def test_binary_uses_charset_sniff(self):
+        from docling_core_spark.operators.boilerplate import main_content_sql_rows
+
+        html = (
+            "<meta charset='windows-1251'><body><p>"
+            + "текст документа про данные и слова " * 4
+            + "</p></body>"
+        )
+        rows = list(main_content_sql_rows([("u", html.encode("cp1251"))],
+                                          stopwords_low=0.0, stopwords_high=0.0))
+        assert "текст документа" in rows[0]["main_text"]

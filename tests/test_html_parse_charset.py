@@ -68,3 +68,25 @@ class TestSniff:
         doc_a = parse_html("<p>café</p>".encode("utf-8"))
         doc_b = parse_html("<p>café</p>")
         assert doc_a.texts == doc_b.texts
+
+
+class TestReviewRegressions:
+    def test_charset_in_unrelated_attr_ignored(self):
+        data = (
+            b'<meta name="description" content="a tutorial about '
+            b'charset=shift_jis encodings"><p>plain utf-8</p>'
+        )
+        assert sniff_encoding(data) == "utf-8"
+
+    def test_meta_declared_utf16_treated_as_utf8(self):
+        # WHATWG: the meta was readable as ASCII, so the page is NOT utf-16
+        data = b"<meta charset='utf-16'><p>hello world</p>"
+        assert sniff_encoding(data) == "utf-8"
+        assert "hello world" in decode_html_bytes(data)
+
+    def test_http_equiv_requires_content_type(self):
+        data = (
+            b'<meta http-equiv="refresh" content="0; url=x?charset=koi8-r">'
+            b"<p>plain</p>"
+        )
+        assert sniff_encoding(data) == "utf-8"

@@ -326,3 +326,38 @@ class TestSparkSurface:
         rows = df.collect()
         assert sorted({r.path for r in rows}) == ["good.pdf"]
         assert len(rows) == 3
+
+
+class TestReviewRegressions:
+    """Round-8 review findings: non-PdfError leaks from corrupt streams."""
+
+    def test_corrupt_xref_stream_falls_back_to_reconstruction(self):
+        data = build_pdf(PAGES, xref_stream=True)
+        # zero out the xref stream payload (zlib.error territory)
+        i = data.rfind(b"stream\n")
+        j = data.find(b"\nendstream", i)
+        corrupted = data[: i + 7] + b"\x00" * (j - i - 7) + data[j:]
+        pages = pdf_text_pages(corrupted)
+        assert [p["text"] for p in pages] == EXPECTED_TEXTS
+
+    def test_corrupt_objstm_payload_is_pdferror_not_zlib(self):
+        data = build_pdf(PAGES, xref_stream=True)
+        # corrupt the ObjStm (holds catalog/pages) AND the xref stream so
+        # nothing recovers — must raise PdfError, never zlib.error
+        out = bytearray(data)
+        pos = 0
+        while True:
+            i = data.find(b"stream\n", pos)
+            if i < 0:
+                break
+            j = data.find(b"\nendstream", i)
+            out[i + 7 : j] = b"\x00" * (j - i - 7)
+            pos = j
+        with pytest.raises(PdfError):
+            pdf_text_pages(bytes(out))
+
+    def test_parse_pdf_normalizes_all_errors(self):
+        # deep-nested arrays would hit the recursion limit -> PdfError
+        data = b"%PDF-1.4\n1 0 obj\n" + b"[" * 50000 + b"]" * 50000 + b"\nendobj\n"
+        with pytest.raises(PdfError):
+            pdf_text_pages(data)
