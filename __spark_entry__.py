@@ -198,6 +198,17 @@ def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF -> document model -> markdown (sources/pdf.py pdf_to_doc):
+    font-size heading detection, paragraph grouping, per-page provenance.
+    Oracle: same pdf_doc_row code single-process over the same files."""
+    from docling_core_spark.sources.pdf import demo_pdf_dir, pdf_docs_df
+
+    _ensure_package(spark)
+    path = demo_pdf_dir(sf_dir)
+    return _ord(pdf_docs_df(spark, path + "/*.pdf"), "path")
+
+
 def _media(spark: SparkSession, op: str) -> DataFrame:
     _ensure_package(spark)
     from docling_core_spark.operators.multimodal import (
@@ -506,6 +517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators already represented above.  Every entry here is still
         # oracle-checked locally by tests/test_oracle_parity.py.
         # ================================================================
+        # PDF -> Doc -> markdown (pdf_extract is the in-window PDF
+        # representative; this end-to-end document-model variant is
+        # local-verified)
+        "pdf_markdown": lambda s, d: _pdf_markdown(s, d),
         # S5 annotation-kv variant (extract_doclang is the in-window S5
         # representative; field-kv is additionally GT-tested — demoted r8
         # for main_content)

@@ -949,6 +949,32 @@ def _build_warc_ingest(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_pdf_markdown(sf_dir: str, out: Path) -> None:
+    """Expected PDF->Doc->markdown rows: the same pdf_doc_row code over the
+    same demo files, single-process."""
+    import os
+
+    from docling_core_spark.sources.pdf import demo_pdf_dir, pdf_doc_row
+
+    d = demo_pdf_dir(sf_dir)
+    rows = []
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".pdf"):
+            continue
+        with open(os.path.join(d, fn), "rb") as f:
+            r = pdf_doc_row(fn, f.read())
+        if r is not None:
+            rows.append(r)
+    rows.sort(key=lambda r: r["path"])
+    _write(
+        out / "pdf_markdown.parquet",
+        rows,
+        pa.schema(
+            [("path", _S), ("n_pages", _I32), ("n_texts", _I32), ("markdown", _S)]
+        ),
+    )
+
+
 def _build_main_content(sf_dir: str, out: Path) -> None:
     """Expected DOM-heuristic main-content rows: the same pure-python
     jusText-style classifier (operators/boilerplate.py) over the same
@@ -1166,6 +1192,7 @@ EXPECTED_QUERIES = {
     "warc_ingest": "ORDER BY url",
     "pdf_extract": "ORDER BY path, page_no",
     "main_content": "ORDER BY url",
+    "pdf_markdown": "ORDER BY path",
 }
 
 
@@ -1189,6 +1216,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_extract_bpe(sf_dir, tmp)
         _build_warc_ingest(sf_dir, tmp)
         _build_pdf_extract(sf_dir, tmp)
+        _build_pdf_markdown(sf_dir, tmp)
         _build_main_content(sf_dir, tmp)
         _build_classifier(sf_dir, tmp)
         _build_bloom(sf_dir, tmp)

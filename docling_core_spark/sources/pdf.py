@@ -1006,6 +1006,80 @@ def pdf_segmented_pages(data: bytes) -> list[dict]:
     return out
 
 
+def pdf_to_doc(data: bytes, name: str = "document"):
+    """PDF bytes -> Doc (the document-model peer of parse_html).
+
+    Layout heuristics over the line cells (deterministic, oracle-shared):
+    - body size = the most common cell font size (rounded to 0.5pt);
+      a line >= 1.2x body size is a heading (the first one is the title),
+      heading level from the size ratio (>=1.8x -> 1, >=1.4x -> 2, else 3);
+    - consecutive body lines merge into one paragraph until the vertical
+      gap to the next line exceeds 1.8x the font size, a heading breaks in,
+      or the page ends;
+    - provenance: real page_no, bbox = the merged lines' extent
+      (bottom-left origin, the page coordinate space), charspan [0, len].
+    """
+    from collections import Counter
+
+    from docling_core_spark.model.doc import Doc
+
+    pages = pdf_text_pages(data)
+    doc = Doc(name=name)
+    sizes = Counter(
+        round(c["size"] * 2) / 2 for p in pages for c in p["cells"]
+    )
+    body_size = sizes.most_common(1)[0][0] if sizes else 10.0
+    saw_title = False
+
+    def prov(page_no: int, lines: list[dict], text: str) -> list[dict]:
+        return [
+            {
+                "page_no": page_no,
+                "bbox": {
+                    "l": min(ln["x0"] for ln in lines),
+                    "r": max(ln["x1"] for ln in lines),
+                    "t": max(ln["y"] + ln["size"] for ln in lines),
+                    "b": min(ln["y"] for ln in lines),
+                    "coord_origin": "BOTTOMLEFT",
+                },
+                "charspan": [0, len(text)],
+            }
+        ]
+
+    def flush(page_no: int, para: list[dict]) -> None:
+        if not para:
+            return
+        text = " ".join(ln["text"] for ln in para)
+        doc.add_text("text", text, prov=prov(page_no, para, text))
+
+    for p in pages:
+        doc.add_page(p["page_no"], p["width"], p["height"])
+        para: list[dict] = []
+        prev: Optional[dict] = None
+        for ln in p["cells"]:
+            if ln["size"] >= 1.2 * body_size:
+                flush(p["page_no"], para)
+                para, prev = [], None
+                ratio = ln["size"] / body_size
+                pv = prov(p["page_no"], [ln], ln["text"])
+                if not saw_title:
+                    doc.add_title(ln["text"], prov=pv)
+                    saw_title = True
+                else:
+                    level = 1 if ratio >= 1.8 else (2 if ratio >= 1.4 else 3)
+                    doc.add_heading(ln["text"], level=level, prov=pv)
+                continue
+            if prev is not None and (prev["y"] - ln["y"]) > 1.8 * max(
+                ln["size"], prev["size"]
+            ):
+                flush(p["page_no"], para)
+                para = []
+            para.append(ln)
+            prev = ln
+        flush(p["page_no"], para)
+    return doc
+
+
 # ---------------------------------------------------------------------------
 # writer (test/demo fixture generator)
 # ---------------------------------------------------------------------------
@@ -1436,3 +1510,48 @@ def pdf_pages_df(spark, path: str, split_pages: Optional[int] = None):
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(run, schema=_PAGES_SCHEMA)
+
+
+def pdf_doc_row(path: str, data: bytes) -> Optional[dict]:
+    """One PDF -> (path, n_pages, n_texts, markdown) via the document
+    model; None for an unparseable file (file-level isolation).  Shared by
+    the Spark UDF and the single-process oracle."""
+    from docling_core_spark.functions.serializers import export_to_markdown
+
+    fname = path.rsplit("/", 1)[-1]
+    try:
+        doc = pdf_to_doc(data, name=fname)
+        md = export_to_markdown(doc)
+        return {
+            "path": fname,
+            "n_pages": len(doc.pages),
+            "n_texts": len(doc.texts),
+            "markdown": md,
+        }
+    except Exception:  # noqa: BLE001 — hostile/corrupt file: zero rows
+        return None
+
+
+def pdf_docs_df(spark, path: str):
+    """PDF files -> document-model rows (path, n_pages, n_texts, markdown).
+
+    The PDF peer of the HTML extract stage: bytes -> positioned cells ->
+    Doc (font-size heading detection, paragraph grouping, per-page prov)
+    -> markdown, fused in ONE mapInPandas stage per file."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                r = pdf_doc_row(str(p), bytes(content))
+                if r is not None:
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows, columns=["path", "n_pages", "n_texts", "markdown"]
+            )
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(
+        run, schema="path string, n_pages int, n_texts int, markdown string"
+    )

@@ -361,3 +361,102 @@ class TestReviewRegressions:
         data = b"%PDF-1.4\n1 0 obj\n" + b"[" * 50000 + b"]" * 50000 + b"\nendobj\n"
         with pytest.raises(PdfError):
             pdf_text_pages(data)
+
+
+class TestPdfToDoc:
+    """PDF -> document model (pdf_to_doc): headings, paragraphs, prov."""
+
+    def test_title_heading_paragraphs(self):
+        pages = [
+            {"width": 612, "height": 792, "texts": [
+                (72, 72, 20, "The Title"),
+                (72, 110, 10, "first body line of the opening paragraph"),
+                (72, 124, 10, "second body line continues it"),
+                (72, 170, 14, "A Section"),
+                (72, 200, 10, "section body"),
+            ]},
+        ]
+        from docling_core_spark.sources.pdf import pdf_to_doc
+
+        doc = pdf_to_doc(build_pdf(pages))
+        labels = [(t["label"], t["text"]) for t in doc.texts]
+        assert labels[0] == ("title", "The Title")
+        assert labels[1][1] == (
+            "first body line of the opening paragraph second body line continues it"
+        )
+        assert labels[2][0] == "section_header" and labels[2][1] == "A Section"
+        assert labels[3][1] == "section body"
+        # provenance: real page numbers, bottom-left bbox, charspan
+        pv = doc.texts[1]["prov"][0]
+        assert pv["page_no"] == 1
+        assert pv["bbox"]["t"] > pv["bbox"]["b"]
+        assert pv["charspan"] == [0, len(doc.texts[1]["text"])]
+
+    def test_paragraph_split_on_vertical_gap(self):
+        pages = [
+            {"width": 612, "height": 792, "texts": [
+                (72, 100, 10, "para one line"),
+                (72, 114, 10, "still para one"),
+                (72, 180, 10, "para two after a large gap"),
+            ]},
+        ]
+        from docling_core_spark.sources.pdf import pdf_to_doc
+
+        doc = pdf_to_doc(build_pdf(pages))
+        texts = [t["text"] for t in doc.texts]
+        assert texts == ["para one line still para one", "para two after a large gap"]
+
+    def test_heading_levels_by_ratio(self):
+        pages = [
+            {"width": 612, "height": 792, "texts": [
+                (72, 60, 20, "Title"),
+                (72, 100, 19, "H1 sized"),
+                (72, 140, 15, "H2 sized"),
+                (72, 180, 13, "H3 sized"),
+                (72, 220, 10, "body text long enough to anchor the body size"),
+                (72, 240, 10, "more body to make 10pt the modal size"),
+                (72, 260, 10, "and a third body line"),
+            ]},
+        ]
+        from docling_core_spark.sources.pdf import pdf_to_doc
+
+        doc = pdf_to_doc(build_pdf(pages))
+        by_text = {t["text"]: t for t in doc.texts}
+        assert by_text["Title"]["label"] == "title"
+        assert by_text["H1 sized"]["level"] == 1
+        assert by_text["H2 sized"]["level"] == 2
+        assert by_text["H3 sized"]["level"] == 3
+
+    def test_doc_row_and_markdown(self):
+        from docling_core_spark.sources.pdf import doc_to_pdf_pages, pdf_doc_row
+
+        data = build_pdf(doc_to_pdf_pages(9, " ".join(["w"] * 500)))
+        r = pdf_doc_row("x/demo.pdf", data)
+        assert r["path"] == "demo.pdf"
+        assert r["markdown"].startswith("# Document 9")
+        assert r["n_pages"] >= 1 and r["n_texts"] >= 2
+
+    def test_hostile_file_returns_none(self):
+        from docling_core_spark.sources.pdf import pdf_doc_row
+
+        assert pdf_doc_row("bad.pdf", b"not a pdf") is None
+
+    def test_docs_df_matches_local(self, spark):
+        from docling_core_spark.sources.pdf import (
+            demo_pdf_dir,
+            pdf_doc_row,
+            pdf_docs_df,
+        )
+
+        d = demo_pdf_dir(SF_DIR)
+        got = sorted(
+            (r.path, r.n_pages, r.n_texts, r.markdown)
+            for r in pdf_docs_df(spark, d + "/*.pdf").collect()
+        )
+        exp = []
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".pdf"):
+                with open(os.path.join(d, fn), "rb") as f:
+                    r = pdf_doc_row(fn, f.read())
+                exp.append((r["path"], r["n_pages"], r["n_texts"], r["markdown"]))
+        assert got == sorted(exp)
