@@ -384,3 +384,13 @@ def url_filter_stream(pages_stream: DataFrame, passthrough=()) -> DataFrame:
     from docling_core_spark.operators.textstats import url_filter
 
     return url_filter(pages_stream, canonical=False, passthrough=passthrough)
+
+
+def main_content_stream(pages_stream: DataFrame, **thresholds) -> DataFrame:
+    """Streaming DOM-heuristic main-content extraction (stateless map):
+    boilerplate scoring runs per micro-batch exactly as in batch — the
+    operator is a pure per-row function, so batch/stream rows are
+    identical (operators/boilerplate.py)."""
+    from docling_core_spark.operators.boilerplate import main_content_df
+
+    return main_content_df(pages_stream, **thresholds)

@@ -377,3 +377,34 @@ def test_streaming_url_filter_parity(spark, tmp_path):
     batch = url_filter(spark.read.parquet(src), canonical=False)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
     assert out.filter("NOT keep").count() > 0
+
+
+def test_streaming_main_content_parity(spark, tmp_path):
+    """Stateless DOM-heuristic main-content on the stream: row-identical
+    to batch over the same pages."""
+    from docling_core_spark.operators.boilerplate import main_content_df
+    from docling_core_spark.sources.web_pages import web_pages_df
+    from docling_core_spark.streaming.stream import main_content_stream
+
+    src = str(tmp_path / "mc_src")
+    web_pages_df(spark, SF_DIR).limit(40).select("url", "html").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    kw = dict(stopwords_low=0.0, stopwords_high=0.0, length_low=25, length_high=120)
+    q = (
+        main_content_stream(stream, **kw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mc_stream")
+        .option("checkpointLocation", str(tmp_path / "mc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("mc_stream")
+    assert out.count() == 40
+    batch = main_content_df(spark.read.parquet(src), **kw)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+    assert out.filter("n_good < n_paragraphs").count() > 0  # non-vacuous
