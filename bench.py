@@ -266,6 +266,27 @@ def main() -> None:
     timed("rel_pricing_summary", lambda: relational.pricing_summary(spark, sf_dir).collect())
     timed("rel_top_customers", lambda: relational.top_customers(spark, sf_dir).collect())
 
+    # round-8 first-mile operators: PDF layout parse (page-range split path)
+    # and DOM-heuristic main-content scoring over the replicated pages table
+    from docling_core_spark.operators.boilerplate import main_content_df
+    from docling_core_spark.sources.pdf import demo_pdf_dir, pdf_pages_df
+
+    pdf_dir = demo_pdf_dir(sf_dir)
+    timed(
+        "pdf_extract",
+        lambda: pdf_pages_df(spark, pdf_dir + "/*.pdf", split_pages=8).count(),
+    )
+    timed(
+        "main_content",
+        lambda: main_content_df(
+            bench_pages,
+            stopwords_low=0.0,
+            stopwords_high=0.0,
+            length_low=25,
+            length_high=120,
+        ).selectExpr("sum(n_good)").first(),
+    )
+
     # attach the latest N-vs-4N scaling measurement if present
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
