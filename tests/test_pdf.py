@@ -460,3 +460,25 @@ class TestPdfToDoc:
                     r = pdf_doc_row(fn, f.read())
                 exp.append((r["path"], r["n_pages"], r["n_texts"], r["markdown"]))
         assert got == sorted(exp)
+
+
+class TestPlanShapes:
+    def test_whole_file_path_has_no_exchange(self, spark):
+        d = demo_pdf_dir(SF_DIR)
+        plan = (
+            pdf_pages_df(spark, d + "/*.pdf")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_split_path_shuffles_only_range_rows(self, spark):
+        d = demo_pdf_dir(SF_DIR)
+        plan = (
+            pdf_pages_df(spark, d + "/*.pdf", split_pages=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # exactly ONE exchange, and it moves the tiny (path, page_start,
+        # page_end) index rows, never file bytes
+        assert plan.count("Exchange") == 1
+        idx = plan.index("Exchange")
+        assert "page_start" in plan[idx:].splitlines()[1] or "index(" in plan[idx:]
