@@ -198,6 +198,28 @@ def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linkgraph(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
+    """Web link graph (operators/linkgraph.py): Catalyst-native href
+    extraction over a deterministic multi-host demo (the synthetic corpus
+    is single-host — vacuous for a host graph), then integer-arithmetic
+    PageRank (bit-identical at any partitioning, the k-means quantization
+    precedent).  Oracles: edges = pure DuckDB SQL; ranks = the python
+    integer twin over DuckDB-extracted edges."""
+    from docling_core_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        host_pagerank,
+        link_demo_pages,
+    )
+
+    _ensure_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ol = extract_outlinks(link_demo_pages(docs))
+    if op == "edges":
+        return _ord(ol, "url", "out_url")
+    return _ord(host_pagerank(host_edges(ol), iterations=6), "host")
+
+
 def _pdf_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF -> document model -> markdown (sources/pdf.py pdf_to_doc):
     font-size heading detection, paragraph grouping, per-page provenance.
@@ -484,8 +506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     pair-count hash-agg over the distinct-word table; tokenize
         #     broadcast-joins the replayed word->tokens dict to the corpus
         "bpe_train": lambda s, d: bpe.bpe_train(_docs(s, d)),
+        # --- web link graph: host-level PageRank over extracted outlinks
+        # (integer fixed-point — iterative algorithm, full value hash) ---
+        "host_pagerank": lambda s, d: _linkgraph(s, d, "pagerank"),
         "code_chunks_python": lambda s, d: _synth_op(s, d, "code"),
-        "code_chunks_java": lambda s, d: _synth_op(s, d, "code:java"),
         "code_chunks_ts": lambda s, d: _synth_op(s, d, "code:ts"),
         # --- SVG visualizer overlays (layout/table/kv/reading-order) over
         # deterministically synthesized geometry; single-process oracle
@@ -531,8 +555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # T4 concatenate demo (GT-covered by tests/test_transform GT suite;
         # demoted r8 to make room for the lm_* flagships)
         "doc_concatenate_by_lang": lambda s, d: _docops(s, d, "concat"),
-        # C family keeps python/java/ts in-window (demoted r8, same reason)
+        # C family keeps python/ts in-window (java demoted r8 for
+        # host_pagerank — same from-scratch lexer pipeline as ts)
+        "code_chunks_java": lambda s, d: _synth_op(s, d, "code:java"),
         "code_chunks_c": lambda s, d: _synth_op(s, d, "code:c"),
+        # outlink extraction standalone (host_pagerank chains it in-window;
+        # this demoted entry carries the pure-SQL edge oracle)
+        "outlink_edges": lambda s, d: _linkgraph(s, d, "edges"),
         # A2 collection-stats variants (extract_collection_profile is the
         # in-window A2 representative; stats demoted r8 for pdf_extract,
         # by-lang demoted r8 for bloom_para_dedup)
@@ -605,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         decontam,
         dedup,
         dsir,
+        linkgraph,
         fineweb,
         lm,
         pii,
@@ -641,6 +671,10 @@ def oracle_sql() -> dict[str, str]:
         + textstats.c4_span_dedup_sql("dup_docs").strip()[len("WITH ") :],
         "url_normalized": textstats.url_normalized_sql(),
         "url_filter": textstats.url_filter_sql(),
+        "outlink_edges": linkgraph.outlink_edges_sql(
+            linkgraph.link_demo_pages_sql()
+        )
+        + " ORDER BY url, out_url",
         "fineweb_prep": fineweb.fineweb_prep_sql(),
         "host_quality_stats": textstats.host_quality_stats_sql(),
         "mix_corpora": textstats.mix_corpora_sql(),

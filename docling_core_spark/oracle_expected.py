@@ -975,6 +975,37 @@ def _build_pdf_markdown(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_host_pagerank(sf_dir: str, out: Path) -> None:
+    """Expected host PageRank: edge list via the SAME DuckDB SQL the
+    outlink_edges oracle uses (one source of truth for extraction), ranks
+    via the integer-arithmetic python twin (bit-identical by design)."""
+    import duckdb
+
+    from docling_core_spark.operators.linkgraph import (
+        link_demo_pages_sql,
+        outlink_edges_sql,
+        py_host_pagerank,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    edges = con.sql(
+        "SELECT src_host, dst_host, count(*) AS n_links FROM ("
+        + outlink_edges_sql(link_demo_pages_sql())
+        + ") WHERE NOT is_internal GROUP BY src_host, dst_host"
+    ).fetchall()
+    rows = py_host_pagerank(edges, iterations=6)
+    rows.sort(key=lambda r: r["host"])
+    _write(
+        out / "host_pagerank.parquet",
+        rows,
+        pa.schema([("host", _S), ("rank_units", _I64), ("rank", _F64)]),
+    )
+
+
 def _build_main_content(sf_dir: str, out: Path) -> None:
     """Expected DOM-heuristic main-content rows: the same pure-python
     jusText-style classifier (operators/boilerplate.py) over the same
@@ -1193,6 +1224,7 @@ EXPECTED_QUERIES = {
     "pdf_extract": "ORDER BY path, page_no",
     "main_content": "ORDER BY url",
     "pdf_markdown": "ORDER BY path",
+    "host_pagerank": "ORDER BY host",
 }
 
 
@@ -1218,6 +1250,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_pdf_extract(sf_dir, tmp)
         _build_pdf_markdown(sf_dir, tmp)
         _build_main_content(sf_dir, tmp)
+        _build_host_pagerank(sf_dir, tmp)
         _build_classifier(sf_dir, tmp)
         _build_bloom(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
