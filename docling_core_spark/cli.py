@@ -95,6 +95,52 @@ def cmd_extract(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pdf(args: argparse.Namespace) -> int:
+    """Parse PDF files: page text table (default) or per-file markdown."""
+    from docling_core_spark.session import get_spark
+    from docling_core_spark.sources.pdf import pdf_docs_df, pdf_pages_df
+
+    spark = get_spark(app_name="docling-pdf-cli")
+    spark.sparkContext.setLogLevel("WARN")
+    if args.markdown:
+        df = pdf_docs_df(spark, args.input)
+    else:
+        df = pdf_pages_df(spark, args.input, split_pages=args.split_pages)
+    df.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "output": args.output}))
+    return 0
+
+
+def cmd_warc(args: argparse.Namespace) -> int:
+    """Ingest WARC archives into the web-pages table."""
+    from docling_core_spark.session import get_spark
+    from docling_core_spark.sources.warc import warc_pages_df
+
+    spark = get_spark(app_name="docling-warc-cli")
+    spark.sparkContext.setLogLevel("WARN")
+    df = warc_pages_df(spark, args.input, split_bytes=args.split_bytes)
+    df.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "output": args.output}))
+    return 0
+
+
+def cmd_main_content(args: argparse.Namespace) -> int:
+    """DOM-heuristic main-content extraction over a pages parquet table."""
+    from docling_core_spark.operators.boilerplate import main_content_df
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name="docling-maincontent-cli")
+    spark.sparkContext.setLogLevel("WARN")
+    pages = spark.read.parquet(args.input)
+    df = main_content_df(pages)
+    df.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "output": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="docling-core-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -115,6 +161,26 @@ def main(argv=None) -> int:
     ext.add_argument("--output", required=True)
     ext.add_argument("--no-checkpoint", action="store_true")
     ext.set_defaults(fn=cmd_extract)
+
+    pdf = sub.add_parser("pdf", help="parse PDF files to page text / markdown")
+    pdf.add_argument("--input", required=True, help="path or glob of .pdf files")
+    pdf.add_argument("--output", required=True)
+    pdf.add_argument("--markdown", action="store_true")
+    pdf.add_argument("--split-pages", type=int, default=None)
+    pdf.set_defaults(fn=cmd_pdf)
+
+    warc = sub.add_parser("warc", help="ingest WARC archives to the pages table")
+    warc.add_argument("--input", required=True, help="path or glob of .warc[.gz]")
+    warc.add_argument("--output", required=True)
+    warc.add_argument("--split-bytes", type=int, default=None)
+    warc.set_defaults(fn=cmd_warc)
+
+    mc = sub.add_parser(
+        "main-content", help="DOM-heuristic boilerplate removal over pages parquet"
+    )
+    mc.add_argument("--input", required=True, help="pages parquet with url+html")
+    mc.add_argument("--output", required=True)
+    mc.set_defaults(fn=cmd_main_content)
 
     args = ap.parse_args(argv)
     return args.fn(args)

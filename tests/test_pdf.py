@@ -482,3 +482,40 @@ class TestPlanShapes:
         assert plan.count("Exchange") == 1
         idx = plan.index("Exchange")
         assert "page_start" in plan[idx:].splitlines()[1] or "index(" in plan[idx:]
+
+
+class TestCli:
+    def test_cli_pdf_and_main_content(self, spark, tmp_path):
+        """CLI subcommands for the first-mile sources (S8): pdf page table,
+        pdf markdown, main-content over a pages parquet."""
+        from docling_core_spark.cli import main as cli_main
+
+        (tmp_path / "in").mkdir()
+        (tmp_path / "in" / "a.pdf").write_bytes(build_pdf(PAGES))
+        rc = cli_main(
+            ["pdf", "--input", str(tmp_path / "in") + "/*.pdf",
+             "--output", str(tmp_path / "pages")]
+        )
+        assert rc == 0
+        rows = spark.read.parquet(str(tmp_path / "pages")).collect()
+        assert {r.page_no for r in rows} == {1, 2, 3}
+
+        rc = cli_main(
+            ["pdf", "--input", str(tmp_path / "in") + "/*.pdf", "--markdown",
+             "--output", str(tmp_path / "md")]
+        )
+        assert rc == 0
+        md = spark.read.parquet(str(tmp_path / "md")).collect()
+        assert len(md) == 1 and "Heading One" in md[0].markdown
+
+        pages_tbl = str(tmp_path / "pages_tbl")
+        spark.createDataFrame(
+            [("u1", bytearray(b"<p>" + b"content words here and there " * 8 + b"</p>"))],
+            "url string, html binary",
+        ).write.parquet(pages_tbl)
+        rc = cli_main(
+            ["main-content", "--input", pages_tbl,
+             "--output", str(tmp_path / "mc")]
+        )
+        assert rc == 0
+        assert spark.read.parquet(str(tmp_path / "mc")).count() == 1
