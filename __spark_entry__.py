@@ -562,6 +562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outlink extraction standalone (host_pagerank chains it in-window;
         # this demoted entry carries the pure-SQL edge oracle)
         "outlink_edges": lambda s, d: _linkgraph(s, d, "edges"),
+        # meta-robots compliance filter (url_filter is the in-window
+        # frontier-filter representative; same map-only regex family)
+        "robots_filter": lambda s, d: textstats.robots_filter(
+            textstats.robots_demo_pages(_docs(s, d))
+        ),
         # A2 collection-stats variants (extract_collection_profile is the
         # in-window A2 representative; stats demoted r8 for pdf_extract,
         # by-lang demoted r8 for bloom_para_dedup)
@@ -675,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
             linkgraph.link_demo_pages_sql()
         )
         + " ORDER BY url, out_url",
+        "robots_filter": textstats.robots_filter_sql(),
         "fineweb_prep": fineweb.fineweb_prep_sql(),
         "host_quality_stats": textstats.host_quality_stats_sql(),
         "mix_corpora": textstats.mix_corpora_sql(),

@@ -1682,3 +1682,110 @@ def url_filter_sql(table: str = "documents") -> str:
         f"\nWITH demo AS ({url_filter_demo_sql(table)}),\nparts AS (",
         1,
     )
+
+
+# ---------------------------------------------------------------------------
+# robots/noindex compliance filter
+# ---------------------------------------------------------------------------
+
+# attribute order varies in the wild: name-before-content and the reverse
+# (both patterns live in the Java/RE2 common subset — pii.py rule)
+ROBOTS_META_NC = r"""(?i)<meta[^>]*name\s*=\s*["']?robots["']?[^>]*content\s*=\s*["']([^"'>]*)"""
+ROBOTS_META_CN = r"""(?i)<meta[^>]*content\s*=\s*["']([^"'>]*)["'][^>]*name\s*=\s*["']?robots"""
+
+
+def robots_filter(pages: DataFrame, html_col: str = "html",
+                  canonical=None, passthrough=()) -> DataFrame:
+    """(url, robots_content, noindex, nofollow, keep): meta-robots
+    compliance — pipelines must drop noindex pages before publication
+    (the crawler honored robots.txt at fetch time; the page-level opt-out
+    lives in the markup and is enforced HERE).
+
+    Scale shape: map-only Catalyst (two regexp_extract coalesced, token
+    membership on a split array), no shuffle; composes in front of the
+    quality stages like url_filter.  Directives are matched as whole
+    comma-separated tokens — a page named "nofollowups" must not trip the
+    filter."""
+    html_s = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html_s = html_s.cast("string")
+    raw = F.coalesce(
+        F.nullif(F.regexp_extract(html_s, ROBOTS_META_NC, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html_s, ROBOTS_META_CN, 1), F.lit("")),
+        F.lit(""),
+    )
+    # normalized token array: lower, split on commas, trim each token
+    toks = F.transform(
+        F.split(F.lower(raw), ","),
+        lambda t: F.trim(t),
+    )
+    noindex = F.array_contains(toks, "noindex") | F.array_contains(toks, "none")
+    nofollow = F.array_contains(toks, "nofollow") | F.array_contains(toks, "none")
+    return pages.select(
+        "url",
+        *passthrough,
+        raw.alias("robots_content"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        (~noindex).alias("keep"),
+    ).transform(lambda d: canonical_order(d, "url", canonical=canonical))
+
+
+def robots_demo_pages_sql(table: str = "documents") -> str:
+    """Deterministic pages with every robots-meta shape as a DuckDB CTE
+    body (the synthetic corpus has no robots metas — vacuous otherwise)."""
+    return f"""
+  SELECT 'https://example.org/p/' || doc_id AS url,
+         CASE WHEN doc_id % 7 = 0 THEN '<head><META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW"></head><body>x</body>'
+              WHEN doc_id % 7 = 1 THEN '<head><meta content=''none'' name=robots></head><body>x</body>'
+              WHEN doc_id % 7 = 2 THEN '<head><meta name="robots" content="nofollow"></head><body>x</body>'
+              WHEN doc_id % 7 = 3 THEN '<head><meta name="robots" content="index, follow"></head><body>x</body>'
+              WHEN doc_id % 7 = 4 THEN '<head><meta name="description" content="about nofollowups"></head><body>x</body>'
+              ELSE '<head><title>t</title></head><body>x</body>' END AS html
+  FROM {table}
+"""
+
+
+def robots_demo_pages(docs: DataFrame) -> DataFrame:
+    """Spark twin of robots_demo_pages_sql."""
+    did = F.col("doc_id")
+    html = (
+        F.when(did % 7 == 0, F.lit('<head><META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW"></head><body>x</body>'))
+        .when(did % 7 == 1, F.lit("<head><meta content='none' name=robots></head><body>x</body>"))
+        .when(did % 7 == 2, F.lit('<head><meta name="robots" content="nofollow"></head><body>x</body>'))
+        .when(did % 7 == 3, F.lit('<head><meta name="robots" content="index, follow"></head><body>x</body>'))
+        .when(did % 7 == 4, F.lit('<head><meta name="description" content="about nofollowups"></head><body>x</body>'))
+        .otherwise(F.lit("<head><title>t</title></head><body>x</body>"))
+    )
+    return docs.select(
+        F.concat(F.lit("https://example.org/p/"), did.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+def robots_filter_sql(table: str = "documents") -> str:
+    """DuckDB oracle for robots_filter(robots_demo_pages(docs))."""
+    nc = ROBOTS_META_NC.replace("'", "''")
+    cn = ROBOTS_META_CN.replace("'", "''")
+    return f"""
+WITH pages AS ({robots_demo_pages_sql(table)}),
+ext AS (
+  SELECT url,
+         coalesce(nullif(regexp_extract(html, '{nc}', 1), ''),
+                  nullif(regexp_extract(html, '{cn}', 1), ''),
+                  '') AS robots_content
+  FROM pages
+),
+toks AS (
+  SELECT url, robots_content,
+         list_transform(string_split(lower(robots_content), ','),
+                        t -> trim(t)) AS tok
+  FROM ext
+)
+SELECT url, robots_content,
+       (list_contains(tok, 'noindex') OR list_contains(tok, 'none')) AS noindex,
+       (list_contains(tok, 'nofollow') OR list_contains(tok, 'none')) AS nofollow,
+       NOT (list_contains(tok, 'noindex') OR list_contains(tok, 'none')) AS keep
+FROM toks
+ORDER BY url
+"""

@@ -281,3 +281,53 @@ def test_url_filter_cross_engine_adversarial(spark, tmp_path_factory):
     for i, c in enumerate(cases):
         if "spamfarm" in c or "tracker-net" in c:
             assert by_id[i][4] is True and by_id[i][9] is False, c
+
+
+class TestRobotsFilter:
+    def test_cross_engine_parity(self, spark):
+        import duckdb
+
+        from docling_core_spark.operators.textstats import (
+            robots_demo_pages,
+            robots_filter,
+            robots_filter_sql,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = sorted(
+            map(tuple, robots_filter(robots_demo_pages(docs), canonical=False).collect())
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        exp = sorted(map(tuple, con.sql(robots_filter_sql()).fetchall()))
+        assert got == exp
+        # non-vacuous: all three outcomes present
+        flags = {(r[2], r[3]) for r in got}
+        assert {(True, True), (False, True), (False, False)} <= flags
+
+    def test_whole_token_matching(self, spark):
+        from docling_core_spark.operators.textstats import robots_filter
+
+        pages = spark.createDataFrame(
+            [
+                ("u1", '<meta name="robots" content="noindexing, follow">'),
+                ("u2", '<meta name="robots" content=" NOINDEX ">'),
+            ],
+            "url string, html string",
+        )
+        rows = {r.url: r for r in robots_filter(pages, canonical=False).collect()}
+        assert rows["u1"].keep is True  # 'noindexing' is not 'noindex'
+        assert rows["u2"].keep is False  # case+whitespace normalized
+
+    def test_binary_html_and_plain_page(self, spark):
+        from docling_core_spark.operators.textstats import robots_filter
+
+        pages = spark.createDataFrame(
+            [("u1", bytearray(b"<head><title>t</title></head>"))],
+            "url string, html binary",
+        )
+        r = robots_filter(pages, canonical=False).collect()[0]
+        assert r.keep is True and r.robots_content == ""
