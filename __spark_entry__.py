@@ -176,6 +176,33 @@ def _main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end first mile: page html -> DOM-heuristic main content ->
+    Gopher quality rules over the EXTRACTED text, one linear plan (the
+    mapInPandas scorer feeds map-only Catalyst rules — no shuffle, no
+    join).  Oracle: the gopher SQL builder over the materialized expected
+    main_content parquet (mixed single-process + SQL composition)."""
+    from docling_core_spark.operators.boilerplate import main_content_df
+    from docling_core_spark.operators.textstats import gopher_quality_filter
+    from docling_core_spark.sources.web_pages import web_pages_df
+
+    _ensure_package(spark)
+    mc = main_content_df(
+        web_pages_df(spark, sf_dir),
+        stopwords_low=0.0,
+        stopwords_high=0.0,
+        length_low=25,
+        length_high=120,
+    )
+    docs = mc.select(
+        F.col("url").alias("doc_id"), F.col("main_text").alias("text")
+    )
+    return _ord(
+        gopher_quality_filter(docs, canonical=False, min_stopword_hits=1),
+        "doc_id",
+    )
+
+
 def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF first-mile layout parse (sources/pdf.py): deterministic demo
     PDFs (built from the sf documents table, alternating classic-xref and
@@ -479,7 +506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_para_dedup": _bloom_query,
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_duplicates(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_duplicates(_docs(s, d)),
-        "dedup_clusters": lambda s, d: dedup.duplicate_clusters(_docs(s, d)),
         # end-to-end near-dup removal: pairs -> components -> survivors
         "near_dedup_corpus": lambda s, d: dedup.near_dedup_corpus(_docs(s, d)),
         # --- similarity search ---
@@ -533,6 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring; the north rule names "DOM heuristics" beside the tag
         # strip) ---
         "main_content": _main_content,
+        # --- end-to-end first mile: html -> main content -> Gopher rules
+        # over the extracted text, one linear plan ---
+        "crawl_prep": _crawl_prep,
         # --- multimodal plumbing (real PNG/JPEG header decode + stubbed
         #     pixel features, deterministic) ---
         "media_image_metadata": lambda s, d: _media(s, "meta"),
@@ -549,6 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # representative; field-kv is additionally GT-tested — demoted r8
         # for main_content)
         "doclang_field_kv": lambda s, d: _synth_op(s, d, "kv"),
+        # connected components standalone (near_dedup_corpus runs the same
+        # min-label propagation internally — demoted r8 for crawl_prep)
+        "dedup_clusters": lambda s, d: dedup.duplicate_clusters(_docs(s, d)),
         # stubbed-decode media variants (metadata above covers the plumbing)
         "media_image_features": lambda s, d: _media(s, "features"),
         "media_video_frames": lambda s, d: _media(s, "frames"),
@@ -653,6 +685,21 @@ def oracle_sql() -> dict[str, str]:
     oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     expected = ensure_expected(oracle_sf)
 
+    # crawl_prep: MIXED oracle — the gopher SQL builder composed over the
+    # materialized expected main_content parquet (single-process python for
+    # the DOM scorer, pure SQL for the quality rules)
+    from docling_core_spark.oracle_expected import expected_dir
+
+    mc_path = expected_dir(oracle_sf) / "main_content.parquet"
+    crawl_prep_sql = textstats.gopher_quality_filter_sql(
+        "mc", min_stopword_hits=1
+    ).replace(
+        "\nWITH sig AS (",
+        "\nWITH mc AS (SELECT url AS doc_id, main_text AS text"
+        f" FROM read_parquet('{mc_path}')),\nsig AS (",
+        1,
+    )
+
     return {
         **expected,
         "language_id": textstats.language_id_sql(),
@@ -681,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY url, out_url",
         "robots_filter": textstats.robots_filter_sql(),
+        "crawl_prep": crawl_prep_sql,
         "fineweb_prep": fineweb.fineweb_prep_sql(),
         "host_quality_stats": textstats.host_quality_stats_sql(),
         "mix_corpora": textstats.mix_corpora_sql(),

@@ -519,3 +519,30 @@ class TestCli:
         )
         assert rc == 0
         assert spark.read.parquet(str(tmp_path / "mc")).count() == 1
+
+
+class TestIncrementalUpdate:
+    def test_prev_chain_latest_object_wins(self):
+        """An appended incremental update (new page-1 content object + xref
+        with /Prev) must override the original object — first-loaded xref
+        wins per object, /Prev supplies the rest."""
+        base = build_pdf(
+            [{"width": 612, "height": 792, "texts": [(72, 72, 10, "original")]}],
+            compress=False,
+        )
+        # original layout: obj 5 is page 1's content stream
+        orig_xref_at = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+        new_content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (updated) Tj ET"
+        out = bytearray(base)
+        upd_obj_at = len(out)
+        out += b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+            len(new_content) + 1, new_content + b"\n",
+        )
+        xref_at = len(out)
+        out += b"xref\n5 1\n%010d 00000 n \n" % upd_obj_at
+        out += b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n" % orig_xref_at
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+        pages = pdf_text_pages(bytes(out))
+        assert [p["text"] for p in pages] == ["updated"]
+        # the base document alone still reads the original
+        assert [p["text"] for p in pdf_text_pages(base)] == ["original"]
