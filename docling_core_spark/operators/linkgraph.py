@@ -50,9 +50,13 @@ __all__ = [
     "link_demo_pages_sql",
 ]
 
-# Java + RE2 common subset (no lookaround, no backrefs) — the pii.py rule
-HREF_PATTERN = r"""href\s*=\s*["']([^"'<>\s]+)"""
-HOST_PATTERN = r"^https?://([^/]+)"
+# Java + RE2 common subset (no lookaround, no backrefs; \s spelled out —
+# Java \s includes \x0B, RE2's does not: the textstats WS-constant rule)
+_WS = r" \t\n\x0B\f\r"
+HREF_PATTERN = (
+    r"href[" + _WS + r"]*=[" + _WS + r"]*[\"']([^\"'<>" + _WS + r"]+)"
+)
+HOST_PATTERN = r"(?i)^https?://([^/]+)"
 
 _SKIP_SCHEMES = ("mailto:", "javascript:", "data:", "tel:", "ftp:")
 
@@ -75,30 +79,46 @@ def extract_outlinks(
     html_s = F.col(html_col)
     if dict(pages.dtypes).get(html_col) == "binary":
         html_s = html_s.cast("string")  # hrefs are ASCII; utf-8 cast is safe
-    src_host = F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)
+    # hosts compare case-insensitively: lower both sides at extraction
+    src_host = F.lower(F.regexp_extract(F.col(url_col), HOST_PATTERN, 1))
+    src_scheme = F.lower(
+        F.regexp_extract(F.col(url_col), r"(?i)^(https?)://", 1)
+    )
     # materialize the extracted array BEFORE the explode (interpreted HOF /
     # repeated-subexpression rule from CLAUDE.md round-6)
     base = pages.select(
         F.col(url_col).alias("url"),
         src_host.alias("src_host"),
+        F.when(src_scheme == "", F.lit("https")).otherwise(src_scheme).alias(
+            "src_scheme"
+        ),
         F.regexp_extract_all(html_s, F.lit(HREF_PATTERN), 1).alias("hrefs"),
     )
     edges = base.select(
-        "url", "src_host", F.explode("hrefs").alias("href")
+        "url", "src_host", "src_scheme", F.explode("hrefs").alias("href")
     )
     lower = F.lower(F.col("href"))
     is_abs = lower.startswith("http://") | lower.startswith("https://")
-    is_root_rel = F.col("href").startswith("/")
-    keep = (is_abs | is_root_rel) & ~F.col("href").startswith("#")
+    # protocol-relative //host/path: absolute with the page's scheme
+    is_proto_rel = F.col("href").startswith("//")
+    is_root_rel = F.col("href").startswith("/") & ~is_proto_rel
+    keep = (is_abs | is_proto_rel | is_root_rel) & ~F.col("href").startswith("#")
     for s in _SKIP_SCHEMES:
         keep = keep & ~lower.startswith(s)
-    out_url = F.when(is_abs, F.col("href")).otherwise(
-        F.concat(F.lit("https://"), F.col("src_host"), F.col("href"))
+    out_url = (
+        F.when(is_abs, F.col("href"))
+        .when(is_proto_rel, F.concat(F.col("src_scheme"), F.lit(":"), F.col("href")))
+        .otherwise(
+            # root-relative: resolve against the page's own scheme + host
+            F.concat(F.col("src_scheme"), F.lit("://"), F.col("src_host"), F.col("href"))
+        )
     )
     edges = (
         edges.filter(keep)
         .withColumn("out_url", out_url)
-        .withColumn("dst_host", F.regexp_extract("out_url", HOST_PATTERN, 1))
+        .withColumn(
+            "dst_host", F.lower(F.regexp_extract("out_url", HOST_PATTERN, 1))
+        )
         .filter(F.col("dst_host") != "")
         .select(
             "url",
@@ -113,19 +133,27 @@ def extract_outlinks(
 
 def outlink_edges_sql(pages_sql: str) -> str:
     """DuckDB oracle for extract_outlinks over ``pages_sql`` (a derived
-    table with url + html string columns)."""
+    table with url + html string columns) — same patterns (the shared
+    module constants), same scheme handling."""
+    href_pat = HREF_PATTERN.replace("'", "''")
+    host_pat = HOST_PATTERN.replace("'", "''")
     return f"""
 WITH base AS (
   SELECT url,
-         regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
-         unnest(regexp_extract_all(html, 'href\\s*=\\s*["'']([^"''<>\\s]+)', 1)) AS href
+         lower(regexp_extract(url, '{host_pat}', 1)) AS src_host,
+         CASE WHEN lower(regexp_extract(url, '(?i)^(https?)://', 1)) = ''
+              THEN 'https'
+              ELSE lower(regexp_extract(url, '(?i)^(https?)://', 1)) END AS src_scheme,
+         unnest(regexp_extract_all(html, '{href_pat}', 1)) AS href
   FROM ({pages_sql})
 ),
 kept AS (
   SELECT url, src_host, href,
          CASE WHEN lower(href) LIKE 'http://%' OR lower(href) LIKE 'https://%'
               THEN href
-              ELSE 'https://' || src_host || href END AS out_url
+              WHEN href LIKE '//%'
+              THEN src_scheme || ':' || href
+              ELSE src_scheme || '://' || src_host || href END AS out_url
   FROM base
   WHERE (lower(href) LIKE 'http://%' OR lower(href) LIKE 'https://%'
          OR href LIKE '/%')
@@ -135,10 +163,10 @@ kept AS (
     AND lower(href) NOT LIKE 'ftp:%'
 )
 SELECT url, src_host, out_url,
-       regexp_extract(out_url, '^https?://([^/]+)', 1) AS dst_host,
-       regexp_extract(out_url, '^https?://([^/]+)', 1) = src_host AS is_internal
+       lower(regexp_extract(out_url, '{host_pat}', 1)) AS dst_host,
+       lower(regexp_extract(out_url, '{host_pat}', 1)) = src_host AS is_internal
 FROM kept
-WHERE regexp_extract(out_url, '^https?://([^/]+)', 1) <> ''
+WHERE lower(regexp_extract(out_url, '{host_pat}', 1)) <> ''
 """
 
 
@@ -188,8 +216,11 @@ def host_pagerank(
     )
     # out-degree in LINKS (weighted): contribution is rank*n_links//out_deg
     out_deg = e.groupBy("src_host").agg(F.sum("n_links").alias("out_deg"))
-    # hosts is referenced every iteration — cut the diamond once
+    # hosts AND out_deg are referenced every iteration (the dangling-mass
+    # anti-join rebuilds the whole upstream edge pipeline otherwise) — cut
+    # both diamonds once
     hosts = hosts.localCheckpoint(eager=False)
+    out_deg = out_deg.localCheckpoint(eager=False)
     n = hosts.count()
     if n == 0:
         return hosts.select(
@@ -207,9 +238,15 @@ def host_pagerank(
             ew.join(ranks, ew.src_host == ranks.host)
             .select(
                 F.col("dst_host").alias("host"),
-                # integer division (SQL div) — '/' would detour through
-                # DOUBLE and lose exactness past 2^53
-                F.expr("rank_units * n_links div out_deg").alias("contrib"),
+                # floor(r*w/d) computed as (r div d)*w + ((r mod d)*w div d)
+                # — exact by the division identity, and each product stays
+                # below out_deg*n_links (no rank_units*n_links int64
+                # overflow at hub scale); SQL div/mod, never the
+                # double-typed '/'.  Matches py twin's bigint r*w//d.
+                F.expr(
+                    "(rank_units div out_deg) * n_links"
+                    " + ((rank_units % out_deg) * n_links) div out_deg"
+                ).alias("contrib"),
             )
             .groupBy("host")
             .agg(F.sum("contrib").alias("incoming"))

@@ -1688,10 +1688,20 @@ def url_filter_sql(table: str = "documents") -> str:
 # robots/noindex compliance filter
 # ---------------------------------------------------------------------------
 
-# attribute order varies in the wild: name-before-content and the reverse
-# (both patterns live in the Java/RE2 common subset — pii.py rule)
-ROBOTS_META_NC = r"""(?i)<meta[^>]*name\s*=\s*["']?robots["']?[^>]*content\s*=\s*["']([^"'>]*)"""
-ROBOTS_META_CN = r"""(?i)<meta[^>]*content\s*=\s*["']([^"'>]*)["'][^>]*name\s*=\s*["']?robots"""
+# attribute order varies in the wild: name-before-content and the reverse.
+# Java/RE2 common subset (pii.py rule): \s is spelled as the WS class
+# (Java \s has \x0B, RE2 \s does not).  The name must TERMINATE after
+# 'robots' (quote or whitespace) so name="robots-news" never matches; the
+# content value may be quoted (spaces allowed inside) or unquoted (the
+# capture stops at quote/>, junk tokens fall out at token matching).
+ROBOTS_META_NC = (
+    r"(?i)<meta[^>]*name" + WS + "*=" + WS + r"*[\"']?robots[\"' \t\n\x0B\f\r]"
+    r"[^>]*content" + WS + "*=" + WS + r"*[\"']?([^\"'>]*)"
+)
+ROBOTS_META_CN = (
+    r"(?i)<meta[^>]*content" + WS + "*=" + WS + r"*[\"']?([^\"'>]*)[\"']?"
+    r"[^>]*name" + WS + "*=" + WS + r"*[\"']?robots[\"' \t\n\x0B\f\r/>]"
+)
 
 
 def robots_filter(pages: DataFrame, html_col: str = "html",
@@ -1714,17 +1724,27 @@ def robots_filter(pages: DataFrame, html_col: str = "html",
         F.nullif(F.regexp_extract(html_s, ROBOTS_META_CN, 1), F.lit("")),
         F.lit(""),
     )
-    # normalized token array: lower, split on commas, trim each token
-    toks = F.transform(
-        F.split(F.lower(raw), ","),
-        lambda t: F.trim(t),
-    )
-    noindex = F.array_contains(toks, "noindex") | F.array_contains(toks, "none")
-    nofollow = F.array_contains(toks, "nofollow") | F.array_contains(toks, "none")
-    return pages.select(
+    # normalized token array: lower, split on comma OR whitespace runs
+    # (robots directives are comma-separated per spec but whitespace
+    # separation occurs in the wild; junk from unquoted captures falls
+    # out here because token matching is whole-token).  MATERIALIZE the
+    # array first — interpreted HOF chains get no CSE (round-6 rule),
+    # and the flags reference it four times.
+    staged = pages.select(
         "url",
         *passthrough,
         raw.alias("robots_content"),
+        F.array_remove(
+            F.split(F.lower(raw), "[," + WS[1:-1] + "]+"), ""
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    noindex = F.array_contains(toks, "noindex") | F.array_contains(toks, "none")
+    nofollow = F.array_contains(toks, "nofollow") | F.array_contains(toks, "none")
+    return staged.select(
+        "url",
+        *passthrough,
+        "robots_content",
         noindex.alias("noindex"),
         nofollow.alias("nofollow"),
         (~noindex).alias("keep"),
@@ -1764,9 +1784,13 @@ def robots_demo_pages(docs: DataFrame) -> DataFrame:
 
 
 def robots_filter_sql(table: str = "documents") -> str:
-    """DuckDB oracle for robots_filter(robots_demo_pages(docs))."""
+    """DuckDB oracle for robots_filter(robots_demo_pages(docs)) — the SAME
+    regex constants and the same comma-or-whitespace token split."""
     nc = ROBOTS_META_NC.replace("'", "''")
     cn = ROBOTS_META_CN.replace("'", "''")
+    # DuckDB '...' literals keep backslashes as-is, so WS's \t\n... escape
+    # sequences reach RE2 unchanged — no doubling
+    split = "[," + WS[1:-1] + "]+"
     return f"""
 WITH pages AS ({robots_demo_pages_sql(table)}),
 ext AS (
@@ -1778,8 +1802,8 @@ ext AS (
 ),
 toks AS (
   SELECT url, robots_content,
-         list_transform(string_split(lower(robots_content), ','),
-                        t -> trim(t)) AS tok
+         list_filter(regexp_split_to_array(lower(robots_content), '{split}'),
+                     t -> t <> '') AS tok
   FROM ext
 )
 SELECT url, robots_content,

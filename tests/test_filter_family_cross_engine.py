@@ -331,3 +331,44 @@ class TestRobotsFilter:
         )
         r = robots_filter(pages, canonical=False).collect()[0]
         assert r.keep is True and r.robots_content == ""
+
+    def test_unquoted_and_adversarial_metas(self, spark):
+        """Review findings: unquoted content values must match; names that
+        merely start with 'robots' must not; tab-separated directives and
+        \\x0B probes must agree across engines."""
+        import duckdb
+
+        from docling_core_spark.operators.textstats import (
+            robots_filter,
+            robots_filter_sql,
+        )
+
+        cases = [
+            ("u1", "<meta name=robots content=noindex,nofollow>"),
+            ("u2", '<meta name="robots-news" content="noindex">'),
+            ("u3", '<meta name="robotsx" content="noindex">'),
+            ("u4", '<meta name="robots" content="noindex,\tnofollow">'),
+            ("u5", '<meta name="robots" content="noindex nofollow">'),
+            ("u6", '<meta name\x0b="robots" content="noindex">'),
+        ]
+        pages = spark.createDataFrame(cases, "url string, html string")
+        got = sorted(
+            map(tuple, robots_filter(pages, canonical=False).collect())
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE adv_pages (url VARCHAR, html VARCHAR)")
+        con.executemany("INSERT INTO adv_pages VALUES (?, ?)", cases)
+        # reuse the oracle's extraction/token SQL over the adversarial rows
+        sql = robots_filter_sql().replace(
+            robots_filter_sql().split("ext AS (")[0],
+            "WITH pages AS (SELECT url, html FROM adv_pages),\n",
+            1,
+        )
+        exp = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert got == exp
+        by = {r[0]: r for r in got}
+        assert by["u1"][4] is False or by["u1"][4] == False  # unquoted noindex dropped
+        assert by["u2"][4] in (True, 1)  # robots-news is NOT robots
+        assert by["u3"][4] in (True, 1)  # robotsx is NOT robots
+        assert by["u4"][2] in (True, 1) and by["u4"][3] in (True, 1)  # tab-separated
+        assert by["u5"][3] in (True, 1)  # whitespace-separated nofollow

@@ -144,3 +144,73 @@ class TestPageRank:
             [], "src_host string, dst_host string, n_links long"
         )
         assert host_pagerank(edges, iterations=3).count() == 0
+
+
+class TestReviewRegressions:
+    """Round-8 review findings over the link graph."""
+
+    def test_protocol_relative_and_uppercase_scheme(self, spark):
+        pages = spark.createDataFrame(
+            [
+                (
+                    "http://a.com/x",
+                    '<a href="//cdn.b.com/lib.js">p</a>'
+                    '<a href="HTTP://c.com/P">u</a>'
+                    '<a href="/rel">r</a>',
+                )
+            ],
+            "url string, html string",
+        )
+        rows = {r.out_url: r for r in extract_outlinks(pages).collect()}
+        # protocol-relative resolves with the PAGE scheme, external host
+        assert "http://cdn.b.com/lib.js" in rows
+        assert rows["http://cdn.b.com/lib.js"].dst_host == "cdn.b.com"
+        assert rows["http://cdn.b.com/lib.js"].is_internal is False
+        # uppercase scheme still parses a (lowered) host
+        assert rows["HTTP://c.com/P"].dst_host == "c.com"
+        # root-relative keeps the page's own scheme (no https fabrication)
+        assert "http://a.com/rel" in rows
+
+    def test_ws_class_matches_oracle(self, spark):
+        """\\x0B in the href value must behave identically in both engines
+        (the WS-constant rule: Java \\s has \\x0B, RE2's does not)."""
+        import duckdb
+
+        html = '<a href="/a\x0bb">v</a><a href="/ok">k</a>'
+        pages = spark.createDataFrame(
+            [("https://a.com/", html)], "url string, html string"
+        )
+        got = sorted(r.out_url for r in extract_outlinks(pages).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pages AS SELECT 'https://a.com/' AS url, ? AS html", [html])
+        exp = sorted(
+            r[2] for r in con.sql(outlink_edges_sql("SELECT * FROM pages")).fetchall()
+        )
+        assert got == exp
+
+    def test_contrib_decomposition_no_overflow(self, spark):
+        """Hub-scale ranks: rank*w would overflow int64; the decomposed
+        contrib must still equal the python twin's bigint math."""
+        big = 3 * 10**17  # plausible total-mass-scale rank
+        edges = spark.createDataFrame(
+            [("hub.com", "a.com", 40), ("hub.com", "b.com", 60)],
+            "src_host string, dst_host string, n_links long",
+        )
+        from pyspark.sql import functions as F
+
+        # seed the loop at 'big' by scaling: run 1 iteration with scale=big
+        got = {
+            r.host: r.rank_units
+            for r in host_pagerank(edges, iterations=1, scale=big).collect()
+        }
+        exp = {
+            d["host"]: d["rank_units"]
+            for d in py_host_pagerank(
+                [("hub.com", "a.com", 40), ("hub.com", "b.com", 60)],
+                iterations=1,
+                scale=big,
+            )
+        }
+        assert got == exp
+        assert all(v > 0 for v in got.values())
+        _ = F
