@@ -439,6 +439,11 @@ class PdfDoc:
             self._reconstruct()
         if "Root" not in self.trailer:
             raise PdfError("no document catalog")
+        if self.trailer.get("Encrypt") is not None:
+            # streams are RC4/AES ciphertext: decrypting is out of scope;
+            # fail CLEANLY (file-level isolation) instead of emitting
+            # garbage cells from encrypted content
+            raise PdfError("encrypted pdf (decryption not supported)")
 
     # -- xref --------------------------------------------------------------
 

@@ -546,3 +546,17 @@ class TestIncrementalUpdate:
         assert [p["text"] for p in pages] == ["updated"]
         # the base document alone still reads the original
         assert [p["text"] for p in pdf_text_pages(base)] == ["original"]
+
+
+class TestEncrypted:
+    def test_encrypt_trailer_raises_pdferror(self):
+        data = build_pdf(PAGES, compress=False)
+        # splice /Encrypt into the trailer dict
+        corrupted = data.replace(
+            b"trailer\n<< /Size", b"trailer\n<< /Encrypt 99 0 R /Size", 1
+        )
+        assert corrupted != data
+        with pytest.raises(PdfError, match="encrypted"):
+            pdf_text_pages(corrupted)
+        # and the Spark row contract stays zero-rows
+        assert _page_rows("enc.pdf", corrupted) == []
