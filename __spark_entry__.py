@@ -247,6 +247,17 @@ def _linkgraph(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     return _ord(host_pagerank(host_edges(ol), iterations=6), "host")
 
 
+def _sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier ingestion (sources/sitemap.py): urlsets + sitemap
+    index (one gzipped member) -> frontier rows; oracle parses the same
+    files single-process."""
+    from docling_core_spark.sources.sitemap import demo_sitemap_dir, sitemap_urls_df
+
+    _ensure_package(spark)
+    path = demo_sitemap_dir(sf_dir)
+    return _ord(sitemap_urls_df(spark, path + "/*"), "sitemap", "loc")
+
+
 def _pdf_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF -> document model -> markdown (sources/pdf.py pdf_to_doc):
     font-size heading detection, paragraph grouping, per-page provenance.
@@ -594,6 +605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outlink extraction standalone (host_pagerank chains it in-window;
         # this demoted entry carries the pure-SQL edge oracle)
         "outlink_edges": lambda s, d: _linkgraph(s, d, "edges"),
+        # sitemap frontier ingestion (warc_ingest is the in-window
+        # first-mile-source representative; same binaryFile->mapInPandas
+        # shape, files as the parallel unit)
+        "sitemap_ingest": _sitemap_ingest,
         # meta-robots compliance filter (url_filter is the in-window
         # frontier-filter representative; same map-only regex family)
         "robots_filter": lambda s, d: textstats.robots_filter(

@@ -975,6 +975,38 @@ def _build_pdf_markdown(sf_dir: str, out: Path) -> None:
     )
 
 
+def _build_sitemap_ingest(sf_dir: str, out: Path) -> None:
+    """Expected sitemap frontier rows: the same parser over the same demo
+    files, single-process."""
+    import os
+
+    from docling_core_spark.sources.sitemap import demo_sitemap_dir, parse_sitemap
+
+    d = demo_sitemap_dir(sf_dir)
+    rows = []
+    for fn in sorted(os.listdir(d)):
+        if fn == "_complete":
+            continue
+        with open(os.path.join(d, fn), "rb") as f:
+            for e in parse_sitemap(f.read()):
+                rows.append({"sitemap": fn, **e})
+    rows.sort(key=lambda r: (r["sitemap"], r["loc"]))
+    _write(
+        out / "sitemap_ingest.parquet",
+        rows,
+        pa.schema(
+            [
+                ("sitemap", _S),
+                ("kind", _S),
+                ("loc", _S),
+                ("lastmod", _S),
+                ("changefreq", _S),
+                ("priority", _F64),
+            ]
+        ),
+    )
+
+
 def _build_host_pagerank(sf_dir: str, out: Path) -> None:
     """Expected host PageRank: edge list via the SAME DuckDB SQL the
     outlink_edges oracle uses (one source of truth for extraction), ranks
@@ -1225,6 +1257,7 @@ EXPECTED_QUERIES = {
     "main_content": "ORDER BY url",
     "pdf_markdown": "ORDER BY path",
     "host_pagerank": "ORDER BY host",
+    "sitemap_ingest": "ORDER BY sitemap, loc",
 }
 
 
@@ -1251,6 +1284,7 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         _build_pdf_markdown(sf_dir, tmp)
         _build_main_content(sf_dir, tmp)
         _build_host_pagerank(sf_dir, tmp)
+        _build_sitemap_ingest(sf_dir, tmp)
         _build_classifier(sf_dir, tmp)
         _build_bloom(sf_dir, tmp)
         (tmp / "_complete").write_text("ok")
