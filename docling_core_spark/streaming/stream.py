@@ -394,3 +394,12 @@ def main_content_stream(pages_stream: DataFrame, **thresholds) -> DataFrame:
     from docling_core_spark.operators.boilerplate import main_content_df
 
     return main_content_df(pages_stream, **thresholds)
+
+
+def robots_filter_stream(pages_stream: DataFrame, passthrough=()) -> DataFrame:
+    """Streaming meta-robots compliance (stateless map): the page-level
+    noindex opt-out enforced on the live ingest stream, same operator as
+    batch (textstats.robots_filter)."""
+    from docling_core_spark.operators.textstats import robots_filter
+
+    return robots_filter(pages_stream, canonical=False, passthrough=passthrough)

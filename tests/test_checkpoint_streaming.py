@@ -408,3 +408,36 @@ def test_streaming_main_content_parity(spark, tmp_path):
     batch = main_content_df(spark.read.parquet(src), **kw)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
     assert out.filter("n_good < n_paragraphs").count() > 0  # non-vacuous
+
+
+def test_streaming_robots_filter_parity(spark, tmp_path):
+    """Stateless robots compliance on the stream: row-identical to batch."""
+    from docling_core_spark.operators.textstats import (
+        robots_demo_pages,
+        robots_filter,
+    )
+    from docling_core_spark.streaming.stream import robots_filter_stream
+
+    src = str(tmp_path / "rb_src")
+    robots_demo_pages(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(49)
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        robots_filter_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rb_stream")
+        .option("checkpointLocation", str(tmp_path / "rb_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("rb_stream")
+    assert out.count() == 49
+    batch = robots_filter(spark.read.parquet(src), canonical=False)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+    assert out.filter("NOT keep").count() > 0
