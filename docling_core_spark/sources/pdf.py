@@ -710,7 +710,9 @@ class PdfDoc:
         return b"\n".join(parts)
 
     def page_fonts(self, page: dict) -> dict[str, dict]:
-        """Font resource name -> font dict for a page."""
+        """Font resource name -> font dict for a page; Type0 fonts get
+        their ToUnicode CMap pre-resolved into ``_tounicode_map`` so the
+        content interpreter stays doc-free."""
         res = self.resolve(page.get("Resources")) or {}
         fonts = self.resolve(res.get("Font")) or {}
         out = {}
@@ -718,6 +720,15 @@ class PdfDoc:
             for k, v in fonts.items():
                 f = self.resolve(v)
                 if isinstance(f, dict):
+                    f = dict(f)
+                    tu = self.resolve(f.get("ToUnicode"))
+                    if isinstance(tu, Stream):
+                        try:
+                            f["_tounicode_map"] = parse_tounicode(
+                                _decode_stream(self, tu)
+                            )
+                        except Exception:  # noqa: BLE001 — corrupt CMap:
+                            pass  # font falls back to the no-map skip
                     out[k] = f
         return out
 
@@ -762,11 +773,94 @@ _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 _ADV = 0.5
 
 
+def parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """ToUnicode CMap -> {code: unicode string} (bfchar + bfrange blocks;
+    2-byte codes, the Identity-H convention — ISO 32000-1 §9.10.3)."""
+    out: dict[int, str] = {}
+
+    def _hex_items(block: bytes) -> list:
+        lex = _Lexer(block)
+        items = []
+        while True:
+            try:
+                lex._skip_ws()
+                if lex.pos >= len(lex.data):
+                    break
+                c = lex.data[lex.pos]
+                if c == 0x3C and lex.data[lex.pos : lex.pos + 2] != b"<<":
+                    items.append(lex.parse_object())
+                elif c == 0x5B:
+                    items.append(lex.parse_object())
+                else:
+                    lex.pos += 1
+            except (PdfError, ValueError, IndexError):
+                break
+        return items
+
+    def _u(b: bytes) -> str:
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return b.decode("utf-16-be", "replace")
+
+    pos = 0
+    while True:
+        s = cmap.find(b"beginbfchar", pos)
+        if s < 0:
+            break
+        e = cmap.find(b"endbfchar", s)
+        if e < 0:
+            break
+        items = _hex_items(cmap[s + 11 : e])
+        for i in range(0, len(items) - 1, 2):
+            src, dst = items[i], items[i + 1]
+            if isinstance(src, bytes) and isinstance(dst, bytes):
+                out[int.from_bytes(src, "big")] = _u(dst)
+        pos = e + 9
+    pos = 0
+    while True:
+        s = cmap.find(b"beginbfrange", pos)
+        if s < 0:
+            break
+        e = cmap.find(b"endbfrange", s)
+        if e < 0:
+            break
+        items = _hex_items(cmap[s + 12 : e])
+        i = 0
+        while i + 3 <= len(items):
+            lo, hi, dst = items[i], items[i + 1], items[i + 2]
+            i += 3
+            if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                continue
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if hi_i - lo_i > 65535:
+                continue  # hostile range bound
+            if isinstance(dst, bytes):
+                base = int.from_bytes(dst, "big")
+                width = len(dst)
+                for k in range(lo_i, hi_i + 1):
+                    out[k] = _u((base + k - lo_i).to_bytes(width, "big"))
+            elif isinstance(dst, list):
+                for k, d in enumerate(dst):
+                    if isinstance(d, bytes) and lo_i + k <= hi_i:
+                        out[lo_i + k] = _u(d)
+        pos = e + 10
+    return out
+
+
 def _decode_show(raw: bytes, font: Optional[dict]) -> Optional[str]:
-    """Decode a show-operator string for a simple font (cp1252)."""
+    """Decode a show-operator string: simple fonts as cp1252; Type0/CID
+    fonts via their ToUnicode CMap (2-byte codes), else skipped."""
     sub = str(font.get("Subtype")) if font else ""
     if sub == "Type0":
-        return None  # CID fonts without ToUnicode: skip the show
+        tmap = font.get("_tounicode_map") if font else None
+        if not tmap:
+            return None  # CID font without ToUnicode: skip the show
+        out = []
+        for i in range(0, len(raw) - 1, 2):
+            code = (raw[i] << 8) | raw[i + 1]
+            out.append(tmap.get(code, "�"))
+        return "".join(out)
     try:
         return raw.decode("cp1252")
     except UnicodeDecodeError:

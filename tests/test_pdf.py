@@ -560,3 +560,59 @@ class TestEncrypted:
             pdf_text_pages(corrupted)
         # and the Spark row contract stays zero-rows
         assert _page_rows("enc.pdf", corrupted) == []
+
+
+class TestType0ToUnicode:
+    """Type0/CID fonts: decode 2-byte shows via the ToUnicode CMap."""
+
+    def _type0_pdf(self, cmap: bytes, hexcodes: str) -> bytes:
+        import zlib as _z
+
+        content = (
+            b"BT /F9 12 Tf 1 0 0 1 72 700 Tm <" + hexcodes.encode() + b"> Tj ET"
+        )
+        return (
+            b"%%PDF-1.5\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F9 4 0 R >> >> /Contents 5 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X"
+            b" /Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n"
+            b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            b"6 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(content) + 1, content, len(cmap) + 1, cmap)
+        )  # no xref: the reconstruction scan handles it
+
+    def test_bfchar_and_bfrange(self):
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"2 beginbfchar\n<0041> <0048>\n<0042> <0065>\nendbfchar\n"
+            b"1 beginbfrange\n<0050> <0052> <006C>\nendbfrange\n"
+            b"endcmap end end\n"
+        )
+        # codes: 0041->H 0042->e 0050->l 0051->m(: base+1)... use 0050 0050 0052
+        data = self._type0_pdf(cmap, "00410042005000500052")
+        pages = pdf_text_pages(data)
+        assert pages[0]["text"] == "Hell" + chr(0x6C + 2)
+
+    def test_bfrange_array_form(self):
+        cmap = (
+            b"1 beginbfrange\n<0001> <0002> [<0057> <0069>]\nendbfrange\n"
+        )
+        data = self._type0_pdf(cmap, "00010002")
+        assert pdf_text_pages(data)[0]["text"] == "Wi"
+
+    def test_unmapped_code_replacement_and_no_map_skip(self):
+        cmap = b"1 beginbfchar\n<0001> <0041>\nendbfchar\n"
+        data = self._type0_pdf(cmap, "00010009")
+        assert pdf_text_pages(data)[0]["text"] == "A�"
+        # Type0 WITHOUT ToUnicode: show skipped entirely (documented)
+        data2 = self._type0_pdf(b"", "0001")
+        assert pdf_text_pages(data2)[0]["text"] == ""
+
+    def test_surrogate_pair_target(self):
+        cmap = b"1 beginbfchar\n<0001> <D83DDE00>\nendbfchar\n"
+        data = self._type0_pdf(cmap, "0001")
+        assert pdf_text_pages(data)[0]["text"] == "\U0001F600"
