@@ -425,6 +425,7 @@ class PdfDoc:
         self._xref: dict[int, tuple] = {}
         self._cache: dict[int, Any] = {}
         self._objstm_cache: dict[int, dict[int, Any]] = {}
+        self._tounicode_cache: dict[Any, Optional[dict]] = {}
         if not data.startswith(b"%PDF-"):
             raise PdfError("missing %PDF header")
         try:
@@ -721,14 +722,22 @@ class PdfDoc:
                 f = self.resolve(v)
                 if isinstance(f, dict):
                     f = dict(f)
-                    tu = self.resolve(f.get("ToUnicode"))
+                    tu_ref = f.get("ToUnicode")
+                    tu = self.resolve(tu_ref)
                     if isinstance(tu, Stream):
-                        try:
-                            f["_tounicode_map"] = parse_tounicode(
-                                _decode_stream(self, tu)
-                            )
-                        except Exception:  # noqa: BLE001 — corrupt CMap:
-                            pass  # font falls back to the no-map skip
+                        # memoize per document — an N-page PDF sharing one
+                        # Type0 font must not inflate+parse the CMap N times
+                        key = tu_ref.num if isinstance(tu_ref, Ref) else id(tu)
+                        if key not in self._tounicode_cache:
+                            try:
+                                self._tounicode_cache[key] = parse_tounicode(
+                                    _decode_stream(self, tu)
+                                )
+                            except Exception:  # noqa: BLE001 — corrupt
+                                # CMap: font falls back to the no-map skip
+                                self._tounicode_cache[key] = None
+                        if self._tounicode_cache[key] is not None:
+                            f["_tounicode_map"] = self._tounicode_cache[key]
                     out[k] = f
         return out
 
@@ -835,15 +844,23 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
             lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
             if hi_i - lo_i > 65535:
                 continue  # hostile range bound
-            if isinstance(dst, bytes):
-                base = int.from_bytes(dst, "big")
-                width = len(dst)
-                for k in range(lo_i, hi_i + 1):
-                    out[k] = _u((base + k - lo_i).to_bytes(width, "big"))
-            elif isinstance(dst, list):
-                for k, d in enumerate(dst):
-                    if isinstance(d, bytes) and lo_i + k <= hi_i:
-                        out[lo_i + k] = _u(d)
+            # per-ENTRY tolerance: one hostile range must not discard the
+            # whole CMap (the valid bfchar mappings already parsed)
+            try:
+                if isinstance(dst, bytes):
+                    base = int.from_bytes(dst, "big")
+                    width = len(dst)
+                    for k in range(lo_i, hi_i + 1):
+                        v = base + k - lo_i
+                        w = max(width, (v.bit_length() + 7) // 8 or 1)
+                        # UTF-16BE needs an even byte count
+                        out[k] = _u(v.to_bytes(w + (w & 1), "big"))
+                elif isinstance(dst, list):
+                    for k, d in enumerate(dst):
+                        if isinstance(d, bytes) and lo_i + k <= hi_i:
+                            out[lo_i + k] = _u(d)
+            except (OverflowError, ValueError):
+                continue
         pos = e + 10
     return out
 

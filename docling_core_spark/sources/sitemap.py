@@ -33,6 +33,11 @@ __all__ = [
 ]
 
 
+# sitemaps.org caps a sitemap at 50 MB uncompressed / 50k entries — the
+# natural inflation bound (hostile bombs yield zero rows, never an OOM)
+_MAX_SITEMAP_BYTES = 50 << 20
+
+
 def _local(tag: str) -> str:
     """Namespace-agnostic local name ('{ns}loc' -> 'loc')."""
     return tag.rsplit("}", 1)[-1].lower()
@@ -45,12 +50,23 @@ def parse_sitemap(data: bytes) -> list[dict]:
     a malformed ENTRY is skipped, the rest of the file parses.  Gzip
     (.xml.gz) is decompressed transparently."""
     import xml.etree.ElementTree as ET
+    import zlib
 
     if data[:2] == b"\x1f\x8b":
+        # BOUNDED inflate (the warc.py contract): the sitemaps spec caps a
+        # file at 50 MB uncompressed — a decompression bomb must yield
+        # zero rows, never an OOM-killed task.  EOFError (truncated
+        # member) and zlib.error (corrupt body) are total-function cases
+        # alongside BadGzipFile/OSError.
         try:
-            data = gzip.decompress(data)
-        except OSError:
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            data = d.decompress(data, _MAX_SITEMAP_BYTES + 1)
+            if len(data) > _MAX_SITEMAP_BYTES:
+                return []
+        except (OSError, EOFError, zlib.error):
             return []
+    if len(data) > _MAX_SITEMAP_BYTES:
+        return []
     try:
         root = ET.parse(io.BytesIO(data)).getroot()
     except ET.ParseError:

