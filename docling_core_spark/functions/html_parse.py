@@ -68,10 +68,21 @@ _VOID_TAGS = frozenset(
 # with no entity refs to unescape (the value class excludes '&').
 _FAST_START_RE = re.compile(
     r'<([a-zA-Z][a-zA-Z0-9]*)'
-    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*="[^"<>&]*")*)'
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*=(?:"[^"<>&]*"|\'[^\'<>&]*\'))*)'
     r"\s*>"
 )
-_FAST_ATTR_RE = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)="([^"]*)"')
+_FAST_ATTR_RE = re.compile(r'([a-zA-Z_:][-a-zA-Z0-9_:.]*)=(?:"([^"]*)"|\'([^\']*)\')')
+
+
+def _fast_attrs(raw: str) -> list:
+    """(lowered name, unquoted value) pairs for a fast-path attr string.
+    Single- and double-quoted values are equally unambiguous when the value
+    class excludes & < > (no entity refs to unescape); the stdlib strips
+    either quote style the same way."""
+    return [
+        (a.lower(), dq if dq else sq)
+        for a, dq, sq in _FAST_ATTR_RE.findall(raw)
+    ]
 _FAST_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
 
 
@@ -124,11 +135,7 @@ class _DocHTMLParser(HTMLParser):
             return super().parse_starttag(i)
         self.lasttag = tag
         raw_attrs = m.group(2)
-        attrs = (
-            [(a.lower(), v) for a, v in _FAST_ATTR_RE.findall(raw_attrs)]
-            if raw_attrs
-            else []
-        )
+        attrs = _fast_attrs(raw_attrs) if raw_attrs else []
         self.handle_starttag(tag, attrs)
         return m.end()
 

@@ -15,10 +15,12 @@ Scale shape (100 TB):
 - the k bit positions per paragraph compute JVM-side — seed-chained
   ``F.xxhash64(para, lit(i))`` + ``pmod`` (the minhash hash family,
   dedup.py:241) — no Python in the hash path;
-- the build is ONE ``mapInPandas`` pass emitting an m/8-byte numpy bitset
-  per partition (vectorized ``bitwise_or.at``), OR-combined with RDD
-  ``treeAggregate`` (log-depth combine; the driver receives tree-fan-in
-  partials, never all partitions);
+- the build is ONE ``mapInArrow`` pass emitting an m/8-byte numpy bitset
+  per partition (the list column's values buffer flattens to one
+  contiguous int64 array — no per-row conversion; vectorized
+  ``bitwise_or.at``), OR-combined with RDD ``treeAggregate`` (log-depth
+  combine; the driver receives tree-fan-in partials, never all
+  partitions);
 - the probe is map-side: the filter broadcasts once, membership is a
   vectorized numpy bit-test over the Arrow batch, and the only shuffle is
   the per-doc rollup (count/sum partials combine map-side);
@@ -33,10 +35,9 @@ pipeline family beyond SURVEY.md §2, like dedup.py/decontam.py).
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional
+from typing import Iterator, Optional
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from docling_core_spark.operators.canon import canonical_order
@@ -93,18 +94,21 @@ def bloom_build(
     nbytes = m_bits // 8
     pos_df = paras.select(_positions(F.col("para"), m_bits, k).alias("pos"))
 
-    def to_bits(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.zeros(nbytes, dtype=np.uint8)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            arr = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in pdf["pos"]]
-            )
-            np.bitwise_or.at(bits, arr >> 3, (1 << (arr & 7)).astype(np.uint8))
-        yield pd.DataFrame({"bits": [bits.tobytes()]})
+    def to_bits(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
 
-    part_rows = pos_df.mapInPandas(to_bits, "bits binary").rdd.map(
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for rb in batches:
+            # Arrow-native flatten: the list column's values buffer is one
+            # contiguous int64 array — no per-row np.asarray/concatenate
+            arr = np.asarray(rb.column(0).flatten(), dtype=np.int64)
+            if arr.size:
+                np.bitwise_or.at(bits, arr >> 3, (1 << (arr & 7)).astype(np.uint8))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([bits.tobytes()], type=pa.binary())], names=["bits"]
+        )
+
+    part_rows = pos_df.mapInArrow(to_bits, "bits binary").rdd.map(
         lambda r: r["bits"]
     )
 
@@ -153,18 +157,27 @@ def bloom_probe_flags(
         "doc_id", _positions(F.col("para"), m_bits, k).alias("pos")
     )
 
-    def probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def probe(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            mat = np.vstack([np.asarray(a, dtype=np.int64) for a in pdf["pos"]])
+            pos = rb.column(rb.schema.get_field_index("pos"))
+            # fixed-width lists: one contiguous values buffer -> (n, k)
+            mat = np.asarray(pos.flatten(), dtype=np.int64).reshape(n, k)
             seen = ((bits[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1).all(axis=1)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "seen": seen.astype(np.int32)}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pa.array(seen.astype(np.int32)),
+                ],
+                names=["doc_id", "seen"],
             )
 
-    return with_pos.mapInPandas(probe, "doc_id long, seen int")
+    return with_pos.mapInArrow(probe, "doc_id long, seen int")
 
 
 def bloom_flag_docs(
@@ -193,30 +206,33 @@ def bloom_flag_docs(
         ).alias("pos"),
     )
 
-    def probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def probe(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            mask = pdf["pos"].notna().to_numpy()
-            vals = np.full(len(pdf), -1, dtype=np.int64)
-            if mask.any():
-                mat = np.vstack(
-                    [np.asarray(a, dtype=np.int64) for a in pdf["pos"][mask]]
-                )
-                vals[mask] = (
+            pos = rb.column(rb.schema.get_field_index("pos"))
+            valid = np.asarray(pos.is_valid())
+            # flatten() skips null lists; valid lists are exactly k wide
+            flat = np.asarray(pos.flatten(), dtype=np.int64)
+            vals = np.zeros(n, dtype=np.int32)
+            if flat.size:
+                mat = flat.reshape(-1, k)
+                vals[valid] = (
                     (bits[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
                 ).all(axis=1)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "seen": pd.array(
-                        [None if v < 0 else int(v) for v in vals], dtype="Int32"
-                    ),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pa.array(vals, mask=~valid),
+                ],
+                names=["doc_id", "seen"],
             )
 
-    flags = with_pos.mapInPandas(probe, "doc_id long, seen int")
+    flags = with_pos.mapInArrow(probe, "doc_id long, seen int")
     # count("seen")/sum skip the null rows, so paragraph-free docs roll up
     # to (0, 0) without a join back
     agg = flags.groupBy("doc_id").agg(

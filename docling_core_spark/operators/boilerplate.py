@@ -42,6 +42,12 @@ import re
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
+from docling_core_spark.functions.html_parse import (
+    _FAST_END_RE,
+    _FAST_START_RE,
+    _fast_attrs,
+)
+
 __all__ = [
     "Paragraph",
     "segment_paragraphs",
@@ -112,7 +118,40 @@ class Paragraph:
 
 
 class _Segmenter(HTMLParser):
-    """DOM walk -> paragraph list (block-tag boundaries, link-char counts)."""
+    """DOM walk -> paragraph list (block-tag boundaries, link-char counts).
+
+    Reuses the two parity-safe html_parse speedups (round-8): getpos() is
+    never read so updatepos skips the line-counting scan, and strictly
+    well-formed tags tokenize with one regex instead of the stdlib's
+    four-regex tolerant walk (anything else falls back to HTMLParser, so
+    the fast path cannot change behavior by construction)."""
+
+    def updatepos(self, i: int, j: int) -> int:
+        return j
+
+    def parse_starttag(self, i: int) -> int:
+        m = _FAST_START_RE.match(self.rawdata, i)
+        if m is None:
+            return super().parse_starttag(i)
+        tag = m.group(1)
+        tag = tag.lower() if not tag.islower() else tag
+        if tag in self.CDATA_CONTENT_ELEMENTS:
+            return super().parse_starttag(i)
+        self.lasttag = tag
+        raw_attrs = m.group(2)
+        attrs = _fast_attrs(raw_attrs) if raw_attrs else []
+        self.handle_starttag(tag, attrs)
+        return m.end()
+
+    def parse_endtag(self, i: int) -> int:
+        if self.cdata_elem is not None:
+            return super().parse_endtag(i)
+        m = _FAST_END_RE.match(self.rawdata, i)
+        if m is None:
+            return super().parse_endtag(i)
+        tag = m.group(1)
+        self.handle_endtag(tag.lower() if not tag.islower() else tag)
+        return m.end()
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -128,6 +167,11 @@ class _Segmenter(HTMLParser):
         self._in_head = False
 
     def _flush(self) -> None:
+        if not self._buf:
+            # nothing accumulated since the last boundary (the common case:
+            # adjacent block tags) — link_chars is necessarily 0 too, since
+            # it only accumulates alongside a buffer append
+            return
         text = _WS_RE.sub(" ", "".join(self._buf)).strip()
         if text:
             self.paragraphs.append(

@@ -23,16 +23,16 @@ Cross-engine determinism (the oracle-ability contract):
 
 Scale shape (100 TB):
 - the feature frame is built once (one scan) and localCheckpoint'ed;
-- per iteration: one-row broadcast of the weight array (crossJoin — the
-  k-means/IVF pattern), map-side score fold, ONE dim hash-aggregation
-  with map-side partials, <=D rows of driver traffic (same class as
-  k-means centroids; D=2^18 ~ 2 MB);
-- scoring is a single map-side pass: broadcast weights, fold, no shuffle
-  beyond the trailing canonical sort.  No windows, no content shuffle.
-- at D >= 2^20 the documented alternative is exploding (doc_id, dim) rows
-  against a broadcast (dim, qweight) table — quantized-long sums keep the
-  same exactness; the one-row-array fold is preferred while the array
-  broadcasts comfortably.
+- per iteration: the weight array ships once per executor (sc.broadcast),
+  ONE Arrow pass computes the exact per-doc fold + quantized gradient and
+  accumulates int64 partials per partition, so the dim rollup shuffles
+  <= dims+1 rows per partition and the driver receives <= D rows (same
+  class as k-means centroids; D=2^18 ~ 2 MB);
+- scoring is a single map-side Arrow pass: broadcast weights, fold, no
+  shuffle beyond the trailing canonical sort.  No windows, no content
+  shuffle, no joins (r9: this replaced the one-row crossJoin + interpreted
+  element_at fold — the round-2 element_at trap measured as the module's
+  dominant cost).
 """
 
 from __future__ import annotations
@@ -89,33 +89,73 @@ def _features(docs: DataFrame, dims: int) -> DataFrame:
     )
 
 
-def _with_weights(feats: DataFrame, w: list[float]) -> DataFrame:
-    """crossJoin ONE broadcast row carrying the weight array (the k-means/
-    IVF one-row-broadcast pattern — keeps the plan free of a |D|-literal
-    expression tree and ships the array once per executor)."""
-    spark = feats.sparkSession
-    wrow = spark.createDataFrame([(w,)], "warr array<double>")
-    return feats.crossJoin(F.broadcast(wrow))
+def _py_fold_z(ds, w: list[float], bias: float) -> float:
+    """Left-to-right fold of the sorted dims over the weight list: the
+    linear term z.  CPython float adds are the same IEEE-754 double adds
+    the old Catalyst ``aggregate(dims, bias, acc + element_at(warr, d+1))``
+    fold performed, in the same order — bit-identical by construction.
+    (The Catalyst fold was the round-2 element_at trap: an interpreted HOF
+    gather over the 4096-slot broadcast array, measured as the #1 cost of
+    the whole classifier; one Arrow pass with this loop replaces it.)"""
+    z = bias
+    for d in ds:
+        z = z + w[d]
+    return z
 
 
-def _z_col(bias: float):
-    """Left-to-right fold of the sorted dims against the broadcast weight
-    array attribute: the linear term z.  Callers MUST materialize this
-    into its own projection before referencing it more than once — the
-    interpreted HOF fold gets no common-subexpression elimination (the
-    round-6 no-CSE rule), so an expression like sigmoid(z) would run the
-    whole O(|dims|) fold twice per row."""
-    return F.aggregate(
-        F.col("dims"),
-        F.lit(float(bias)),
-        lambda acc, d: acc + F.element_at(F.col("warr"), d + 1),
-    )
+def _py_sigmoid(z: float) -> float:
+    """Algebraic sigmoid, same op order as the twin: only +,*,/,abs —
+    IEEE-754 bit-exact across JVM and CPython."""
+    return 0.5 * (1.0 + z / (1.0 + abs(z)))
 
 
-def _sigmoid(z):
-    """Algebraic sigmoid over a MATERIALIZED z attribute (deterministic;
-    see module docstring)."""
-    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+def _grad_partials(feats: DataFrame, w: list[float], bias: float) -> DataFrame:
+    """(dim, qg) integer gradient partials, one Arrow pass over the feature
+    frame: per doc the exact z fold + sigmoid + 1e-9 quantization (all in
+    lockstep with the python twin below), then a PER-PARTITION int64
+    accumulation over dims — each task emits <= dims+1 rows (sentinel -1
+    carries the bias gradient), so the shuffle behind the groupBy is tiny
+    at any corpus size.  int64 partials cannot overflow (|qc| <= 1e9, so
+    2^63 absorbs ~9e9 docs per dim per partition)."""
+    import numpy as np
+    import pandas as pd
+
+    dims_n = len(w)
+    bc_w = feats.sparkSession.sparkContext.broadcast(list(w))
+
+    def part(batches):
+        wl = bc_w.value
+        acc = np.zeros(dims_n, dtype=np.int64)
+        qb = 0
+        for pdf in batches:
+            labels = pdf["label"].to_numpy()
+            qcs = np.empty(len(pdf), dtype=np.int64)
+            for i, ds in enumerate(pdf["dims"]):
+                z = bias
+                for d in ds:
+                    z = z + wl[d]
+                s = 0.5 * (1.0 + z / (1.0 + abs(z)))
+                # int() truncates toward zero, same as the JVM double->long
+                # cast the old Catalyst path used
+                qcs[i] = int((s - float(labels[i])) * 1_000_000_000.0)
+            qb += int(qcs.sum())
+            lens = np.fromiter(
+                (len(ds) for ds in pdf["dims"]), dtype=np.int64, count=len(pdf)
+            )
+            if lens.sum():
+                flat = np.concatenate(
+                    [np.asarray(ds, dtype=np.int64) for ds in pdf["dims"]]
+                )
+                np.add.at(acc, flat, np.repeat(qcs, lens))
+        nz = np.nonzero(acc)[0]
+        yield pd.DataFrame(
+            {
+                "dim": np.concatenate([nz, [-1]]).astype(np.int32),
+                "qg": np.concatenate([acc[nz], [qb]]).astype(np.int64),
+            }
+        )
+
+    return feats.select("label", "dims").mapInPandas(part, "dim int, qg long")
 
 
 def _train(
@@ -132,32 +172,16 @@ def _train(
     if n == 0:
         return w, b, 0, feats
     for _ in range(iterations):
-        # z materializes into its own projection first (no-CSE: the fold
-        # would otherwise re-run per reference inside the sigmoid)
-        zdf = _with_weights(feats, w).select(
-            "doc_id", "label", "dims", _z_col(b).alias("z")
-        )
-        scored = zdf.select(
-            "doc_id",
-            "dims",
-            (
-                (_sigmoid(F.col("z")) - F.col("label").cast("double"))
-                * F.lit(float(_Q))
-            ).cast("long").alias("qc"),
-        )
-        # ONE action per iteration: the bias gradient rides the same dim
-        # aggregation under sentinel dim -1 (each doc contributes its qc
-        # exactly once there, so sum(qg at -1) == sum(qc) — identical math
-        # to a separate global agg, half the driver round trips)
+        # ONE action per iteration: per-partition integer partials from one
+        # Arrow pass (exact z fold + quantization in python — bit-identical
+        # to the twin), then a tiny (<= dims+1 rows/partition) hash-agg;
+        # the bias gradient rides the same aggregation under sentinel dim
+        # -1 (each doc contributes its qc exactly once there, so
+        # sum(qg at -1) == sum(qc))
         grad_rows = (
-            scored.select(
-                F.explode(
-                    F.concat(F.col("dims"), F.array(F.lit(-1)))
-                ).alias("dim"),
-                "qc",
-            )
+            _grad_partials(feats, w, b)
             .groupBy("dim")
-            .agg(F.sum("qc").alias("qg"))
+            .agg(F.sum("qg").alias("qg"))
             .collect()
         )
         for r in grad_rows:
@@ -218,19 +242,51 @@ def classifier_score(
                 "score with the dims the model was trained at"
             )
         feats = _features(docs, dims)
-    zdf = _with_weights(feats, w).select(
-        "doc_id", "label", _z_col(b).alias("z")
-    )
-    sdf = zdf.select("doc_id", "label", _sigmoid(F.col("z")).alias("s"))
-    return (
-        sdf.select(
-            "doc_id",
-            "label",
-            F.round("s", 6).alias("score"),
-            (F.col("s") >= F.lit(float(threshold))).cast("int").alias("pred"),
-        )
-        .transform(lambda d: canonical_order(d, "doc_id"))
-    )
+    # map-side scoring in the same Arrow pass style as training: the exact
+    # z fold + sigmoid per row, score rounded HALF_UP on the shortest repr
+    # (== Spark F.round, the round-2 cross-engine finding), pred from the
+    # RAW s (the keep-flag rule: never compare the display-rounded value)
+    import decimal
+
+    import pandas as pd
+
+    bc_w = feats.sparkSession.sparkContext.broadcast(list(w))
+    bias = b
+    thr = float(threshold)
+    six = decimal.Decimal("0.000001")
+    id_type = feats.schema["doc_id"].dataType.simpleString()
+
+    def score_part(batches):
+        wl = bc_w.value
+        for pdf in batches:
+            scores = []
+            preds = []
+            for ds in pdf["dims"]:
+                z = bias
+                for d in ds:
+                    z = z + wl[d]
+                s = 0.5 * (1.0 + z / (1.0 + abs(z)))
+                scores.append(
+                    float(
+                        decimal.Decimal(repr(s)).quantize(
+                            six, rounding=decimal.ROUND_HALF_UP
+                        )
+                    )
+                )
+                preds.append(1 if s >= thr else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "label": pdf["label"],
+                    "score": pd.Series(scores, dtype="float64"),
+                    "pred": pd.Series(preds, dtype="int32"),
+                }
+            )
+
+    return feats.select("doc_id", "label", "dims").mapInPandas(
+        score_part,
+        f"doc_id {id_type}, label int, score double, pred int",
+    ).transform(lambda d: canonical_order(d, "doc_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -295,9 +295,31 @@ def minhash_lsh_duplicates(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # three consumers below (two id selectors + the verify join) — cut
+        # the diamond so the banded self-join runs once
+        .localCheckpoint(eager=False)
     )
-    sh = docs.select("doc_id", norm_words(F.col("text")).alias("w")).select(
-        "doc_id", F.array_distinct(shingle_grams(F.col("w"), shingle_n)).alias("sh")
+    # Verification only needs the shingle sets of docs that appear in a
+    # candidate pair — a tiny fraction of the corpus once the LSH has done
+    # its job.  Semi-join the corpus down FIRST so the expensive
+    # norm+shingle expressions (and the join shuffle of the fat shingle
+    # arrays) run over candidates only, not every document; the old plan
+    # recomputed corpus-wide shingles twice (once per join side).  No
+    # broadcast hint: AQE sees the runtime size of cand_ids and picks the
+    # broadcast itself when small, so a pathological pair explosion still
+    # degrades to a shuffle join instead of a driver OOM.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", norm_words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingle_grams(F.col("w"), shingle_n)).alias("sh"),
+        )
     )
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

@@ -90,16 +90,27 @@ def dsir_select(
     pure-scale path, same plan shape; the target-gate and Gumbel hashes
     stay md5 — per-doc, not per-gram, so they are not the hot path)."""
     rows = _bucket_rows(docs, buckets, hash_fn)
-    # diamond cut: the bucket rows feed the raw model AND the per-doc counts
-    rows = rows.localCheckpoint(eager=False)
+    # Aggregate the raw gram rows to per-(doc, bucket) counts FIRST — the
+    # partial (map-side) aggregation collapses the explode output before it
+    # ever shuffles — and cut the diamond THERE: both corpus models and the
+    # per-doc weights derive from doc_counts exactly (a per-bucket count
+    # over gram rows == the integer sum of its per-doc counts), so the fat
+    # (doc_id, bucket) occurrence table no longer needs to be materialized
+    # at all (the old plan localCheckpoint'ed every gram row through the
+    # block manager just to feed three consumers).
+    doc_counts = (
+        rows.groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tgt_gate = _hash60(F.concat(F.col("doc_id").cast("string"), F.lit(seed)))
     tgt_rows = docs.filter(tgt_gate < F.lit(int(rate * _HASH60_MAX))).select("doc_id")
     target = (
-        rows.join(F.broadcast(tgt_rows), "doc_id")
+        doc_counts.join(F.broadcast(tgt_rows), "doc_id")
         .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+        .agg(F.sum("c").alias("ct"))
     )
-    raw = rows.groupBy("bucket").agg(F.count("*").alias("cq"))
+    raw = doc_counts.groupBy("bucket").agg(F.sum("c").alias("cq"))
     # second diamond cut: target and raw each feed consts AND model —
     # without this the two full-gram bucket aggregations execute twice
     # (<= buckets rows each, so the checkpoints are tiny)
@@ -128,7 +139,6 @@ def dsir_select(
             ).alias("lr"),
         )
     )
-    doc_counts = rows.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
     weights = (
         doc_counts.join(F.broadcast(model), "bucket")
         .groupBy("doc_id")

@@ -100,25 +100,45 @@ def fineweb_prep(
     min_stopword_hits defaults to 1 (corpus_prep_pipeline precedent: the
     synthetic corpus is keyword salad; real deployments pass Gopher's 2).
     """
-    kept_url = url_filter(
-        docs_with_url, canonical=False, passthrough=("text",)
+    # Pushdown barriers between stages: without them Catalyst pushes every
+    # stage's keep-predicate down to the scan, SUBSTITUTING each referenced
+    # column by its defining expression — the url/clean/gopher chains ended
+    # up inlined ~10x into one scan-level Filter (a 97 KB physical plan),
+    # re-running the same regexes per reference because interpreted
+    # expressions get no cross-operator CSE (the round-6 no-CSE rule at the
+    # optimizer level).  One unused nondeterministic column per stage makes
+    # the stage's Project non-pushable and non-collapsible, so each stage
+    # evaluates ONCE per surviving row; the plan stays one scan + one
+    # exchange (the barrier is map-side and the column is pruned by the
+    # next stage's select).
+    def _barrier(df: DataFrame) -> DataFrame:
+        return df.withColumn("_nb", F.monotonically_increasing_id())
+
+    kept_url = _barrier(
+        url_filter(docs_with_url, canonical=False, passthrough=("text",))
     ).filter(F.col("keep"))
-    cleaned = text_clean(
-        kept_url.select("doc_id", "url", "text"),
-        canonical=False,
-        passthrough=("url",),
+    cleaned = _barrier(
+        text_clean(
+            kept_url.select("doc_id", "url", "text"),
+            canonical=False,
+            passthrough=("url",),
+        )
     )
-    quality = gopher_quality_filter(
-        cleaned.select("doc_id", "url", F.col("clean_text").alias("text")),
-        canonical=False,
-        passthrough=("url", "text"),
-        min_stopword_hits=min_stopword_hits,
+    quality = _barrier(
+        gopher_quality_filter(
+            cleaned.select("doc_id", "url", F.col("clean_text").alias("text")),
+            canonical=False,
+            passthrough=("url", "text"),
+            min_stopword_hits=min_stopword_hits,
+        )
     ).filter(F.col("keep"))
-    lined = c4_line_filter(
-        quality.select("doc_id", "url", "text", "n_words"),
-        canonical=False,
-        passthrough=("url", "n_words"),
-    ).filter((F.col("n_kept_lines") > 0) & F.col("doc_ok"))
+    lined = _barrier(
+        c4_line_filter(
+            quality.select("doc_id", "url", "text", "n_words"),
+            canonical=False,
+            passthrough=("url", "n_words"),
+        )
+    ).filter((F.col("n_kept_lines") > 0) & F.col("doc_ok")).drop("_nb")
     fingered = lined.withColumn(
         "fingerprint",
         F.md5(F.regexp_replace(F.lower(F.col("filtered_text")), r"[^a-z0-9]", "")),

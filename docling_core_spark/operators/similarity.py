@@ -26,6 +26,34 @@ from pyspark.sql import DataFrame, functions as F
 from docling_core_spark.operators.canon import canonical_order
 
 
+def _round5_ge_boundary(eps: float) -> float:
+    """Smallest double c with Spark ``round(c, 5) >= eps`` (for eps on the
+    1e-5 grid, e.g. the 0.95 default; off-grid eps snaps to the next grid
+    point).  F.round is HALF_UP on the shortest repr decimal, and shortest
+    reprs preserve double ordering, so the predicate collapses to one
+    precomputed double boundary — letting a vectorized ``>=`` replicate a
+    per-value decimal quantization exactly."""
+    import decimal
+    import math
+
+    grid = decimal.Decimal("0.00001")
+    d_eps = decimal.Decimal(repr(eps))
+    needed = (d_eps / grid).to_integral_value(rounding=decimal.ROUND_CEILING) * grid
+    target = needed - decimal.Decimal("0.000005")
+    t = float(target)
+    if decimal.Decimal(repr(t)) >= target:
+        while True:
+            t2 = math.nextafter(t, -math.inf)
+            if decimal.Decimal(repr(t2)) >= target:
+                t = t2
+            else:
+                break
+    else:
+        while decimal.Decimal(repr(t)) < target:
+            t = math.nextafter(t, math.inf)
+    return t
+
+
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
@@ -35,6 +63,64 @@ def _cosine(a, b):
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm_expr(col):
+    """sqrt(sum(x*x)) — the exact norm subexpression _cosine builds per
+    side, exposed so the assignment folds can hoist it: interpreted HOFs
+    get no CSE, so the inline _cosine recomputed the ROW norm once per
+    centroid and the CENTROID norm once per (row, centroid) — 2/3 of all
+    fold arithmetic for identical values (r9)."""
+    return F.sqrt(
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def _dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cent_row_with_norms(cents: DataFrame):
+    """ONE broadcast row of array<struct(centroid_id, cv, nb)>: each
+    centroid's norm rides the broadcast (computed once per centroid, not
+    per (row, centroid) inside the fold).  nb is the same expression
+    _cosine evaluated inline, so every downstream sim is bit-identical."""
+    return F.broadcast(
+        cents.select(
+            "centroid_id", "cv", _norm_expr(F.col("cv")).alias("nb")
+        ).agg(F.collect_list(F.struct("centroid_id", "cv", "nb")).alias("cent_arr"))
+    )
+
+
+def _best_centroid_struct():
+    """argmax fold over the broadcast cent_arr using the precomputed row
+    norm (column ``en``) and centroid norm (struct field ``nb``):
+    sim = dot / greatest(en * nb, 1e-12) — the same IEEE op order as
+    _cosine with both norm subtrees hoisted.  Callers must provide ``ev``
+    and ``en`` as ATTRIBUTES (materialized projection, the no-CSE rule)."""
+
+    def fold(acc, c):
+        sim = _dot_expr(F.col("ev"), c["cv"]) / F.greatest(
+            F.col("en") * c["nb"], F.lit(1e-12)
+        )
+        better = (sim > acc["best_sim"]) | (
+            (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
+        )
+        return F.when(
+            better,
+            F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        F.col("cent_arr"),
+        F.struct(
+            F.lit(-2.0).alias("best_sim"),
+            F.lit(None).cast("long").alias("best_id"),
+        ),
+        fold,
+    )
 
 
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -257,12 +343,14 @@ def kmeans_refined_centroids(
     iteration counter; every step is distributed.  Empty clusters keep their
     previous centroid (deterministic).  Returns (centroid_id, cv).
     """
-    qvecs = embeddings.select(
-        "vec_id", _quantized(F.col("embedding")).alias("qv")
-    ).select(
-        "vec_id",
-        "qv",
-        F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev"),
+    qvecs = (
+        embeddings.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
+        .select(
+            "vec_id",
+            "qv",
+            F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev"),
+        )
+        .select("vec_id", "qv", "ev", _norm_expr(F.col("ev")).alias("en"))
     )
     start_it = 0
     cents = None
@@ -290,35 +378,16 @@ def kmeans_refined_centroids(
             qvecs.select(F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv"))
             .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
             .limit(n_centroids)
+            # round 1 references the seed twice (broadcast fold + the
+            # empty-cluster join); cut the TakeOrdered subtree once
+            .localCheckpoint(eager=False)
         )
     for _it in range(start_it, iterations):
-        cent_row = F.broadcast(
-            cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
-        )
-
-        def _argmax_fold(acc, c):
-            sim = _cosine(F.col("ev"), c["cv"])
-            better = (sim > acc["best_sim"]) | (
-                (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
-            )
-            return F.when(
-                better,
-                F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
-            ).otherwise(acc)
+        cent_row = _cent_row_with_norms(cents)
 
         assigned = (
             qvecs.crossJoin(cent_row)
-            .withColumn(
-                "centroid_id",
-                F.aggregate(
-                    F.col("cent_arr"),
-                    F.struct(
-                        F.lit(-2.0).alias("best_sim"),
-                        F.lit(None).cast("long").alias("best_id"),
-                    ),
-                    _argmax_fold,
-                )["best_id"],
-            )
+            .withColumn("centroid_id", _best_centroid_struct()["best_id"])
             .select("centroid_id", F.posexplode("qv").alias("pos", "val"))
         )
         means = (
@@ -368,15 +437,15 @@ def kmeans_refined_centroids(
                 raise RuntimeError(
                     f"injected fault after committed round {_it + 1} (chaos hook)"
                 )
-        elif iterations > 2:
-            # deep-iteration lineage cut: a real index build runs 10-20
-            # Lloyd rounds, and without this each round stacks the full
-            # assignment+recompute subtree on the cents plan (Catalyst
-            # analysis cost explodes).  Lazy localCheckpoint truncates the
-            # logical plan to an RDD-backed scan per round while deferring
-            # materialization to the caller's action; gated on > 2 so the
-            # oracle-checked iterations=2 configuration keeps a
-            # byte-identical plan.
+        else:
+            # Per-round lineage cut, EVERY round (r9: the > 2 gate removed).
+            # Each round references the previous cents twice (the broadcast
+            # fold AND the empty-cluster join), so without the cut the
+            # assignment+recompute subtree re-executes ~2x per round per
+            # consumer — at iterations=2 the fold over every vector ran
+            # ~5x instead of 3x (measured: semdedup wall was ~100% kmeans).
+            # The checkpoint materializes 16 rows; values are bit-identical
+            # by the quantized-integer design, only the plan changes.
             cents = cents.localCheckpoint(eager=False)
     return cents
 
@@ -395,38 +464,20 @@ def ivf_kmeans_topk(
     Exactly mirrored by the single-process expected oracle thanks to the
     quantized-integer centroid arithmetic."""
     cents = kmeans_refined_centroids(embeddings, n_centroids, iterations)
-    cent_row = F.broadcast(
-        cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
-    )
+    cent_row = _cent_row_with_norms(cents)
     qvecs = embeddings.select(
         "vec_id",
         "label",
         F.transform(
             _quantized(F.col("embedding")), lambda v: v.cast("double")
         ).alias("ev"),
+    ).select("vec_id", "label", "ev", _norm_expr(F.col("ev")).alias("en"))
+
+    assignments = (
+        qvecs.crossJoin(cent_row)
+        .withColumn("centroid_id", _best_centroid_struct()["best_id"])
+        .select("vec_id", "label", "ev", "centroid_id")
     )
-
-    def _argmax_fold(acc, c):
-        sim = _cosine(F.col("ev"), c["cv"])
-        better = (sim > acc["best_sim"]) | (
-            (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
-        )
-        return F.when(
-            better,
-            F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
-        ).otherwise(acc)
-
-    assignments = qvecs.crossJoin(cent_row).withColumn(
-        "centroid_id",
-        F.aggregate(
-            F.col("cent_arr"),
-            F.struct(
-                F.lit(-2.0).alias("best_sim"),
-                F.lit(None).cast("long").alias("best_id"),
-            ),
-            _argmax_fold,
-        )["best_id"],
-    ).select("vec_id", "label", "ev", "centroid_id")
 
     probed = (
         qvecs.filter(F.col("vec_id") == query_vec_id)
@@ -475,36 +526,13 @@ def ivf_topk(
     # probe selection derive from this SAME subplan, so the broadcast
     # exchange is built once and reused (ReusedExchange) instead of scanning
     # the embeddings twice for centroids.
-    cent_row = F.broadcast(
-        ivf_centroids(embeddings, n_centroids).agg(
-            F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr")
-        )
-    )
-
-    def _argmin_fold(acc, c):
-        sim = _cosine(F.col("ev"), c["cv"])
-        better = (sim > acc["best_sim"]) | (
-            (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
-        )
-        return F.when(
-            better,
-            F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
-        ).otherwise(acc)
+    cent_row = _cent_row_with_norms(ivf_centroids(embeddings, n_centroids))
 
     assignments = (
         embeddings.select("vec_id", "label", _as_double(F.col("embedding")).alias("ev"))
+        .select("vec_id", "label", "ev", _norm_expr(F.col("ev")).alias("en"))
         .crossJoin(cent_row)
-        .withColumn(
-            "centroid_id",
-            F.aggregate(
-                F.col("cent_arr"),
-                F.struct(
-                    F.lit(-2.0).alias("best_sim"),
-                    F.lit(None).cast("long").alias("best_id"),
-                ),
-                _argmin_fold,
-            )["best_id"],
-        )
+        .withColumn("centroid_id", _best_centroid_struct()["best_id"])
         .select("vec_id", "label", "ev", "centroid_id")
     )
 
@@ -633,36 +661,18 @@ def semdedup(
     from docling_core_spark.operators.dedup import cap_hot_buckets
 
     cents = kmeans_refined_centroids(embeddings, n_centroids, iterations)
-    qvecs = embeddings.select(
-        "vec_id", _quantized(F.col("embedding")).alias("qv")
-    ).select("vec_id", F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev"))
-    cent_row = F.broadcast(
-        cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
-    )
-
-    def _argmax_fold(acc, c):
-        sim = _cosine(F.col("ev"), c["cv"])
-        better = (sim > acc["best_sim"]) | (
-            (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
+    qvecs = (
+        embeddings.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
+        .select(
+            "vec_id", F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev")
         )
-        return F.when(
-            better,
-            F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
-        ).otherwise(acc)
+        .select("vec_id", "ev", _norm_expr(F.col("ev")).alias("en"))
+    )
+    cent_row = _cent_row_with_norms(cents)
 
     assigned = (
         qvecs.crossJoin(cent_row)
-        .withColumn(
-            "best",
-            F.aggregate(
-                F.col("cent_arr"),
-                F.struct(
-                    F.lit(-2.0).alias("best_sim"),
-                    F.lit(None).cast("long").alias("best_id"),
-                ),
-                _argmax_fold,
-            ),
-        )
+        .withColumn("best", _best_centroid_struct())
         .select(
             "vec_id",
             "ev",
@@ -674,28 +684,53 @@ def semdedup(
         # subtree compiles (and runs) twice — round-5/7 reuse finding
         .localCheckpoint(eager=False)
     )
-    # bound the within-cluster candidate set before the pair join
+    # bound the within-cluster candidate set before the pair stage
     capped = cap_hot_buckets(
         assigned.select("vec_id", "ev", "cluster_id", "cent_sim"),
         ("cluster_id",),
         max_cluster_size,
         id_col="vec_id",
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    removed = (
-        a.join(b, "cluster_id")
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .filter(
-            (F.col("b.cent_sim") < F.col("a.cent_sim"))
-            | (
-                (F.col("b.cent_sim") == F.col("a.cent_sim"))
-                & (F.col("b.vec_id") < F.col("a.vec_id"))
-            )
+    # Within-cluster pairwise stage as ONE numpy gemm per cluster group
+    # (applyInPandas) instead of the interpreted self-join: the old plan
+    # evaluated the _cosine HOF fold per candidate PAIR — O(cap^2 * dim)
+    # interpreted Catalyst ops per cluster.  Bit-exactness holds because
+    # the ev components are 1e-6-quantized integers (valued in doubles):
+    # every dot partial sum is an exact integer below 2^53, so ANY
+    # summation order — BLAS blocking included — produces the identical
+    # double, and the per-pair norm/divide ops below replicate the
+    # _cosine expression's IEEE op order exactly.  The shuffle is the same
+    # cluster_id exchange the join paid; output is just the removed ids.
+    import numpy as np
+    import pandas as pd
+
+    # round5(cos) >= eps  <=>  repr-decimal(cos) >= repr-decimal(eps)-5e-6
+    # <=>  cos >= thr for the smallest double thr whose shortest repr
+    # reaches that decimal — one driver-side boundary search replaces a
+    # per-pair HALF_UP quantization (shortest-repr ordering is monotonic)
+    thr = _round5_ge_boundary(float(eps))
+
+    def _pairs_per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["ev"]])
+        dots = V @ V.T
+        norms = np.sqrt(np.diag(dots))
+        cos = dots / np.maximum(np.outer(norms, norms), 1e-12)
+        cs = pdf["cent_sim"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        # b beats a: strictly lower (cent_sim, vec_id) priority
+        beats = (cs[None, :] < cs[:, None]) | (
+            (cs[None, :] == cs[:, None]) & (ids[None, :] < ids[:, None])
         )
-        .filter(F.round(_cosine(F.col("a.ev"), F.col("b.ev")), 5) >= F.lit(float(eps)))
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        np.fill_diagonal(beats, False)
+        removed_mask = (beats & (cos >= thr)).any(axis=1)
+        return pd.DataFrame({"vec_id": ids[removed_mask]})
+
+    removed = (
+        capped.groupBy("cluster_id")
+        .applyInPandas(_pairs_per_cluster, "vec_id long")
         .withColumn("removed", F.lit(1))
     )
     return (

@@ -46,20 +46,24 @@ def test_score_plan_shape(docs):
     plan = _plan(classifier_score(docs, iterations=1))
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
-    # the weight row reaches every task via a broadcast nested-loop (one-row
-    # crossJoin), never a shuffled join
-    assert "BroadcastNestedLoopJoin" in plan
+    # r9: scoring is one Arrow pass (weights ship as an sc.broadcast read by
+    # the python stage) — no join of any kind on the scoring path
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_train_partial_agg(docs):
-    from docling_core_spark.operators.classifier import _features, _with_weights
+    # r9: the gradient pass emits per-partition (dim, qg) partials from one
+    # Arrow stage; the tiny dim rollup behind it still gets map-side
+    # partial aggregation
+    from docling_core_spark.operators.classifier import _features, _grad_partials
 
     feats = _features(docs, 256)
-    scored = _with_weights(feats, [0.0] * 256).select(
-        F.explode("dims").alias("dim"), F.lit(1).cast("long").alias("qc")
+    plan = _plan(
+        _grad_partials(feats, [0.0] * 256, 0.0).groupBy("dim").agg(F.sum("qg"))
     )
-    plan = _plan(scored.groupBy("dim").agg(F.sum("qc")))
     assert "partial_sum" in plan
+    assert "MapInPandas" in plan
 
 
 def test_empty_corpus(spark):

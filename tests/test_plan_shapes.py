@@ -331,7 +331,13 @@ def test_semdedup_is_windowless_and_capped(emb):
 
     plan = _plan(semdedup(emb))
     assert "Window" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    # r9: the within-cluster pair stage is one numpy gemm per cluster group
+    # (FlatMapGroupsInPandas) instead of the interpreted self-join; the
+    # centroid folds still ride broadcasts and the cap gate still joins its
+    # oversized-bucket counts broadcast-side
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
 
 
 def test_fineweb_prep_is_one_scan_one_exchange(docs, monkeypatch):

@@ -77,14 +77,28 @@ def test_kmeans_refined_centroids_deterministic_and_partial(spark, monkeypatch):
         for r in kmeans_refined_centroids(emb.repartition(7)).collect()
     }
     assert a == b  # bit-identical under different partitioning
+    # r9: every Lloyd round ends in a lazy localCheckpoint (per-round plan
+    # cut — the round-8 "checkpointed frames hide the agg subtree" finding),
+    # so the returned frame's plan is an ExistingRDD scan; the partial-agg
+    # evidence lives in the per-round means subplan, pinned below on the
+    # same aggregation the loop builds
     plan = (
         kmeans_refined_centroids(emb)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "partial_sum" in plan
+    assert "ExistingRDD" in plan
     assert "Window" not in plan
+    from pyspark.sql import functions as F
+
+    means_shape = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("vec_id", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    mplan = means_shape._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in mplan
 
 
 def test_ivf_kmeans_refines_toward_members(spark):
