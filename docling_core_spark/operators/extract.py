@@ -287,8 +287,20 @@ def split_skew(
     full-format pipeline, with half the input I/O.
     """
     sc = pages.sparkSession.sparkContext
-    n_norm = normal_partitions or sc.defaultParallelism * 2
-    n_part = n_norm + (jumbo_partitions or sc.defaultParallelism) * 2
+    n_part = (normal_partitions or sc.defaultParallelism * 2) + (
+        jumbo_partitions or sc.defaultParallelism
+    ) * 2
+    # Bucket granularity (r9): the default bucket count is now ~256 per
+    # partition instead of one-bucket-per-two-partitions.  With only ~2p
+    # distinct keys hashed into 4p partitions, collisions left some
+    # partitions holding 2-3 whole buckets and others empty (the guide's
+    # "synthetic partitioning keys with too few distinct values" trap) —
+    # measured ~7% of flagship wall vs a balanced layout.  Fine buckets
+    # spread ±6%; the jumbo worst-case stall bound IMPROVES (a jumbo now
+    # shares with ~1/n_part of normal pages instead of a whole 1/(2p)
+    # bucket).  An explicit normal_partitions keeps its exact-bucket-count
+    # meaning (tests pin deterministic isolation scenarios with it).
+    n_norm = normal_partitions or n_part * 256
     key = F.when(
         F.length("html") > jumbo_bytes, F.concat(F.lit("J:"), F.col("url"))
     ).otherwise(F.pmod(F.xxhash64("url"), F.lit(n_norm)).cast("string"))
