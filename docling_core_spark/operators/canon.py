@@ -27,3 +27,29 @@ def canonical_order(df: DataFrame, *cols, canonical: Optional[bool] = None) -> D
     if canonical is None:
         canonical = canonical_default()
     return df.orderBy(*cols) if canonical else df
+
+
+def pushdown_pinned_filter(df: DataFrame, cond) -> DataFrame:
+    """Filter that stays AT ITS STAGE instead of being pushed to the scan.
+
+    Catalyst's filter pushdown substitutes every referenced column by its
+    defining expression on the way down; over a chain of map-side stages a
+    keep-predicate ends up inlining the whole upstream expression tree —
+    once per reference — into one scan-level Filter (interpreted
+    expressions get no cross-operator CSE, so each copy re-executes per
+    row; measured as a 97 KB plan and ~10x re-evaluation on fineweb_prep).
+
+    The pin: a nondeterministic projected column the filter references.
+    Filter-through-Project pushdown and Project collapse both require every
+    project-list expression to be deterministic, and the filter reference
+    keeps the column alive through pruning.  The guard conjunct is
+    vacuously true (partition indexes are 0-based by definition), map-side,
+    and dropped immediately — results are identical, only the plan shape
+    changes."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("_nb", F.spark_partition_id())
+        .filter((F.col("_nb") >= 0) & cond)
+        .drop("_nb")
+    )

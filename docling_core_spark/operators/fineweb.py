@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from docling_core_spark.operators.canon import canonical_order
+from docling_core_spark.operators.canon import canonical_order, pushdown_pinned_filter
 from docling_core_spark.operators.pii import pii_redact, pii_redact_sql
 from docling_core_spark.operators.textstats import (
     c4_demo_docs,
@@ -100,45 +100,40 @@ def fineweb_prep(
     min_stopword_hits defaults to 1 (corpus_prep_pipeline precedent: the
     synthetic corpus is keyword salad; real deployments pass Gopher's 2).
     """
-    # Pushdown barriers between stages: without them Catalyst pushes every
-    # stage's keep-predicate down to the scan, SUBSTITUTING each referenced
-    # column by its defining expression — the url/clean/gopher chains ended
-    # up inlined ~10x into one scan-level Filter (a 97 KB physical plan),
-    # re-running the same regexes per reference because interpreted
-    # expressions get no cross-operator CSE (the round-6 no-CSE rule at the
-    # optimizer level).  One unused nondeterministic column per stage makes
-    # the stage's Project non-pushable and non-collapsible, so each stage
-    # evaluates ONCE per surviving row; the plan stays one scan + one
-    # exchange (the barrier is map-side and the column is pruned by the
-    # next stage's select).
-    def _barrier(df: DataFrame) -> DataFrame:
-        return df.withColumn("_nb", F.monotonically_increasing_id())
+    # Pushdown-pinned stage filters (canon.pushdown_pinned_filter): without
+    # the pin Catalyst pushed every stage's keep-predicate down to the
+    # scan, inlining the url/clean/gopher chains ~10x into one scan-level
+    # Filter (97 KB plan, each copy re-executed per row — the round-6
+    # no-CSE rule at the optimizer level).  Pinned: 14.7 KB plan, each
+    # stage evaluates once, still one scan + one exchange.
+    _stage_filter = pushdown_pinned_filter
 
-    kept_url = _barrier(
-        url_filter(docs_with_url, canonical=False, passthrough=("text",))
-    ).filter(F.col("keep"))
-    cleaned = _barrier(
-        text_clean(
-            kept_url.select("doc_id", "url", "text"),
-            canonical=False,
-            passthrough=("url",),
-        )
+    kept_url = _stage_filter(
+        url_filter(docs_with_url, canonical=False, passthrough=("text",)),
+        F.col("keep"),
     )
-    quality = _barrier(
+    cleaned = text_clean(
+        kept_url.select("doc_id", "url", "text"),
+        canonical=False,
+        passthrough=("url",),
+    )
+    quality = _stage_filter(
         gopher_quality_filter(
             cleaned.select("doc_id", "url", F.col("clean_text").alias("text")),
             canonical=False,
             passthrough=("url", "text"),
             min_stopword_hits=min_stopword_hits,
-        )
-    ).filter(F.col("keep"))
-    lined = _barrier(
+        ),
+        F.col("keep"),
+    )
+    lined = _stage_filter(
         c4_line_filter(
             quality.select("doc_id", "url", "text", "n_words"),
             canonical=False,
             passthrough=("url", "n_words"),
-        )
-    ).filter((F.col("n_kept_lines") > 0) & F.col("doc_ok")).drop("_nb")
+        ),
+        (F.col("n_kept_lines") > 0) & F.col("doc_ok"),
+    )
     fingered = lined.withColumn(
         "fingerprint",
         F.md5(F.regexp_replace(F.lower(F.col("filtered_text")), r"[^a-z0-9]", "")),

@@ -580,14 +580,24 @@ def corpus_prep_pipeline(
     # the gopher keep is evaluated over the CLEANED text; clean_text and
     # n_chars_clean ride through as passthrough columns so the chain stays
     # ONE linear plan (a join back to `cleaned` would re-scan the input)
-    quality = gopher_quality_filter(
-        cleaned.select(
-            "doc_id", F.col("clean_text").alias("text"), "n_chars_clean"
+    # pushdown-pinned keep filter (canon.pushdown_pinned_filter): letting
+    # the keep predicate push to the scan would inline the gopher stats +
+    # clean chain once per conjunct reference (the fineweb_prep finding);
+    # the sampling predicate above still pushes (it references raw columns
+    # only — exactly the pushdown we WANT at the scan)
+    from docling_core_spark.operators.canon import pushdown_pinned_filter
+
+    quality = pushdown_pinned_filter(
+        gopher_quality_filter(
+            cleaned.select(
+                "doc_id", F.col("clean_text").alias("text"), "n_chars_clean"
+            ),
+            canonical=False,
+            passthrough=("text", "n_chars_clean"),
+            min_stopword_hits=min_stopword_hits,
         ),
-        canonical=False,
-        passthrough=("text", "n_chars_clean"),
-        min_stopword_hits=min_stopword_hits,
-    ).filter(F.col("keep"))
+        F.col("keep"),
+    )
     fingered = quality.withColumn(
         "fingerprint",
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")),
