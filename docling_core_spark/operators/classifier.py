@@ -113,10 +113,12 @@ def _grad_partials(feats: DataFrame, w: list[float], bias: float) -> DataFrame:
     """(dim, qg) integer gradient partials, one Arrow pass over the feature
     frame: per doc the exact z fold + sigmoid + 1e-9 quantization (all in
     lockstep with the python twin below), then a PER-PARTITION int64
-    accumulation over dims — each task emits <= dims+1 rows (sentinel -1
-    carries the bias gradient), so the shuffle behind the groupBy is tiny
-    at any corpus size.  int64 partials cannot overflow (|qc| <= 1e9, so
-    2^63 absorbs ~9e9 docs per dim per partition)."""
+    accumulation over dims — each task emits <= dims+2 rows (sentinel -1
+    carries the bias gradient; sentinel -2 the partition row count, so the
+    first iteration also yields n without a separate count() job), and the
+    shuffle behind the groupBy is tiny at any corpus size.  int64 partials
+    cannot overflow (|qc| <= 1e9, so 2^63 absorbs ~9e9 docs per dim per
+    partition)."""
     import numpy as np
     import pandas as pd
 
@@ -127,7 +129,9 @@ def _grad_partials(feats: DataFrame, w: list[float], bias: float) -> DataFrame:
         wl = bc_w.value
         acc = np.zeros(dims_n, dtype=np.int64)
         qb = 0
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             labels = pdf["label"].to_numpy()
             qcs = np.empty(len(pdf), dtype=np.int64)
             for i, ds in enumerate(pdf["dims"]):
@@ -150,8 +154,8 @@ def _grad_partials(feats: DataFrame, w: list[float], bias: float) -> DataFrame:
         nz = np.nonzero(acc)[0]
         yield pd.DataFrame(
             {
-                "dim": np.concatenate([nz, [-1]]).astype(np.int32),
-                "qg": np.concatenate([acc[nz], [qb]]).astype(np.int64),
+                "dim": np.concatenate([nz, [-1, -2]]).astype(np.int32),
+                "qg": np.concatenate([acc[nz], [qb, n_rows]]).astype(np.int64),
             }
         )
 
@@ -166,28 +170,32 @@ def _train(
 ):
     """Returns (weights list[float], bias float, n_docs, feature frame)."""
     feats = _features(docs, dims).localCheckpoint(eager=False)
-    n = feats.count()
     w = [0.0] * dims
     b = 0.0
-    if n == 0:
-        return w, b, 0, feats
-    for _ in range(iterations):
+    n = 0
+    for it in range(iterations):
         # ONE action per iteration: per-partition integer partials from one
         # Arrow pass (exact z fold + quantization in python — bit-identical
-        # to the twin), then a tiny (<= dims+1 rows/partition) hash-agg;
-        # the bias gradient rides the same aggregation under sentinel dim
-        # -1 (each doc contributes its qc exactly once there, so
-        # sum(qg at -1) == sum(qc))
+        # to the twin), then a tiny (<= dims+2 rows/partition) hash-agg.
+        # The bias gradient rides the aggregation under sentinel dim -1
+        # (each doc contributes its qc exactly once there, so
+        # sum(qg at -1) == sum(qc)); the corpus size n rides under -2, so
+        # the first iteration both materializes the checkpoint and learns
+        # n — no separate count() job.
         grad_rows = (
             _grad_partials(feats, w, b)
             .groupBy("dim")
             .agg(F.sum("qg").alias("qg"))
             .collect()
         )
+        if it == 0:
+            n = next((int(r["qg"]) for r in grad_rows if r["dim"] == -2), 0)
+            if n == 0:
+                return w, b, 0, feats
         for r in grad_rows:
             if r["dim"] == -1:
                 b -= lr * (r["qg"] / _Q) / n
-            else:
+            elif r["dim"] >= 0:
                 w[r["dim"]] -= lr * (r["qg"] / _Q) / n
     return w, b, n, feats
 
