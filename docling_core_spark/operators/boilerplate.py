@@ -348,15 +348,28 @@ def main_content_df(pages, html_col: str = "html", url_col: str = "url", **thres
     stopword-sparse word salad, so its demo query opens the stopword gates
     and discriminates on link density + length + context (the round-5
     min_stopword_hits precedent); real-web runs keep the defaults."""
-    import pandas as pd
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out = list(
-                main_content_sql_rows(
-                    zip(pdf[url_col], pdf[html_col]), **thresholds
-                )
+        # Arrow-native batch I/O (r9, the extract_pages pattern):
+        # to_pylist() materializes the two input columns in C and the
+        # result columns build straight into typed arrays — no pandas
+        # object-array intermediate around the fat html/main_text strings.
+        types = {
+            "url": pa.string(),
+            "n_paragraphs": pa.int32(),
+            "n_good": pa.int32(),
+            "n_chars": pa.int32(),
+            "n_chars_good": pa.int32(),
+            "main_text": pa.string(),
+        }
+        for rb in batches:
+            urls = rb.column(0).to_pylist()
+            htmls = rb.column(1).to_pylist()
+            out = list(main_content_sql_rows(zip(urls, htmls), **thresholds))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[c] for r in out], type=types[c]) for c in _COLS],
+                names=_COLS,
             )
-            yield pd.DataFrame(out, columns=_COLS)
 
-    return pages.select(url_col, html_col).mapInPandas(run, schema=_SCHEMA)
+    return pages.select(url_col, html_col).mapInArrow(run, schema=_SCHEMA)
