@@ -65,62 +65,96 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _norm_expr(col):
-    """sqrt(sum(x*x)) — the exact norm subexpression _cosine builds per
-    side, exposed so the assignment folds can hoist it: interpreted HOFs
-    get no CSE, so the inline _cosine recomputed the ROW norm once per
-    centroid and the CENTROID norm once per (row, centroid) — 2/3 of all
-    fold arithmetic for identical values (r9)."""
-    return F.sqrt(
-        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    )
+def _assign_centroids(
+    qvecs: DataFrame,
+    cents: DataFrame,
+    passthrough: tuple,
+    emit_sim: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow pass, bit-identical to the
+    interpreted ``F.aggregate`` argmax fold it replaced (the classifier
+    recipe: CPython float ops ARE the same IEEE-754 double ops Catalyst's
+    interpreter executes, in the same left-to-right order — dot, row/centroid norms, greatest(·,1e-12)
+    divide, strict-greater/tie-on-lower-id argmax).  The argmax is
+    order-independent (ties break on the id, not on iteration order), so
+    the collect_list ordering the old broadcast fold relied on is moot.
 
+    ``cents`` is collected to the driver (n_centroids rows — the same
+    bounded-loop-state class as gradients/merge lists) and ships once per
+    executor via sc.broadcast.  ``qvecs`` must carry ``ev`` array<double>;
+    the pass emits ``passthrough`` columns + centroid_id (+ cent_sim
+    rounded HALF_UP at 5, == F.round, when ``emit_sim``)."""
+    import math
 
-def _dot_expr(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+    cent_list = []
+    for r in cents.collect():
+        cv = [float(x) for x in r["cv"]]
+        s = 0.0
+        for x in cv:
+            s = s + x * x
+        cent_list.append((int(r["centroid_id"]), cv, math.sqrt(s)))
+    bc = qvecs.sparkSession.sparkContext.broadcast(cent_list)
 
+    in_cols = list(passthrough) + (["ev"] if "ev" not in passthrough else [])
+    out_fields = [
+        f"{c} {qvecs.schema[c].dataType.simpleString()}" for c in passthrough
+    ]
+    out_fields.append("centroid_id long")
+    if emit_sim:
+        out_fields.append("cent_sim double")
+    out_schema_str = ", ".join(out_fields)
 
-def _cent_row_with_norms(cents: DataFrame):
-    """ONE broadcast row of array<struct(centroid_id, cv, nb)>: each
-    centroid's norm rides the broadcast (computed once per centroid, not
-    per (row, centroid) inside the fold).  nb is the same expression
-    _cosine evaluated inline, so every downstream sim is bit-identical."""
-    return F.broadcast(
-        cents.select(
-            "centroid_id", "cv", _norm_expr(F.col("cv")).alias("nb")
-        ).agg(F.collect_list(F.struct("centroid_id", "cv", "nb")).alias("cent_arr"))
-    )
+    def assign(batches):
+        import decimal
 
+        import pyarrow as pa
 
-def _best_centroid_struct():
-    """argmax fold over the broadcast cent_arr using the precomputed row
-    norm (column ``en``) and centroid norm (struct field ``nb``):
-    sim = dot / greatest(en * nb, 1e-12) — the same IEEE op order as
-    _cosine with both norm subtrees hoisted.  Callers must provide ``ev``
-    and ``en`` as ATTRIBUTES (materialized projection, the no-CSE rule)."""
+        five = decimal.Decimal("0.00001")
+        cl = bc.value
+        for rb in batches:
+            evs = rb.column(rb.schema.get_field_index("ev")).to_pylist()
+            ids = []
+            sims = []
+            for ev in evs:
+                en_acc = 0.0
+                for x in ev:
+                    en_acc = en_acc + x * x
+                en = math.sqrt(en_acc)
+                best_sim = -2.0
+                best_id = None
+                for cid, cv, nb in cl:
+                    dot = 0.0
+                    for a, b in zip(ev, cv):
+                        dot = dot + a * b
+                    den = en * nb
+                    if not den > 1e-12:
+                        den = 1e-12
+                    sim = dot / den
+                    if sim > best_sim or (
+                        sim == best_sim and (best_id is None or cid < best_id)
+                    ):
+                        best_sim = sim
+                        best_id = cid
+                ids.append(best_id)
+                if emit_sim:
+                    sims.append(
+                        float(
+                            decimal.Decimal(repr(best_sim)).quantize(
+                                five, rounding=decimal.ROUND_HALF_UP
+                            )
+                        )
+                    )
+            arrays = [
+                rb.column(rb.schema.get_field_index(c)) for c in passthrough
+            ]
+            names = list(passthrough) + ["centroid_id"]
+            arrays.append(pa.array(ids, type=pa.int64()))
+            if emit_sim:
+                arrays.append(pa.array(sims, type=pa.float64()))
+                names.append("cent_sim")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    def fold(acc, c):
-        sim = _dot_expr(F.col("ev"), c["cv"]) / F.greatest(
-            F.col("en") * c["nb"], F.lit(1e-12)
-        )
-        better = (sim > acc["best_sim"]) | (
-            (sim == acc["best_sim"]) & (c["centroid_id"] < acc["best_id"])
-        )
-        return F.when(
-            better,
-            F.struct(sim.alias("best_sim"), c["centroid_id"].alias("best_id")),
-        ).otherwise(acc)
-
-    return F.aggregate(
-        F.col("cent_arr"),
-        F.struct(
-            F.lit(-2.0).alias("best_sim"),
-            F.lit(None).cast("long").alias("best_id"),
-        ),
-        fold,
-    )
+    return qvecs.select(*in_cols).mapInArrow(assign, out_schema_str)
 
 
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -343,14 +377,12 @@ def kmeans_refined_centroids(
     iteration counter; every step is distributed.  Empty clusters keep their
     previous centroid (deterministic).  Returns (centroid_id, cv).
     """
-    qvecs = (
-        embeddings.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
-        .select(
-            "vec_id",
-            "qv",
-            F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev"),
-        )
-        .select("vec_id", "qv", "ev", _norm_expr(F.col("ev")).alias("en"))
+    qvecs = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qv")
+    ).select(
+        "vec_id",
+        "qv",
+        F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev"),
     )
     start_it = 0
     cents = None
@@ -383,12 +415,8 @@ def kmeans_refined_centroids(
             .localCheckpoint(eager=False)
         )
     for _it in range(start_it, iterations):
-        cent_row = _cent_row_with_norms(cents)
-
-        assigned = (
-            qvecs.crossJoin(cent_row)
-            .withColumn("centroid_id", _best_centroid_struct()["best_id"])
-            .select("centroid_id", F.posexplode("qv").alias("pos", "val"))
+        assigned = _assign_centroids(qvecs, cents, ("qv",)).select(
+            "centroid_id", F.posexplode("qv").alias("pos", "val")
         )
         means = (
             assigned.groupBy("centroid_id", "pos")
@@ -464,20 +492,18 @@ def ivf_kmeans_topk(
     Exactly mirrored by the single-process expected oracle thanks to the
     quantized-integer centroid arithmetic."""
     cents = kmeans_refined_centroids(embeddings, n_centroids, iterations)
-    cent_row = _cent_row_with_norms(cents)
+    cent_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
+    )
     qvecs = embeddings.select(
         "vec_id",
         "label",
         F.transform(
             _quantized(F.col("embedding")), lambda v: v.cast("double")
         ).alias("ev"),
-    ).select("vec_id", "label", "ev", _norm_expr(F.col("ev")).alias("en"))
-
-    assignments = (
-        qvecs.crossJoin(cent_row)
-        .withColumn("centroid_id", _best_centroid_struct()["best_id"])
-        .select("vec_id", "label", "ev", "centroid_id")
     )
+
+    assignments = _assign_centroids(qvecs, cents, ("vec_id", "label", "ev"))
 
     probed = (
         qvecs.filter(F.col("vec_id") == query_vec_id)
@@ -526,14 +552,19 @@ def ivf_topk(
     # probe selection derive from this SAME subplan, so the broadcast
     # exchange is built once and reused (ReusedExchange) instead of scanning
     # the embeddings twice for centroids.
-    cent_row = _cent_row_with_norms(ivf_centroids(embeddings, n_centroids))
+    # seed centroids referenced by the assignment collect AND the probe
+    # broadcast — cut the TakeOrdered subtree once
+    cents = ivf_centroids(embeddings, n_centroids).localCheckpoint(eager=False)
+    cent_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "cv")).alias("cent_arr"))
+    )
 
-    assignments = (
-        embeddings.select("vec_id", "label", _as_double(F.col("embedding")).alias("ev"))
-        .select("vec_id", "label", "ev", _norm_expr(F.col("ev")).alias("en"))
-        .crossJoin(cent_row)
-        .withColumn("centroid_id", _best_centroid_struct()["best_id"])
-        .select("vec_id", "label", "ev", "centroid_id")
+    assignments = _assign_centroids(
+        embeddings.select(
+            "vec_id", "label", _as_double(F.col("embedding")).alias("ev")
+        ),
+        cents,
+        ("vec_id", "label", "ev"),
     )
 
     probed = (
@@ -661,26 +692,22 @@ def semdedup(
     from docling_core_spark.operators.dedup import cap_hot_buckets
 
     cents = kmeans_refined_centroids(embeddings, n_centroids, iterations)
-    qvecs = (
-        embeddings.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
-        .select(
-            "vec_id", F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev")
-        )
-        .select("vec_id", "ev", _norm_expr(F.col("ev")).alias("en"))
+    qvecs = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qv")
+    ).select(
+        "vec_id", F.transform(F.col("qv"), lambda v: v.cast("double")).alias("ev")
     )
-    cent_row = _cent_row_with_norms(cents)
 
     assigned = (
-        qvecs.crossJoin(cent_row)
-        .withColumn("best", _best_centroid_struct())
+        _assign_centroids(qvecs, cents, ("vec_id", "ev"), emit_sim=True)
         .select(
             "vec_id",
             "ev",
-            F.col("best.best_id").alias("cluster_id"),
-            F.round(F.col("best.best_sim"), 5).alias("cent_sim"),
+            F.col("centroid_id").alias("cluster_id"),
+            "cent_sim",
         )
-        # diamond cut: `assigned` feeds BOTH the capped pair join and the
-        # final keep-flag join; without this the kmeans + assignment fold
+        # diamond cut: `assigned` feeds BOTH the capped pair stage and the
+        # final keep-flag join; without this the kmeans + assignment
         # subtree compiles (and runs) twice — round-5/7 reuse finding
         .localCheckpoint(eager=False)
     )

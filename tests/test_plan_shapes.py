@@ -40,11 +40,12 @@ def test_ivf_build_is_map_side(emb):
     # the assignment path (the TakeOrdered top-k needs no exchange either)
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
-    # the probe list derives from the SAME array-of-structs centroid subplan
-    # as the assignment fold (no third centroid scan): embeddings is read
-    # exactly 4x — main scan, query row, and the one shared centroid subplan
-    # referenced from both sides (compiled twice, 16 rows each)
-    assert plan.count("FileScan") == 4
+    # r9: the seed-centroid TakeOrdered is localCheckpoint'ed (it feeds the
+    # assignment collect AND the probe broadcast), so embeddings is read
+    # exactly 2x — the main scan and the query row; centroids come from the
+    # checkpointed ExistingRDD
+    assert plan.count("FileScan") == 2
+    assert "ExistingRDD" in plan
 
 
 def test_embedding_dedup_sort_is_gated(emb, monkeypatch):
