@@ -110,22 +110,25 @@ class _Cell:
         self.is_header = False
 
 
-class _DocHTMLParser(HTMLParser):
-    """Streaming DOM walk building a Doc in document order."""
+class FastTagParserMixin:
+    """HTMLParser speedups shared by every HTML consumer in the repo (the
+    extract parser below and the boilerplate segmenter) so the two
+    first-mile readers of a page can never drift apart on tag handling.
+
+    - updatepos: ParserBase tracks (lineno, offset) by scanning every
+      consumed segment for newlines — ~13% of parse time at sf0.1 —
+      purely to serve getpos(), which these parsers never read.
+    - parse_starttag/parse_endtag: strict-match fast path (see
+      _FAST_START_RE): one regex + one attr findall replaces the stdlib's
+      four-regex tolerant walk.  script/style defer to the stdlib path for
+      cdata-mode setup; anything not strictly well-formed (self-closing,
+      unquoted or entity-bearing attrs, bogus markup) falls back too, so
+      the fast path is parity-safe by construction."""
 
     def updatepos(self, i: int, j: int) -> int:
-        # ParserBase tracks (lineno, offset) by scanning every consumed
-        # segment for newlines — ~13% of parse time at sf0.1 — purely to
-        # serve getpos(), which this parser never reads.  Token consumption
-        # only needs the new index back.
         return j
 
     def parse_starttag(self, i: int) -> int:
-        # Strict-match fast path (see _FAST_START_RE): one regex + one
-        # attr findall replaces the stdlib's four-regex tolerant walk.
-        # script/style defer to the stdlib path for cdata-mode setup;
-        # anything not strictly well-formed (self-closing, unquoted or
-        # entity-bearing attrs, bogus markup) falls back too.
         m = _FAST_START_RE.match(self.rawdata, i)
         if m is None:
             return super().parse_starttag(i)
@@ -149,6 +152,10 @@ class _DocHTMLParser(HTMLParser):
         tag = m.group(1)
         self.handle_endtag(tag.lower() if not tag.islower() else tag)
         return m.end()
+
+
+class _DocHTMLParser(FastTagParserMixin, HTMLParser):
+    """Streaming DOM walk building a Doc in document order."""
 
     def __init__(self, doc: Doc, main_content_only: bool = True):
         super().__init__(convert_charrefs=True)

@@ -42,11 +42,7 @@ import re
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
-from docling_core_spark.functions.html_parse import (
-    _FAST_END_RE,
-    _FAST_START_RE,
-    _fast_attrs,
-)
+from docling_core_spark.functions.html_parse import FastTagParserMixin
 
 __all__ = [
     "Paragraph",
@@ -117,41 +113,14 @@ class Paragraph:
         return sum(1 for w in words if w in STOPWORDS) / len(words)
 
 
-class _Segmenter(HTMLParser):
+class _Segmenter(FastTagParserMixin, HTMLParser):
     """DOM walk -> paragraph list (block-tag boundaries, link-char counts).
 
-    Reuses the two parity-safe html_parse speedups (round-8): getpos() is
-    never read so updatepos skips the line-counting scan, and strictly
-    well-formed tags tokenize with one regex instead of the stdlib's
-    four-regex tolerant walk (anything else falls back to HTMLParser, so
-    the fast path cannot change behavior by construction)."""
-
-    def updatepos(self, i: int, j: int) -> int:
-        return j
-
-    def parse_starttag(self, i: int) -> int:
-        m = _FAST_START_RE.match(self.rawdata, i)
-        if m is None:
-            return super().parse_starttag(i)
-        tag = m.group(1)
-        tag = tag.lower() if not tag.islower() else tag
-        if tag in self.CDATA_CONTENT_ELEMENTS:
-            return super().parse_starttag(i)
-        self.lasttag = tag
-        raw_attrs = m.group(2)
-        attrs = _fast_attrs(raw_attrs) if raw_attrs else []
-        self.handle_starttag(tag, attrs)
-        return m.end()
-
-    def parse_endtag(self, i: int) -> int:
-        if self.cdata_elem is not None:
-            return super().parse_endtag(i)
-        m = _FAST_END_RE.match(self.rawdata, i)
-        if m is None:
-            return super().parse_endtag(i)
-        tag = m.group(1)
-        self.handle_endtag(tag.lower() if not tag.islower() else tag)
-        return m.end()
+    Inherits the parity-safe html_parse fast-tag mixin (one shared
+    implementation for both first-mile HTML consumers): updatepos skips
+    the line-counting scan getpos() would need, and strictly well-formed
+    tags tokenize with one regex — anything else falls back to HTMLParser,
+    so the fast path cannot change behavior by construction."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)

@@ -48,8 +48,11 @@ def pushdown_pinned_filter(df: DataFrame, cond) -> DataFrame:
     changes."""
     from pyspark.sql import functions as F
 
+    pin = "_nb"
+    while pin in df.columns:  # never clobber a caller's column
+        pin = "_" + pin
     return (
-        df.withColumn("_nb", F.spark_partition_id())
-        .filter((F.col("_nb") >= 0) & cond)
-        .drop("_nb")
+        df.withColumn(pin, F.spark_partition_id())
+        .filter((F.col(pin) >= 0) & cond)
+        .drop(pin)
     )

@@ -135,13 +135,10 @@ def _grad_partials(feats: DataFrame, w: list[float], bias: float) -> DataFrame:
             labels = pdf["label"].to_numpy()
             qcs = np.empty(len(pdf), dtype=np.int64)
             for i, ds in enumerate(pdf["dims"]):
-                z = bias
-                for d in ds:
-                    z = z + wl[d]
-                s = 0.5 * (1.0 + z / (1.0 + abs(z)))
+                s = _py_sigmoid(_py_fold_z(ds, wl, bias))
                 # int() truncates toward zero, same as the JVM double->long
                 # cast the old Catalyst path used
-                qcs[i] = int((s - float(labels[i])) * 1_000_000_000.0)
+                qcs[i] = int((s - float(labels[i])) * float(_Q))
             qb += int(qcs.sum())
             lens = np.fromiter(
                 (len(ds) for ds in pdf["dims"]), dtype=np.int64, count=len(pdf)
@@ -270,10 +267,7 @@ def classifier_score(
             scores = []
             preds = []
             for ds in pdf["dims"]:
-                z = bias
-                for d in ds:
-                    z = z + wl[d]
-                s = 0.5 * (1.0 + z / (1.0 + abs(z)))
+                s = _py_sigmoid(_py_fold_z(ds, wl, bias))
                 scores.append(
                     float(
                         decimal.Decimal(repr(s)).quantize(
@@ -331,8 +325,7 @@ def py_train_score(
     """Identical arithmetic, single-process: returns (weights, bias,
     [(doc_id, label, score)])."""
 
-    def sig(z: float) -> float:
-        return 0.5 * (1.0 + z / (1.0 + abs(z)))
+    sig = _py_sigmoid
 
     feats = [
         (doc_id, py_label(text, norm_words_fn), py_dims(text, dims, norm_words_fn))
@@ -345,10 +338,7 @@ def py_train_score(
         grad: dict[int, int] = {}
         qb = 0
         for _doc, label, ds in feats:
-            z = b
-            for d in ds:
-                z = z + w[d]
-            qc = int((sig(z) - float(label)) * _Q)
+            qc = int((sig(_py_fold_z(ds, w, b)) - float(label)) * _Q)
             qb += qc
             for d in ds:
                 grad[d] = grad.get(d, 0) + qc
@@ -357,8 +347,5 @@ def py_train_score(
         b -= lr * (qb / _Q) / n
     scores = []
     for doc_id, label, ds in feats:
-        z = b
-        for d in ds:
-            z = z + w[d]
-        scores.append((doc_id, label, sig(z)))
+        scores.append((doc_id, label, sig(_py_fold_z(ds, w, b))))
     return w, b, scores

@@ -283,14 +283,15 @@ def split_skew(
     Every row shuffles once on a routing key: normal pages coarsen to
     ``pmod(xxhash64(url), n_norm)`` buckets, while each jumbo page (html
     larger than jumbo_bytes) keeps a UNIQUE key (its url) so no two jumbos
-    share a key.  The partition count carries headroom over the normal
-    bucket count (2x at defaults), so a jumbo key lands in an
-    otherwise-empty partition with good probability; in the worst case it
-    shares with exactly ONE normal bucket, so the stall bound is one
-    bucket's worth of pages, never a whole wave (a hard isolation guarantee
+    share a key.  Since r9 the default bucket count is FINE-GRAINED
+    (~256 buckets per partition): normal load spreads ±6% across all
+    partitions, and a jumbo's worst-case stall bound is its own bytes plus
+    ~1/n_part of the normal pages — tighter than the old
+    one-bucket-per-two-partitions layout, whose few distinct keys left
+    partitions holding 0 or 2-3 whole buckets (a hard isolation guarantee
     would need an RDD-level custom partitioner, which costs the DataFrame
-    columnar path; raise normal_partitions/jumbo_partitions to trade task
-    overhead for lower collision odds).
+    columnar path; an explicit ``normal_partitions`` sets the exact bucket
+    count for deterministic isolation scenarios).
 
     Replaced the earlier two-branch filter+union design (r5): that read the
     input TWICE (a filter union cannot share one scan) and ran two

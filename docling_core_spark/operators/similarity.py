@@ -81,9 +81,12 @@ def _assign_centroids(
 
     ``cents`` is collected to the driver (n_centroids rows — the same
     bounded-loop-state class as gradients/merge lists) and ships once per
-    executor via sc.broadcast.  ``qvecs`` must carry ``ev`` array<double>;
-    the pass emits ``passthrough`` columns + centroid_id (+ cent_sim
-    rounded HALF_UP at 5, == F.round, when ``emit_sim``)."""
+    executor via sc.broadcast.  NOTE: the collect makes DataFrame
+    CONSTRUCTION eager for the centroid subtree (callers that build these
+    plans pay the k-means/seed jobs up front; the SRP family keeps its
+    no-job-at-construction property).  ``qvecs`` must carry ``ev``
+    array<double>; the pass emits ``passthrough`` columns + centroid_id
+    (+ cent_sim rounded HALF_UP at 5, == F.round, when ``emit_sim``)."""
     import math
 
     cent_list = []
@@ -130,20 +133,37 @@ def _assign_centroids(
                     if not den > 1e-12:
                         den = 1e-12
                     sim = dot / den
-                    if sim > best_sim or (
-                        sim == best_sim and (best_id is None or cid < best_id)
-                    ):
+                    # Spark total order for doubles: NaN == NaN and NaN is
+                    # GREATER than every other value — python's IEEE
+                    # comparisons disagree, so NaN sims (possible only for
+                    # non-finite raw embeddings) take the explicit branch;
+                    # the fast path below is the finite case.
+                    if sim != sim:
+                        if best_sim != best_sim:
+                            better = best_id is None or cid < best_id
+                        else:
+                            better = True
+                    elif best_sim != best_sim:
+                        better = False
+                    else:
+                        better = sim > best_sim or (
+                            sim == best_sim and (best_id is None or cid < best_id)
+                        )
+                    if better:
                         best_sim = sim
                         best_id = cid
                 ids.append(best_id)
                 if emit_sim:
-                    sims.append(
-                        float(
-                            decimal.Decimal(repr(best_sim)).quantize(
-                                five, rounding=decimal.ROUND_HALF_UP
+                    if best_sim != best_sim:
+                        sims.append(best_sim)  # F.round(NaN, 5) is NaN
+                    else:
+                        sims.append(
+                            float(
+                                decimal.Decimal(repr(best_sim)).quantize(
+                                    five, rounding=decimal.ROUND_HALF_UP
+                                )
                             )
                         )
-                    )
             arrays = [
                 rb.column(rb.schema.get_field_index(c)) for c in passthrough
             ]
@@ -359,6 +379,29 @@ def _quantized(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * _QUANT, 0).cast("long"))
 
 
+def _centroid_means(assigned: DataFrame) -> DataFrame:
+    """Exact centroid recompute for one Lloyd round over (centroid_id, pos,
+    val) rows: per-dim integer sums (map-side partial aggregation absorbs
+    hot clusters) divided by the member count — one IEEE division of exact
+    ints, bit-deterministic under any partitioning.  Module-level so the
+    scale tests pin THIS aggregation's plan, not a reconstruction."""
+    return (
+        assigned.groupBy("centroid_id", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", (F.col("s") / F.col("n")).alias("m"))
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("cv")
+        )
+    )
+
+
 def kmeans_refined_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -418,23 +461,7 @@ def kmeans_refined_centroids(
         assigned = _assign_centroids(qvecs, cents, ("qv",)).select(
             "centroid_id", F.posexplode("qv").alias("pos", "val")
         )
-        means = (
-            assigned.groupBy("centroid_id", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "pos", (F.col("s") / F.col("n")).alias("m")
-                            )
-                        )
-                    ),
-                    lambda st: st["m"],
-                ).alias("cv")
-            )
-        )
+        means = _centroid_means(assigned)
         # empty clusters keep their previous centroid
         cents = (
             cents.select("centroid_id", F.col("cv").alias("old_cv"))

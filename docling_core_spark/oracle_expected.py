@@ -1311,20 +1311,22 @@ def ensure_expected(sf_dir: str) -> dict[str, str]:
         (tmp / "_complete").write_text(digest)
         import shutil
 
-        if out.exists():
-            # stale build under the pinned path: move it aside first (rename
-            # onto a non-empty dir is not atomic-swappable on POSIX)
-            old = out.with_name(out.name + f".old-{os.getpid()}")
+        if not out.exists():
             try:
-                os.rename(out, old)
+                os.rename(tmp, out)
             except OSError:
-                old = None
-            if old is not None:
-                shutil.rmtree(old, ignore_errors=True)
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            # another process won the race with an identical build
+                # another process won the race with an identical build
+                shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale build under the PINNED path: refresh FILE BY FILE with
+            # atomic os.replace — a concurrent reader holding oracle SQL
+            # strings must never observe a missing parquet (a whole-dir
+            # rename-aside would open exactly that window).  Each file is
+            # individually complete at all times; the marker lands last.
+            for p in sorted(tmp.iterdir()):
+                if p.name != "_complete":
+                    os.replace(p, out / p.name)
+            os.replace(tmp / "_complete", out / "_complete")
             shutil.rmtree(tmp, ignore_errors=True)
     sqls = {}
     for name, order in EXPECTED_QUERIES.items():

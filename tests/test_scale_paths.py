@@ -92,13 +92,17 @@ def test_kmeans_refined_centroids_deterministic_and_partial(spark, monkeypatch):
     assert "Window" not in plan
     from pyspark.sql import functions as F
 
-    means_shape = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("vec_id", "pos")
-        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    from docling_core_spark.operators.similarity import _centroid_means
+
+    means = _centroid_means(
+        emb.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
     )
-    mplan = means_shape._jdf.queryExecution().executedPlan().toString()
+    mplan = means._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in mplan
+    assert "Window" not in mplan
 
 
 def test_ivf_kmeans_refines_toward_members(spark):
