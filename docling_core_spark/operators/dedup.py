@@ -307,12 +307,12 @@ def minhash_lsh_duplicates(
     # recomputed corpus-wide shingles twice (once per join side).  No
     # broadcast hint: AQE sees the runtime size of cand_ids and picks the
     # broadcast itself when small, so a pathological pair explosion still
-    # degrades to a shuffle join instead of a driver OOM.
-    cand_ids = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    # degrades to a shuffle join instead of a driver OOM.  No .distinct():
+    # left_semi is insensitive to duplicate build-side keys, so deduping
+    # here would only add a shuffle+agg stage — the duplicate volume is the
+    # same O(|pairs|) the verify joins below already shuffle (A/B: never
+    # worse, ~5% at sparse-sf1; identical pair output on three corpora).
+    cand_ids = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
     sh = (
         docs.join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", norm_words(F.col("text")).alias("w"))
